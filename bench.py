@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline declared queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query wall-clock seconds.
+
+Each query is fully materialized via a count() on the final plan (no
+collect of payload rows to the driver). A warm-up scan primes the JVM and
+file cache so numbers reflect steady-state execution, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from conceptnetwork_spark import get_spark, registry  # noqa: E402
+
+# Headline set: one per operator family, covering scan/join/agg/window/
+# setop/scalar/UDF/streaming-batch/dedup/similarity/text/ML.
+HEADLINE = [
+    "d01_scan_filter",
+    "d03_inner_join",
+    "d04_star_join",
+    "d07_range_join",
+    "d08_asof_latest_event",
+    "d09_hash_agg",
+    "d12_rollup",
+    "d13_window_rank",
+    "d15_topk",
+    "d17_string_funcs",
+    "d20_array_funcs",
+    "d22_pandas_udf",
+    "d23_grouped_map",
+    "d26_tumbling_window",
+    "d27_session_window",
+    "d29_exact_dedup",
+    "d29_minhash_near_dup",
+    "d30_knn_exact",
+    "d31_quality_score",
+    "d33_ols_mse",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="conceptnetwork-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+
+    # warm-up: prime JVM/codegen + OS file cache with a cheap full scan
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Table catalog over the driver testdata layout.
+
+One parquet file per table under an ``sf_dir`` (TESTDATA.md). The catalog is
+the engine's source layer (SURVEY §2.1 S3/S4): globbing, parallel reads,
+schema projection, predicate pushdown all come from the Parquet datasource —
+the reference hand-rolled these with TF queue runners
+(``conceptnetwork/network.py:184-203``).
+
+Dimension tables are flagged so the operator layer can attach explicit
+broadcast hints for the 100 TB design point (facts never broadcast).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Bounded-cardinality tables: safe to broadcast at any scale factor.
+# customer/part/supplier grow with SF -> treated as shuffle-side at scale.
+DIM_TABLES = frozenset({"region", "nation"})
+
+
+class Catalog:
+    """Lazy loader + temp-view registrar for one scale-factor directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.sf_dir, f"{name}.parquet")
+
+    def table(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+        if name not in self._cache:
+            self._cache[name] = self.spark.read.parquet(self.path(name))
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self, names: tuple[str, ...] = TABLES) -> None:
+        """Register each table as a temp view for ``spark.sql`` queries."""
+        for name in names:
+            self.table(name).createOrReplaceTempView(name)

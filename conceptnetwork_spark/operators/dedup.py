@@ -1,0 +1,275 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+SURVEY §2.2 D29 + the mandated LLM-dataprep extensions. Scale stance
+(100 TB): never all-pairs — exact dedup is one hash-groupBy shuffle; fuzzy
+dedup is LSH-bucketed (candidates only within equal band buckets); exact
+Jaccard verification runs only on LSH candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from conceptnetwork_spark.catalog import Catalog
+from conceptnetwork_spark.registry import register
+
+# --------------------------------------------------------------------------
+# D29a — exact dedup (hash-groupBy)
+# --------------------------------------------------------------------------
+@register(
+    "d29_exact_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    ORDER BY keep_id
+    """,
+)
+def d29_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate collapse keyed on md5(text): keep the min doc_id per
+    content hash. One shuffle on a 128-bit key; at 100 TB the md5 groupBy is
+    near-uniform (no skew) and partial aggregation keeps the shuffle tiny."""
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# D29b — MinHash signatures + banded LSH, all in native Spark SQL
+# --------------------------------------------------------------------------
+# MinHash with k independent hash slots via xxhash64(shingle, seed_i):
+# sig[i] = min over shingles of xxhash64(shingle || i). Banding groups the
+# signature into b bands of r rows; docs sharing any band bucket are
+# candidates. Everything is explode/groupBy — no UDF, no all-pairs.
+
+def shingles(col, n: int = 5):
+    """Word n-gram shingle array from raw text (lower, whitespace-split)."""
+    toks = F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " ")
+    # sliding n-grams via transform over index range; drop ragged tail
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """doc_id -> array<long> MinHash signature, computed as one explode +
+    groupBy(doc) of per-seed mins (partial agg shrinks the shuffle to
+    #docs × num_hashes longs)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: bucket = hash(band slice); self-join per (band, bucket).
+
+    Output (doc_a < doc_b) candidate pairs, distinct. The join key
+    (band, bucket) is high-cardinality -> shuffle is balanced; no pair is
+    ever formed across different buckets (never all-pairs).
+    """
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs only (join twice to attach
+    shingle sets, compute |∩|/|∪| with array ops)."""
+    sets = docs.select(
+        F.col(id_col).alias("sid"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sset"),
+    )
+    out = (
+        pairs.join(sets.withColumnRenamed("sid", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
+        .join(sets.withColumnRenamed("sid", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("set_a", "set_b"))
+            / F.size(F.array_union("set_a", "set_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
+@register("d29_minhash_near_dup", oracle=None)
+def d29_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup pipeline: shingle -> minhash -> banded LSH -> exact
+    Jaccard verify on candidates. Non-oracle (LSH banding is engine-defined);
+    pytest checks pair-recall against planted near-dups."""
+    d = Catalog(spark, sf_dir).documents
+    sigs = minhash_signatures(d)
+    cands = lsh_candidate_pairs(sigs)
+    return jaccard_verify(d, cands, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# D29c — n-gram Jaccard (exact, oracle-checked on a bounded candidate set)
+# --------------------------------------------------------------------------
+@register(
+    "d29_ngram_jaccard",
+    oracle="""
+    WITH sets AS (
+      SELECT doc_id,
+             list_distinct(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS toks
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def d29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over a bounded id range (oracle-checkable
+    form of the verify stage; the scale path never runs this all-pairs —
+    see d29_minhash_near_dup)."""
+    d = Catalog(spark, sf_dir).documents.where(F.col("doc_id") < 40)
+    toks = F.array_distinct(
+        F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    )
+    sets = d.select(F.col("doc_id"), toks.alias("toks"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("ta", "tb"))
+                / F.size(F.array_distinct(F.concat("ta", "tb"))).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# D29d — SimHash (64-bit) via Arrow-batched pandas UDF
+# --------------------------------------------------------------------------
+@pandas_udf(LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens with a deterministic per-token
+    64-bit FNV-1a hash (pure numpy, Arrow-batched). Near-dup docs land within
+    a small Hamming distance; used bucketed (by 16-bit chunks) at scale."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in t.lower().split():
+            h = np.uint64(14695981039346656037)
+            for ch in tok.encode("utf-8"):
+                h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
+            bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
+            acc += np.where(bits.astype(np.int64) > 0, 1, -1)
+        sig = np.packbits((acc > 0).astype(np.uint8))
+        out[i] = np.frombuffer(sig.tobytes(), dtype=np.int64)[0]
+    return pd.Series(out)
+
+
+@register("d29_simhash", oracle=None)
+def d29_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit SimHash fingerprints. Non-oracle (hash definition is
+    engine-internal); pytest asserts determinism + near-dup Hamming locality."""
+    d = Catalog(spark, sf_dir).documents
+    return d.select("doc_id", simhash64(F.col("text")).alias("simhash")).orderBy(
+        "doc_id"
+    )
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Scale path for SimHash dedup: bucket by each of four 16-bit chunks
+    (pigeonhole: any pair within Hamming<=6 shares at least one exact chunk
+    when distance is spread, and chunk-equality prunes the search space);
+    verify Hamming on candidates only."""
+    sh = docs.select("doc_id", simhash64(F.col("text")).alias("sh"))
+    chunks = sh.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned("sh", k * 16).bitwiseAND(F.lit(0xFFFF)) for k in range(4)])
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).where(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")

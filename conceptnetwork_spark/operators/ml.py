@@ -1,0 +1,86 @@
+"""MLlib pipeline surface (SURVEY §2.2 D33; reference M1-M6 faithful).
+
+The reference's model stack — per-concept ``inference`` subgraphs composed
+by a Network with mode-dispatched fit/evaluate/predict
+(``conceptnetwork/network.py:102-163``) and an Estimator driver
+(``examples/train.py:18-31``) — maps onto ``pyspark.ml``:
+
+  Concept.inference      -> VectorAssembler / feature Transformer stage
+  Network.inference      -> model stage (LinearRegression here)
+  Network.loss (M3: MSE) -> RegressionEvaluator(metricName='mse')
+  build_model_fn dispatch-> Pipeline.fit / Model.transform / Evaluator
+  model_dir save/restore -> PipelineModel.save / .load (R3 checkpoint hook)
+
+The declared query is deterministic: OLS with the 'normal' solver is the
+closed-form normal-equations solution, so slope/intercept/MSE match DuckDB's
+regr_slope/regr_intercept to 4 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.regression import LinearRegression
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conceptnetwork_spark.catalog import Catalog
+from conceptnetwork_spark.registry import register
+
+
+def build_ols_pipeline(feature_cols: list[str], label_col: str) -> Pipeline:
+    """Assembler + exact-OLS LinearRegression (M6 Estimator driver shape)."""
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    lr = LinearRegression(
+        featuresCol="features",
+        labelCol=label_col,
+        solver="normal",  # closed-form normal equations — deterministic
+        regParam=0.0,
+        standardization=False,
+    )
+    return Pipeline(stages=[assembler, lr])
+
+
+def fit_transform_evaluate(
+    df: DataFrame, feature_cols: list[str], label_col: str
+) -> tuple[PipelineModel, DataFrame, float]:
+    """Mode dispatch (M5): TRAIN -> fit, INFER -> transform, EVAL -> MSE."""
+    model = build_ols_pipeline(feature_cols, label_col).fit(df)
+    preds = model.transform(df)
+    mse = preds.agg(
+        F.avg(F.pow(F.col(label_col) - F.col("prediction"), 2)).alias("mse")
+    ).collect()[0]["mse"]
+    return model, preds, mse
+
+
+@register(
+    "d33_ols_mse",
+    oracle="""
+    WITH fit AS (
+      SELECT regr_slope(l_extendedprice, l_quantity)     AS slope,
+             regr_intercept(l_extendedprice, l_quantity) AS intercept
+      FROM lineitem
+    )
+    SELECT ROUND(slope, 4) AS slope,
+           ROUND(intercept, 4) AS intercept,
+           ROUND((SELECT AVG(pow(l_extendedprice - (intercept + slope * l_quantity), 2))
+                  FROM lineitem), 4) AS mse
+    FROM fit
+    """,
+)
+def d33_ols_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded linear model: fit l_extendedprice ~ l_quantity
+    with MLlib's normal-equation solver; oracle recomputes the closed form
+    with DuckDB regression aggregates. Proves the full M1-M6 surface
+    (assemble -> fit -> transform -> evaluate) numerically."""
+    li = Catalog(spark, sf_dir).lineitem.select("l_quantity", "l_extendedprice")
+    model, preds, mse = fit_transform_evaluate(
+        li, ["l_quantity"], "l_extendedprice"
+    )
+    lrm = model.stages[-1]
+    slope = float(lrm.coefficients[0])
+    intercept = float(lrm.intercept)
+    return spark.createDataFrame(
+        [(round(slope, 4), round(intercept, 4), round(mse, 4))],
+        "slope double, intercept double, mse double",
+    )

@@ -1,0 +1,533 @@
+"""Relational operator surface: scans, joins, aggregates, windows, set ops.
+
+SURVEY §2.2 D1-D16. Every builder is a declarative DataFrame plan — Catalyst
+owns pushdown/pruning/join-strategy; AQE owns runtime re-planning. Explicit
+``F.broadcast`` hints appear only on bounded-cardinality dimensions
+(region/nation — see catalog.DIM_TABLES) so plans stay valid at 100 TB:
+fact-fact joins (orders⋈lineitem, orders⋈customer at high SF) shuffle on
+their keys and rely on AQE skew splitting.
+
+Determinism contract (SURVEY §2.2 preamble): total-order ``orderBy`` over a
+key suffix, ``round(x, 4)`` on floats, aliases identical to the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from conceptnetwork_spark.catalog import Catalog
+from conceptnetwork_spark.registry import register
+
+
+# --------------------------------------------------------------------------
+# D1 — parquet scan + projection + filter pushdown
+# --------------------------------------------------------------------------
+@register(
+    "d01_scan_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 4) AS p
+    FROM lineitem WHERE l_quantity > 45
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def d01_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan with predicate + projection pushdown: `.explain` must show
+    PushedFilters [GreaterThan(l_quantity,45)] and a 4-column ReadSchema."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.where(F.col("l_quantity") > 45)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 4).alias("p"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# D2 — expression parse/normalize (reference P3/P4 faithful shape)
+# --------------------------------------------------------------------------
+@register(
+    "d02_case_parse",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN lower(substr(c_name, 1, 1)) = 'c' THEN 0 ELSE 1 END AS g
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def d02_case_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical normalization with default branch — the engine form of the
+    reference's GENDER_MAP defaultdict (minimal_concept.py:18-28)."""
+    c = Catalog(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.when(F.lower(F.substring("c_name", 1, 1)) == "c", 0).otherwise(1).alias("g"),
+    ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# D3 — inner equi-join
+# --------------------------------------------------------------------------
+@register(
+    "d03_inner_join",
+    oracle="""
+    SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_orderkey
+    """,
+)
+def d03_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders⋈customer. customer is SF-scaled: no manual broadcast — AQE picks
+    broadcast at small SF and shuffle-hash/SMJ at scale."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.orders.join(t.customer, t.orders.o_custkey == t.customer.c_custkey, "inner")
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# D4 — multi-way star join + roll-up
+# --------------------------------------------------------------------------
+@register(
+    "d04_star_join",
+    oracle="""
+    SELECT r_name, n_name, ROUND(SUM(o_totalprice), 4) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def d04_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema revenue roll-up. nation/region are bounded dims ->
+    explicit broadcast (no shuffle for the dim sides at any SF); the
+    orders⋈customer edge shuffles on custkey."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# D5 — outer joins
+# --------------------------------------------------------------------------
+@register(
+    "d05_left_outer_join",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    ORDER BY c_custkey, o_orderkey NULLS FIRST
+    """,
+)
+def d05_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: preserves customers without orders (null o_orderkey)."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select("c_custkey", "o_orderkey")
+        .orderBy(F.col("c_custkey"), F.col("o_orderkey").asc_nulls_first())
+    )
+
+
+@register(
+    "d05_full_outer_join",
+    oracle="""
+    SELECT n_nationkey, s_suppkey
+    FROM nation FULL JOIN supplier ON n_nationkey = s_nationkey
+    ORDER BY n_nationkey NULLS FIRST, s_suppkey NULLS FIRST
+    """,
+)
+def d05_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (nation⋈supplier keeps nations with no supplier)."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.nation.join(t.supplier, F.col("n_nationkey") == F.col("s_nationkey"), "full")
+        .select("n_nationkey", "s_suppkey")
+        .orderBy(
+            F.col("n_nationkey").asc_nulls_first(),
+            F.col("s_suppkey").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D6 — semi / anti joins
+# --------------------------------------------------------------------------
+@register(
+    "d06_semi_join",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def d06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers having at least one order (no duplication)."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "d06_anti_join",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def d06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# D7 — join with non-equi residual (theta/range component)
+# --------------------------------------------------------------------------
+@register(
+    "d07_range_join",
+    oracle="""
+    SELECT p_partkey, l_orderkey, l_linenumber
+    FROM part JOIN lineitem ON l_partkey = p_partkey AND l_quantity > p_size
+    ORDER BY p_partkey, l_orderkey, l_linenumber
+    """,
+)
+def d07_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + range residual: hash/SMJ on partkey with the range predicate
+    evaluated as a post-join filter — never a cartesian product."""
+    t = Catalog(spark, sf_dir)
+    cond = (F.col("l_partkey") == F.col("p_partkey")) & (
+        F.col("l_quantity") > F.col("p_size")
+    )
+    return (
+        t.part.join(t.lineitem, cond)
+        .select("p_partkey", "l_orderkey", "l_linenumber")
+        .orderBy("p_partkey", "l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# D8 — as-of-style latest-event join
+# --------------------------------------------------------------------------
+@register(
+    "d08_asof_latest_event",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT c_custkey, c_name, event_type, ROUND(value, 4) AS last_value
+    FROM latest JOIN customer ON user_id = c_custkey
+    WHERE rn = 1
+    ORDER BY c_custkey
+    """,
+)
+def d08_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (latest state) join: window top-1 per key, then equi-join.
+    Portable formulation a DuckDB ASOF JOIN also satisfies; at scale the
+    window shuffles once on user_id and the join reuses that partitioning."""
+    t = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        t.events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    return (
+        latest.join(t.customer, F.col("user_id") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "event_type",
+            F.round("value", 4).alias("last_value"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# D9 — hash aggregate (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+@register(
+    "d09_hash_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4)                                 AS sum_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)         AS sum_disc_price,
+           ROUND(AVG(l_extendedprice), 4)                            AS avg_price,
+           COUNT(*)                                                  AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def d09_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: partial (map-side) + final hash aggregation — the
+    group-key cardinality is tiny so the shuffle moves only partial states."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# D10 — distinct / count-distinct
+# --------------------------------------------------------------------------
+@register(
+    "d10_count_distinct",
+    oracle="SELECT COUNT(DISTINCT o_custkey) AS n FROM orders",
+)
+def d10_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct (expand->partial-distinct->final)."""
+    o = Catalog(spark, sf_dir).orders
+    return o.agg(F.countDistinct("o_custkey").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# D11 — approx count-distinct (non-oracle: sketch is engine-specific)
+# --------------------------------------------------------------------------
+@register("d11_approx_count_distinct", oracle=None)
+def d11_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approx distinct; pytest asserts <=5% relative error vs
+    exact (SURVEY D11). Non-oracle: DuckDB's sketch differs by design."""
+    o = Catalog(spark, sf_dir).orders
+    return o.agg(F.approx_count_distinct("o_custkey", 0.02).alias("n_approx"))
+
+
+# --------------------------------------------------------------------------
+# D12 — rollup with GROUPING disambiguation
+# --------------------------------------------------------------------------
+@register(
+    "d12_rollup",
+    oracle="""
+    SELECT COALESCE(n_name, '(all)') AS n_name,
+           COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+           CAST(GROUPING(n_name) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, o_orderpriority)
+    ORDER BY gid, n_name, o_orderpriority
+    """,
+)
+def d12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (nation, priority) with grouping-id disambiguation;
+    COALESCE folds the rollup NULLs into a printable sentinel so the oracle
+    hash is null-representation-independent."""
+    t = Catalog(spark, sf_dir)
+    joined = t.orders.join(
+        t.customer, F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("(all)")).alias("n_name"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("o_orderpriority"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("gid", "n_name", "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# D13 — ranking window (top-3 per group)
+# --------------------------------------------------------------------------
+@register(
+    "d13_window_rank",
+    oracle="""
+    SELECT o_custkey, rn, o_orderkey, ROUND(o_totalprice, 4) AS price
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def d13_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number with a full-key deterministic
+    tiebreak (price desc, orderkey asc). One shuffle on o_custkey."""
+    o = Catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "rn",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("price"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# D14 — analytic window with frame (running sum + lag)
+# --------------------------------------------------------------------------
+@register(
+    "d14_window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_rev,
+           ROUND(COALESCE(LAG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0), 4) AS prev_price
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def d14_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer + lag, explicit ROWS frame, deterministic
+    intra-partition order via (o_orderdate, o_orderkey)."""
+    o = Catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_rev"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 4).alias(
+            "prev_price"
+        ),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# D15 — global sort / top-k
+# --------------------------------------------------------------------------
+@register(
+    "d15_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 4) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+)
+def d15_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 with full-key tiebreak. orderBy+limit compiles to
+    TakeOrderedAndProject: per-partition heap + driver merge of k rows, never
+    a full global sort — the scale-critical property."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 4).alias("price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D16 — set operations
+# --------------------------------------------------------------------------
+@register(
+    "d16_intersect",
+    oracle="""
+    SELECT custkey FROM (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      INTERSECT
+      SELECT c_custkey AS custkey FROM customer WHERE c_custkey % 2 = 0
+    ) ORDER BY custkey
+    """,
+)
+def d16_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) of ordering customers vs an even-key
+    customer sample."""
+    t = Catalog(spark, sf_dir)
+    a = t.orders.select(F.col("o_custkey").alias("custkey"))
+    b = t.customer.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return a.intersect(b).orderBy("custkey")
+
+
+@register(
+    "d16_except",
+    oracle="""
+    SELECT custkey FROM (
+      SELECT c_custkey AS custkey FROM customer
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders
+    ) ORDER BY custkey
+    """,
+)
+def d16_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers that never ordered (= D6 anti join)."""
+    t = Catalog(spark, sf_dir)
+    a = t.customer.select(F.col("c_custkey").alias("custkey"))
+    b = t.orders.select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b).distinct().orderBy("custkey")
+
+
+@register(
+    "d16_union_all",
+    oracle="""
+    SELECT src, key, cnt FROM (
+      SELECT 'cust' AS src, c_custkey AS key, COUNT(*) AS cnt
+      FROM customer GROUP BY c_custkey
+      UNION ALL
+      SELECT 'ord' AS src, o_custkey AS key, COUNT(*) AS cnt
+      FROM orders GROUP BY o_custkey
+    ) ORDER BY src, key
+    """,
+)
+def d16_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two tagged aggregates (bag semantics preserved)."""
+    t = Catalog(spark, sf_dir)
+    a = t.customer.groupBy(F.col("c_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(F.lit("cust").alias("src"), "key", "cnt")
+    b = t.orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(F.lit("ord").alias("src"), "key", "cnt")
+    return a.unionAll(b).orderBy("src", "key")

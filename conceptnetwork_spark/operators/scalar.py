@@ -1,0 +1,205 @@
+"""Scalar function library probes: string / date / math / array / JSON.
+
+SURVEY §2.2 D17-D21. The engine's scalar layer IS ``pyspark.sql.functions``
+(JVM expressions inside WholeStageCodegen); these declared queries pin the
+cross-engine semantics of each family against the DuckDB oracle.
+
+Type-parity rules baked in (Spark <-> DuckDB):
+- Spark ``length``/``size``/``datediff`` return INT, DuckDB BIGINT -> one
+  side is CAST so both agree (we cast Spark up to BIGINT).
+- float32 array elements are cast to DOUBLE before arithmetic so both
+  engines accumulate in double (float32 accumulation differs at ~1e-5,
+  which round(4) cannot hide).
+- outputs are scalars only — no array/map/timestamp columns in oracle
+  results, so value hashing is representation-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conceptnetwork_spark.catalog import Catalog
+from conceptnetwork_spark.registry import register
+
+
+# --------------------------------------------------------------------------
+# D17 — string functions
+# --------------------------------------------------------------------------
+@register(
+    "d17_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                                   AS up,
+           CAST(length(p_name) AS BIGINT)                  AS len,
+           substr(p_name, 1, 4)                            AS pre,
+           trim(concat('  ', p_name, '  '))                AS trimmed,
+           lpad(p_brand, 12, '*')                          AS padded,
+           regexp_extract(p_name, '([a-z]+)', 1)           AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_')          AS devoweled,
+           (p_name LIKE '%re%')                            AS has_re,
+           string_split(p_name, ' ')[1]                    AS word0
+    FROM part ORDER BY p_partkey
+    """,
+)
+def d17_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: concat/substr/case/trim/pad/split/regex/like/length."""
+    p = Catalog(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.length("p_name").cast("long").alias("len"),
+        F.substring("p_name", 1, 4).alias("pre"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").like("%re%").alias("has_re"),
+        F.element_at(F.split("p_name", " "), 1).alias("word0"),
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# D18 — date/time functions
+# --------------------------------------------------------------------------
+@register(
+    "d18_date_funcs",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m')                         AS month,
+           COUNT(*)                                               AS n_orders,
+           ROUND(SUM(o_totalprice), 4)                            AS revenue,
+           CAST(MIN(year(o_orderdate)) AS BIGINT)                 AS min_year,
+           CAST(MAX(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE))) AS BIGINT) AS max_days_since_95
+    FROM orders
+    GROUP BY strftime(o_orderdate, '%Y-%m')
+    ORDER BY month
+    """,
+)
+def d18_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family probed through a monthly roll-up: date_format/year/
+    datediff/to_date (trunc-to-month via formatting keeps types scalar)."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.min(F.year("o_orderdate")).cast("long").alias("min_year"),
+            F.max(
+                F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            )
+            .cast("long")
+            .alias("max_days_since_95"),
+        )
+        .orderBy("month")
+    )
+
+
+# --------------------------------------------------------------------------
+# D19 — math functions
+# --------------------------------------------------------------------------
+@register(
+    "d19_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 2)                         AS r2,
+           CAST(floor(l_extendedprice) AS BIGINT)            AS flr,
+           CAST(ceil(l_extendedprice) AS BIGINT)             AS cei,
+           ROUND(abs(l_extendedprice - 30000.0), 4)          AS absdev,
+           ROUND(pow(l_quantity, 2), 4)                      AS qty_sq,
+           ROUND(sqrt(l_extendedprice), 4)                   AS sqrt_p,
+           ROUND(exp(l_discount), 4)                         AS exp_d,
+           ROUND(ln(l_extendedprice), 4)                     AS ln_p,
+           CAST(mod(CAST(l_orderkey AS BIGINT), 7) AS BIGINT) AS m7,
+           ROUND(sign(l_extendedprice - 30000.0), 1)         AS sgn
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def d19_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: round/floor/ceil/abs/pow/sqrt/exp/ln/mod/sign.
+    mod on a non-negative key == pmod; exp over the small discount column
+    keeps magnitudes hashable at 4 decimals."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.where(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("r2"),
+            F.floor("l_extendedprice").cast("long").alias("flr"),
+            F.ceil("l_extendedprice").cast("long").alias("cei"),
+            F.round(F.abs(F.col("l_extendedprice") - 30000.0), 4).alias("absdev"),
+            F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+            F.round(F.sqrt("l_extendedprice"), 4).alias("sqrt_p"),
+            F.round(F.exp("l_discount"), 4).alias("exp_d"),
+            F.round(F.log("l_extendedprice"), 4).alias("ln_p"),
+            F.pmod(F.col("l_orderkey").cast("long"), F.lit(7)).cast("long").alias("m7"),
+            F.round(F.signum(F.col("l_extendedprice") - 30000.0), 1).alias("sgn"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# D20 — array functions (incl. higher-order)
+# --------------------------------------------------------------------------
+@register(
+    "d20_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT)                                  AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4)                          AS e0,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))), 4)                              AS vec_sum,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)         AS l2_norm,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)         AS n_pos,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 4)                   AS e_min,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4)                   AS e_max
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def d20_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over embeddings: size/element_at/higher-order
+    transform+filter+aggregate/array_min/array_max — all JVM-side, no UDFs."""
+    e = Catalog(spark, sf_dir).embeddings
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e0"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4).alias("vec_sum"),
+        F.round(
+            F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.array_min("embedding").cast("double"), 4).alias("e_min"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("e_max"),
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# D21 — JSON functions
+# --------------------------------------------------------------------------
+@register(
+    "d21_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0) AS k_mod10
+    FROM events ORDER BY event_id
+    """,
+)
+def d21_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: get_json_object / from_json schema projection over the
+    events.props payload; scalar outputs only."""
+    ev = Catalog(spark, sf_dir).events
+    parsed = F.from_json("props", "k BIGINT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        (parsed.getField("k") % 10 == 0).alias("k_mod10"),
+    ).orderBy("event_id")

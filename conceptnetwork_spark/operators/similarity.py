@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (SURVEY §2.2 D30).
+
+Baseline: brute-force cosine top-k (deterministic, oracle-checked) — the
+correctness anchor. Scale path: LSH-bucketed ANN (random hyperplane /
+MLlib BucketedRandomProjectionLSH), checked by recall@k vs the exact answer,
+never by hash (bucketing is engine-defined).
+
+All vector math is native Spark higher-order functions (zip_with/aggregate)
+in double precision — no UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from conceptnetwork_spark.catalog import Catalog
+from conceptnetwork_spark.registry import register
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "qid",
+    q_vec: str = "qvec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against the
+    corpus, score JVM-side, per-query top-k via window. At scale: corpus
+    stays partitioned, queries broadcast — one pass, no shuffle of the
+    corpus; the window tops-k within each query partition."""
+    scored = corpus.join(
+        F.broadcast(queries), F.col(q_id) != F.col(c_id)
+    ).withColumn(
+        "sim",
+        F.round(
+            _dot(F.col(q_vec), F.col(c_vec))
+            / (_norm(F.col(q_vec)) * _norm(F.col(c_vec))),
+            4,
+        ),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id, "rank", c_id, "sim")
+    )
+
+
+@register(
+    "d30_knn_exact",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             ROUND(
+               list_sum(list_transform(list_zip(q.qvec, e.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qvec,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    )
+    SELECT qid, rank, vec_id, sim FROM (
+      SELECT qid, vec_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY qid, rank
+    """,
+)
+def d30_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors vec_id<5. Similarity is rounded
+    to 4 decimals BEFORE ranking in both engines so rank order (with vec_id
+    tiebreak) is engine-independent."""
+    e = Catalog(spark, sf_dir).embeddings
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return cosine_topk(q, e, k=10).orderBy("qid", "rank")
+
+
+@register("d30_lsh_ann", oracle=None)
+def d30_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH, implemented natively: 16 seeded
+    hyperplanes -> sign bits -> bucket key; candidates = same bucket; exact
+    re-score within bucket; top-k per query among candidates.
+
+    Non-oracle (bucketing is engine-defined); pytest checks recall@10 vs
+    d30_knn_exact. At 100 TB the bucket join replaces the full cross
+    product — cost scales with bucket occupancy, not corpus size.
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    dim, nbits = 64, 12
+    # deterministic pseudo-random hyperplanes from a hash (no RNG state):
+    # plane[b][i] = hash(b,i) mapped to [-1,1]
+    planes = F.transform(
+        F.sequence(F.lit(0), F.lit(nbits - 1)),
+        lambda b: F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.pmod(F.xxhash64(b * 1000 + i, F.lit(42)), F.lit(2001)) - 1000
+            ).cast("double")
+            / 1000.0,
+        ),
+    )
+    with_bucket = e.withColumn("planes", planes).withColumn(
+        "bucket",
+        F.aggregate(
+            F.transform(
+                F.col("planes"),
+                lambda p: F.when(_dot(p, F.col("embedding")) > 0, 1).otherwise(0),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, bit: acc * 2 + bit,
+        ),
+    ).drop("planes")
+    q = with_bucket.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = with_bucket.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("qid") != F.col("vec_id")),
+    ).withColumn(
+        "sim",
+        F.round(
+            _dot(F.col("qvec"), F.col("embedding"))
+            / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
+            4,
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("qid", "rank", "vec_id", "sim")
+        .orderBy("qid", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.95, nbits: int = 8, dim: int = 64
+) -> DataFrame:
+    """Embedding-cosine near-dup detection, LSH-bucketed: same hyperplane
+    sign-bucket -> exact cosine -> keep pairs >= threshold."""
+    planes = F.transform(
+        F.sequence(F.lit(0), F.lit(nbits - 1)),
+        lambda b: F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.pmod(F.xxhash64(b * 1000 + i, F.lit(7)), F.lit(2001)) - 1000
+            ).cast("double")
+            / 1000.0,
+        ),
+    )
+    bucketed = emb.withColumn("planes", planes).withColumn(
+        "bucket",
+        F.aggregate(
+            F.transform(
+                F.col("planes"),
+                lambda p: F.when(_dot(p, F.col("embedding")) > 0, 1).otherwise(0),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, bit: acc * 2 + bit,
+        ),
+    ).select("vec_id", "embedding", "bucket")
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("bucket").alias("ba"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("bucket").alias("bb"),
+    )
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn(
+            "sim",
+            F.round(_dot("va", "vb") / (_norm(F.col("va")) * _norm(F.col("vb"))), 4),
+        )
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

@@ -1,0 +1,216 @@
+"""Text analysis operators: stats, quality scoring, language ID, token
+counting, fingerprinting (SURVEY §2.2 D31 + LLM-dataprep extensions).
+
+All pure ``pyspark.sql.functions`` expressions (WholeStageCodegen, no UDFs):
+at 100 TB these are embarrassingly parallel map-side ops with zero shuffle.
+Language profiles are shared between the Spark builders and the generated
+DuckDB oracle SQL so both engines score identically by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conceptnetwork_spark.catalog import Catalog
+from conceptnetwork_spark.registry import register
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation marks.
+TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+# Tiny distinctive-stopword profiles for the n-gram/stopword language-ID
+# heuristic. Deterministic tiebreak: priority order below.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "es": ["el", "la", "los", "que", "es", "en", "un", "una"],
+    "fr": ["le", "la", "les", "et", "est", "que", "une", "dans"],
+    "zh": [],  # han-script detection, not stopwords
+}
+LANG_PRIORITY = ["en", "de", "es", "fr", "zh"]
+HAN_PATTERN = r"[一-鿿]"
+
+ENGLISH_STOPWORDS = LANG_PROFILES["en"] + ["a", "an", "for", "on", "with"]
+PUNCT_CLASS = r"[.,;:!?]"
+
+
+def _toks(col: Column) -> Column:
+    return F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " ")
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language match scores: stopword hits for latin langs, han-char
+    count for zh."""
+    toks = _toks(col)
+    scores: dict[str, Column] = {}
+    for lang, words in LANG_PROFILES.items():
+        if lang == "zh":
+            scores[lang] = F.regexp_count(col, HAN_PATTERN).cast("long")
+        else:
+            scores[lang] = (
+                F.size(F.filter(toks, lambda x: x.isin(*words))).cast("long")
+            )
+    return scores
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over lang_scores with fixed priority tiebreak; 'und' if all 0."""
+    scores = lang_scores(col)
+    all_scores = [scores[lang] for lang in LANG_PRIORITY]
+    best = F.greatest(*all_scores)
+    expr = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when((scores[lang] == best) & (best > 0), lang).otherwise(expr)
+    return expr
+
+
+def _lang_id_sql(text_expr: str = "text") -> str:
+    """DuckDB SQL mirroring lang_id() from the same LANG_PROFILES."""
+    toks = (
+        f"string_split(lower(trim(regexp_replace({text_expr}, '\\s+', ' ', 'g'))), ' ')"
+    )
+    score_exprs = {}
+    for lang, words in LANG_PROFILES.items():
+        if lang == "zh":
+            score_exprs[lang] = (
+                f"CAST(len(regexp_extract_all({text_expr}, '{HAN_PATTERN}')) AS BIGINT)"
+            )
+        else:
+            lst = ", ".join(f"'{w}'" for w in words)
+            score_exprs[lang] = (
+                f"CAST(len(list_filter({toks}, x -> list_contains([{lst}], x))) AS BIGINT)"
+            )
+    best = "greatest(" + ", ".join(score_exprs[lang] for lang in LANG_PRIORITY) + ")"
+    case = "CASE "
+    for lang in LANG_PRIORITY:
+        case += f"WHEN {score_exprs[lang]} = {best} AND {best} > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return case
+
+
+# --------------------------------------------------------------------------
+# D31a — doc-level stats (chars / words / BPE-ish tokens)
+# --------------------------------------------------------------------------
+@register(
+    "d31_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)                                  AS chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT)                  AS words,
+           CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS tokens,
+           ROUND(CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4)                      AS chars_per_word
+    FROM documents ORDER BY doc_id
+    """,
+)
+def d31_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character / word / regex-token counts per document — the token-count
+    layer of the LLM dataprep pipeline, fully JVM-side."""
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("chars"),
+        F.size(F.split("text", " ")).cast("long").alias("words"),
+        F.regexp_count("text", F.lit(TOKEN_PATTERN)).cast("long").alias("tokens"),
+        F.round(
+            F.length("text").cast("double") / F.size(F.split("text", " ")), 4
+        ).alias("chars_per_word"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# D31b — quality scoring
+# --------------------------------------------------------------------------
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+
+
+@register(
+    "d31_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(CAST(len(list_filter(toks,
+                 x -> list_contains([{_STOP_LIST_SQL}], x))) AS DOUBLE)
+                 / len(toks), 4)                                        AS stopword_ratio,
+           ROUND(CAST(length(text) -
+                 length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)
+                 / length(text), 4)                                     AS punct_ratio,
+           ROUND(CAST(length(text) AS DOUBLE) / len(toks), 4)           AS avg_tok_len,
+           (length(text) >= 100)                                        AS len_ok
+    FROM t ORDER BY doc_id
+    """,
+)
+def d31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals (stopword ratio, punctuation density, token
+    length, min-length gate) — the filter features of a pretraining-data
+    quality classifier."""
+    d = Catalog(spark, sf_dir).documents
+    toks = _toks(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.round(
+            F.size(F.filter(toks, lambda x: x.isin(*ENGLISH_STOPWORDS))).cast("double")
+            / F.size(toks),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
+            ).cast("double")
+            / F.length("text"),
+            4,
+        ).alias("punct_ratio"),
+        F.round(F.length("text").cast("double") / F.size(toks), 4).alias(
+            "avg_tok_len"
+        ),
+        (F.length("text") >= 100).alias("len_ok"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# D31c — language identification
+# --------------------------------------------------------------------------
+@register(
+    "d31_lang_id",
+    oracle=f"""
+    SELECT doc_id, {_lang_id_sql('text')} AS lang_pred
+    FROM documents ORDER BY doc_id
+    """,
+)
+def d31_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/han-script language-ID heuristic; profiles shared with the
+    oracle SQL generator so both engines are identical by construction.
+    Accuracy on real multilingual snippets is pytest-checked separately."""
+    d = Catalog(spark, sf_dir).documents
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred")).orderBy(
+        "doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# D31d — document fingerprinting
+# --------------------------------------------------------------------------
+@register(
+    "d31_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 4)
+             AS fp_bucket
+    FROM documents ORDER BY doc_id
+    """,
+)
+def d31_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (lower, whitespace-collapse, md5) plus
+    a 16-bit bucket prefix — the partition key for distributed dedup."""
+    d = Catalog(spark, sf_dir).documents
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = F.md5(norm.cast("binary"))
+    return d.select(
+        "doc_id", fp.alias("fp"), F.substring(fp, 1, 4).alias("fp_bucket")
+    ).orderBy("doc_id")

@@ -1,0 +1,298 @@
+"""Structured Streaming surface: source/sink, windowed aggs, session
+windows, stateful dedup (SURVEY §2.2 D25-D28).
+
+DuckDB has no streaming, so the correctness contract is BATCH EQUIVALENCE
+(SURVEY §7): each declared query below is the batch form of the streaming
+computation — tumbling/sliding/session windows and keyed dedup have
+identical semantics in Spark batch and streaming (same window() /
+session_window() expressions), and the pytest suite replays the events table
+through a real ``readStream`` (availableNow trigger, memory sink) and
+asserts the streamed result equals the batch result row-for-row.
+
+Timestamp discipline: session timezone is UTC (session.py), windows align to
+the epoch, and every emitted time is formatted to a second-precision string
+so value hashing is engine- and representation-independent.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conceptnetwork_spark.catalog import Catalog
+from conceptnetwork_spark.registry import register
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+# --------------------------------------------------------------------------
+# D26 — tumbling window aggregation (batch form of the streaming agg)
+# --------------------------------------------------------------------------
+@register(
+    "d26_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def d26_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling window per event_type via F.window — the exact
+    expression the streaming job uses; epoch-aligned so it equals
+    date_trunc('hour')."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# D26b — sliding window (1h window, 30m slide)
+# --------------------------------------------------------------------------
+@register(
+    "d26_sliding_window",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM (
+      SELECT e.*, make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)
+                                 * 1000000 - t.off) AS ws
+      FROM events e, unnest([CAST(0 AS BIGINT), CAST(1800000000 AS BIGINT)]) AS t(off)
+    )
+    GROUP BY ws, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def d26_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m window: every event lands in exactly two windows. The
+    oracle materializes the two epoch-aligned window starts per event."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# D27 — session windows (30-minute gap)
+# --------------------------------------------------------------------------
+@register(
+    "d27_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts >= COALESCE(
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    TIMESTAMP '1900-01-01') + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def d27_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, 30-min inactivity gap, via the native
+    session_window expression (identical semantics in streaming); oracle is
+    the classic gaps-and-islands SQL. Session boundary: a gap >= 30 min
+    starts a new session (Spark merges events strictly inside start+gap)."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# D28 — keyed dedup (batch form of dropDuplicatesWithinWatermark)
+# --------------------------------------------------------------------------
+@register(
+    "d28_keyed_dedup",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           ROUND(value, 4) AS value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY event_id
+    """,
+)
+def d28_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-arrival dedup per event_id (min ts tiebreak) — the batch
+    semantics of streaming dropDuplicates within a watermark."""
+    ev = Catalog(spark, sf_dir).events
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_id").orderBy("ts", "user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("ts_s"),
+            F.round("value", 4).alias("value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# D25 — real streaming source/sink: replay the events parquet through
+# readStream and return the materialized result (oracle = plain batch SQL).
+# --------------------------------------------------------------------------
+@register(
+    "d25_stream_ingest",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d25_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming: file source -> streaming agg -> memory sink,
+    Trigger.AvailableNow, then return the sink table. Counts/sums are
+    micro-batch-invariant, so the result hash-matches the batch oracle —
+    this entry proves readStream/writeStream, not just the window exprs."""
+    ev_path = Catalog(spark, sf_dir).path("events")
+    schema = spark.read.parquet(ev_path).schema
+    table = f"stream_ingest_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{table}")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(os.path.dirname(ev_path) + "/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(table).orderBy("event_type")
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window streaming agg (D26 streaming form), used
+    by the batch-equivalence tests: with AvailableNow over a static file the
+    watermark never drops rows, so the result equals d26_tumbling_window."""
+    ev_path = Catalog(spark, sf_dir).path("events")
+    schema = spark.read.parquet(ev_path).schema
+    table = f"stream_window_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{table}")
+    agg = (
+        spark.readStream.schema(schema)
+        .parquet(ev_path)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(table)
+
+
+def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup on event_id within a watermark (D28
+    streaming form): dropDuplicatesWithinWatermark + append to memory."""
+    ev_path = Catalog(spark, sf_dir).path("events")
+    schema = spark.read.parquet(ev_path).schema
+    table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{table}")
+    dedup = (
+        spark.readStream.schema(schema)
+        .parquet(ev_path)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id")
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(table)

@@ -1,0 +1,44 @@
+"""Spark-vs-DuckDB comparison mirroring the driver's correctness gate:
+row-count + schema-width + order-insensitive value comparison."""
+
+from __future__ import annotations
+
+import math
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # cells are pre-rounded by the queries; normalize -0.0 and fp dust
+        return round(v, 6)
+    return v
+
+
+def assert_oracle_match(spark_df, ddb, sql: str, name: str = "?"):
+    sdf = spark_df.toPandas()
+    odf = ddb.execute(sql).fetchdf()
+    assert len(sdf) == len(odf), f"{name}: rowcount {len(sdf)} != oracle {len(odf)}"
+    assert len(sdf.columns) == len(odf.columns), (
+        f"{name}: width {list(sdf.columns)} != {list(odf.columns)}"
+    )
+    assert [c.lower() for c in sdf.columns] == [c.lower() for c in odf.columns], (
+        f"{name}: column names {list(sdf.columns)} != {list(odf.columns)}"
+    )
+    cols = sorted(sdf.columns)
+    s_rows = sorted(
+        [tuple(_norm_cell(v) for v in row) for row in sdf[cols].itertuples(index=False)],
+        key=repr,
+    )
+    o_rows = sorted(
+        [tuple(_norm_cell(v) for v in row) for row in odf[cols].itertuples(index=False)],
+        key=repr,
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} row mismatches, first: {mismatches[:3]}"

@@ -1,0 +1,70 @@
+"""Fuzzy-dedup behavior tests: MinHash-LSH recall on planted near-dups,
+SimHash locality, scalable pair pruning."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from conceptnetwork_spark.operators import dedup
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def true_pairs(spark, docs):
+    """Ground-truth near-dup pairs: exact token-Jaccard >= 0.5 over all pairs
+    (feasible at test scale only)."""
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+    sets = docs.select(F.col("doc_id"), toks.alias("toks"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    pairs = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("ta", "tb"))
+            / F.size(F.array_union("ta", "tb")).cast("double"),
+        )
+        .where(F.col("j") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    return {(r.doc_a, r.doc_b) for r in pairs.collect()}
+
+
+def test_minhash_lsh_recall(spark, docs, true_pairs):
+    sigs = dedup.minhash_signatures(docs)
+    cands = dedup.lsh_candidate_pairs(sigs)
+    found = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    assert true_pairs, "testdata should contain planted near-dups"
+    recall = len(true_pairs & found) / len(true_pairs)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(true_pairs)} pairs"
+
+
+def test_jaccard_verify_filters_false_positives(spark, docs):
+    sigs = dedup.minhash_signatures(docs)
+    cands = dedup.lsh_candidate_pairs(sigs)
+    verified = dedup.jaccard_verify(docs, cands, threshold=0.5)
+    rows = verified.collect()
+    assert all(r.jaccard >= 0.5 for r in rows)
+
+
+def test_simhash_deterministic_and_local(spark, docs):
+    a = {r.doc_id: r.simhash for r in docs.select("doc_id", dedup.simhash64("text").alias("simhash")).collect()}
+    b = {r.doc_id: r.simhash for r in docs.select("doc_id", dedup.simhash64("text").alias("simhash")).collect()}
+    assert a == b, "simhash must be deterministic"
+
+
+def test_simhash_near_dup_pairs_runs(spark, docs):
+    pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=10)
+    rows = pairs.collect()
+    assert all(r.hamming <= 10 for r in rows)
+
+
+def test_minhash_signature_shape(spark, docs):
+    sigs = dedup.minhash_signatures(docs, num_hashes=16)
+    row = sigs.first()
+    assert len(row.signature) == 16

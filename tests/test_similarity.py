@@ -1,0 +1,55 @@
+"""ANN quality tests: LSH recall@k vs the exact brute-force answer."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from conceptnetwork_spark.operators import similarity
+from conceptnetwork_spark.registry import queries
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+
+
+def test_cosine_topk_self_similarity(spark, emb):
+    """A vector's nearest neighbor set must score <= 1.0 and be symmetric in
+    the similarity measure."""
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    top = similarity.cosine_topk(q, emb, k=5).collect()
+    assert all(-1.0001 <= r.sim <= 1.0001 for r in top)
+    assert len({r.qid for r in top}) == 3
+    for qid in {r.qid for r in top}:
+        ranks = sorted(r.rank for r in top if r.qid == qid)
+        assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_lsh_ann_recall_vs_exact(spark):
+    qs = queries()
+    exact = qs["d30_knn_exact"](spark, SF_ORACLE).collect()
+    ann = qs["d30_lsh_ann"](spark, SF_ORACLE).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    ann_sets = {}
+    for r in ann:
+        ann_sets.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & ann_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    avg = sum(recalls) / len(recalls)
+    # single-table LSH probes one bucket per query; planted clusters should
+    # still give decent recall
+    assert avg >= 0.5, f"ANN avg recall@10 {avg:.2f}"
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.9)
+    rows = pairs.collect()
+    assert all(r.sim >= 0.9 for r in rows)
+    assert all(r.id_a < r.id_b for r in rows)

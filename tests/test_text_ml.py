@@ -1,0 +1,81 @@
+"""Text-analysis behavior tests (language-ID accuracy on real multilingual
+snippets; fingerprint/dedup properties) and the MLlib pipeline surface
+(fit/transform/evaluate/save/load)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from conceptnetwork_spark.operators import ml, text
+from conceptnetwork_spark.operators.multimodal import (
+    extract_media_metadata,
+    fake_feature_extract,
+)
+
+REAL_SNIPPETS = [
+    ("the cat sat on the mat and it is warm in that house", "en"),
+    ("der hund ist nicht mit der katze und das ist ein problem", "de"),
+    ("el perro es un animal que vive en la casa con los gatos", "es"),
+    ("le chien est dans la maison et les chats sont une famille", "fr"),
+    ("今天天气很好我们去公园散步", "zh"),
+]
+
+
+def test_lang_id_on_real_snippets(spark):
+    df = spark.createDataFrame(REAL_SNIPPETS, ["text", "expected"])
+    out = df.select("expected", text.lang_id(F.col("text")).alias("pred")).collect()
+    for r in out:
+        assert r.pred == r.expected, f"lang_id({r.expected}) -> {r.pred}"
+
+
+def test_lang_id_unknown(spark):
+    df = spark.createDataFrame([("zzz qqq xxx",)], ["text"])
+    assert df.select(text.lang_id(F.col("text")).alias("p")).collect()[0].p == "und"
+
+
+def test_ols_pipeline_save_load(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(float(x), 2.0 * x + 1.0) for x in range(100)], ["x", "y"]
+    )
+    model, preds, mse = ml.fit_transform_evaluate(df, ["x"], "y")
+    assert mse == pytest.approx(0.0, abs=1e-6)
+    lrm = model.stages[-1]
+    assert float(lrm.coefficients[0]) == pytest.approx(2.0, abs=1e-6)
+    assert float(lrm.intercept) == pytest.approx(1.0, abs=1e-6)
+    # R3 checkpoint hook: save + restore must predict identically
+    path = str(tmp_path / "model")
+    model.write().overwrite().save(path)
+    from pyspark.ml import PipelineModel
+
+    restored = PipelineModel.load(path)
+    p1 = [r.prediction for r in model.transform(df).collect()]
+    p2 = [r.prediction for r in restored.transform(df).collect()]
+    assert p1 == p2
+
+
+def test_media_metadata_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello")), (2, bytearray(b"\x00\x01\x02"))],
+        "doc_id long, payload binary",
+    )
+    meta = {r.doc_id: r for r in extract_media_metadata(df).collect()}
+    assert meta[1].n_bytes == 5
+    assert meta[1].sha.startswith("2cf24dba")  # sha256('hello')
+    assert meta[2].head_hex == "000102"
+
+
+def test_fake_feature_extract_shape(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdefgh"))], "doc_id long, payload binary"
+    )
+    row = fake_feature_extract(df, n_features=4).collect()[0]
+    assert len(row.features) == 4
+    assert sum(row.features) == 8
+
+
+def test_decode_image_is_stubbed(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
+    from conceptnetwork_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(df)
