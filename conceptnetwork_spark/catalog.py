@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -33,6 +34,19 @@ TABLES = (
 # customer/part/supplier grow with SF -> treated as shuffle-side at scale.
 DIM_TABLES = frozenset({"region", "nation"})
 
+# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long (see
+# session.py nanosAsLong) and we convert to microsecond timestamps in-plan.
+# Integer `div` avoids the double-precision loss of `/1000` at ns-epoch
+# magnitude (~1.7e18 > 2^53); DuckDB truncates ns->us the same way.
+NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def fix_nanos(df: DataFrame, name: str) -> DataFrame:
+    for c in NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
 
 class Catalog:
     """Lazy loader + temp-view registrar for one scale-factor directory."""
@@ -49,7 +63,8 @@ class Catalog:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; known: {TABLES}")
         if name not in self._cache:
-            self._cache[name] = self.spark.read.parquet(self.path(name))
+            df = self.spark.read.parquet(self.path(name))
+            self._cache[name] = fix_nanos(df, name)
         return self._cache[name]
 
     def __getattr__(self, name: str) -> DataFrame:

@@ -79,5 +79,9 @@ class Concept:
         encoded = df.select(self.preprocess(F.col("raw")).alias(self.name))
         encoded.write.mode("overwrite").parquet(tmp_path)
         back = spark.read.parquet(tmp_path)
-        assert back.schema == encoded.schema, (back.schema, encoded.schema)
+        # parquet read-back relaxes nullability; compare names+types only
+        assert back.schema.simpleString() == encoded.schema.simpleString(), (
+            back.schema,
+            encoded.schema,
+        )
         return back

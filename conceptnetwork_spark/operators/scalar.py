@@ -36,7 +36,7 @@ from conceptnetwork_spark.registry import register
            trim(concat('  ', p_name, '  '))                AS trimmed,
            lpad(p_brand, 12, '*')                          AS padded,
            regexp_extract(p_name, '([a-z]+)', 1)           AS first_word,
-           regexp_replace(p_name, '[aeiou]', '_')          AS devoweled,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')     AS devoweled,
            (p_name LIKE '%re%')                            AS has_re,
            string_split(p_name, ' ')[1]                    AS word0
     FROM part ORDER BY p_partkey

@@ -45,7 +45,7 @@ def lang_scores(col: Column) -> dict[str, Column]:
     scores: dict[str, Column] = {}
     for lang, words in LANG_PROFILES.items():
         if lang == "zh":
-            scores[lang] = F.regexp_count(col, HAN_PATTERN).cast("long")
+            scores[lang] = F.regexp_count(col, F.lit(HAN_PATTERN)).cast("long")
         else:
             scores[lang] = (
                 F.size(F.filter(toks, lambda x: x.isin(*words))).cast("long")

@@ -23,10 +23,22 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from conceptnetwork_spark.catalog import Catalog
+from conceptnetwork_spark.catalog import Catalog, fix_nanos
 from conceptnetwork_spark.registry import register
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """readStream over the events parquet, nanos-ts converted in-plan
+    (same fix_nanos as the batch catalog so both sides agree)."""
+    ev_path = Catalog(spark, sf_dir).path("events")
+    schema = spark.read.parquet(ev_path).schema
+    # glob suffix: the streaming file source requires a directory/glob, and
+    # the testdata lays each table out as a single parquet file
+    return fix_nanos(
+        spark.readStream.schema(schema).parquet(ev_path + "*"), "events"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -207,13 +219,10 @@ def d25_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Trigger.AvailableNow, then return the sink table. Counts/sums are
     micro-batch-invariant, so the result hash-matches the batch oracle —
     this entry proves readStream/writeStream, not just the window exprs."""
-    ev_path = Catalog(spark, sf_dir).path("events")
-    schema = spark.read.parquet(ev_path).schema
     table = f"stream_ingest_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{table}")
     stream = (
-        spark.readStream.schema(schema)
-        .parquet(os.path.dirname(ev_path) + "/events.parquet")
+        _events_stream(spark, sf_dir)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -240,13 +249,10 @@ def run_windowed_stream(
     """Watermarked tumbling-window streaming agg (D26 streaming form), used
     by the batch-equivalence tests: with AvailableNow over a static file the
     watermark never drops rows, so the result equals d26_tumbling_window."""
-    ev_path = Catalog(spark, sf_dir).path("events")
-    schema = spark.read.parquet(ev_path).schema
     table = f"stream_window_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{table}")
     agg = (
-        spark.readStream.schema(schema)
-        .parquet(ev_path)
+        _events_stream(spark, sf_dir)
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -275,13 +281,10 @@ def run_windowed_stream(
 def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stateful dedup on event_id within a watermark (D28
     streaming form): dropDuplicatesWithinWatermark + append to memory."""
-    ev_path = Catalog(spark, sf_dir).path("events")
-    schema = spark.read.parquet(ev_path).schema
     table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{table}")
     dedup = (
-        spark.readStream.schema(schema)
-        .parquet(ev_path)
+        _events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id")

@@ -16,9 +16,11 @@ def docs(spark):
 
 @pytest.fixture(scope="module")
 def true_pairs(spark, docs):
-    """Ground-truth near-dup pairs: exact token-Jaccard >= 0.5 over all pairs
-    (feasible at test scale only)."""
-    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+    """Ground-truth near-dup pairs: exact 5-gram SHINGLE-Jaccard >= 0.5 over
+    all pairs (feasible at test scale only). Shingle sets — not token sets —
+    are what MinHash approximates; the testdata's tiny vocabulary makes
+    token-set Jaccard high for nearly every random pair."""
+    toks = F.array_distinct(dedup.shingles(F.col("text")))
     sets = docs.select(F.col("doc_id"), toks.alias("toks"))
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))

@@ -1,0 +1,54 @@
+"""Physical-plan shape assertions: the scale-critical properties must be
+visible in `.explain` output — pushdown reaching the parquet scan, dimension
+broadcasts, top-k avoiding a global sort (SURVEY §4)."""
+
+from conceptnetwork_spark.registry import queries
+from tests.conftest import SF_ORACLE
+
+
+def _plan(spark, name: str) -> str:
+    df = queries()[name](spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_d01_filter_pushdown_and_pruning(spark):
+    plan = _plan(spark, "d01_scan_filter")
+    assert "PushedFilters" in plan and "l_quantity" in plan
+    # column pruning: the scan must not read the 16-col lineitem schema
+    assert "l_comment" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_d04_dimensions_broadcast(spark):
+    plan = _plan(spark, "d04_star_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_d15_topk_no_global_sort(spark):
+    plan = _plan(spark, "d15_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_d09_partial_aggregation(spark):
+    plan = _plan(spark, "d09_hash_agg")
+    # partial (map-side) + final aggregate pair
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_d06_semi_join_operator(spark):
+    plan = _plan(spark, "d06_semi_join")
+    assert "LeftSemi" in plan
+
+
+def test_dataprep_parse_codegen(spark, tmp_path):
+    """The dataprep parse path must stay inside WholeStageCodegen (no Python
+    in the hot path)."""
+    p = tmp_path / "lines.txt"
+    p.write_text("1,m\n2,f\n\nbad\n")
+    from conceptnetwork_spark.sources.dataprep import parse_lines, read_text
+
+    df = parse_lines(read_text(spark, str(p)))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" is the simpleString marker for a WholeStageCodegen span
+    assert "WholeStageCodegen" in plan or "*(1)" in plan, plan
+    assert df.count() == 2
