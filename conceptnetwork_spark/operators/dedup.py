@@ -241,6 +241,15 @@ def d29_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("d29_simhash_pairs", oracle=None)
+def d29_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs over documents (chunk-bucketed, then
+    Hamming-verified). Non-oracle (hash definition is engine-internal);
+    pytest asserts the Hamming bound and pair ordering."""
+    d = Catalog(spark, sf_dir).documents
+    return simhash_near_dup_pairs(d, max_hamming=10).orderBy("doc_a", "doc_b")
+
+
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Scale path for SimHash dedup: bucket by each of four 16-bit chunks
     (pigeonhole: any pair within Hamming<=6 shares at least one exact chunk

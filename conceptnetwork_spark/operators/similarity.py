@@ -196,6 +196,22 @@ def d30_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("d30_embedding_near_dup", oracle=None)
+def d30_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed. Non-oracle
+    (bucket recall is probabilistic); pytest asserts every reported pair
+    clears the threshold with exact cosine.
+
+    Threshold/bucketing tuned to the synthetic embeddings (near-uniform,
+    max pairwise cosine ~0.4): 0.35 with 6-bit x 16-table keys surfaces the
+    closest pairs. Real near-dup detection (copies at cosine ~1) uses the
+    function defaults (0.95, 10-bit keys) — fewer candidates per table."""
+    e = Catalog(spark, sf_dir).embeddings
+    return embedding_near_dup_pairs(
+        e, threshold=0.35, tables=16, bits=6
+    ).orderBy("id_a", "id_b")
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.95, tables: int = 8, bits: int = 10
 ) -> DataFrame:

@@ -53,3 +53,9 @@ def test_embedding_near_dup_pairs(spark, emb):
     rows = pairs.collect()
     assert all(r.sim >= 0.9 for r in rows)
     assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_embedding_near_dup_query_returns_pairs(spark):
+    rows = queries()["d30_embedding_near_dup"](spark, SF_ORACLE).collect()
+    assert rows, "tuned query should surface the closest pairs"
+    assert all(r.sim >= 0.35 and r.id_a < r.id_b for r in rows)

@@ -34,3 +34,22 @@ def test_stream_ingest_counts(spark):
     batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").groupBy("event_type").count()
     expected = {r.event_type: r["count"] for r in batch.collect()}
     assert rows == expected
+
+
+@pytest.mark.slow
+def test_stateful_running_totals_equals_batch(spark):
+    """applyInPandasWithState totals across forced multi-batch replay must
+    equal the batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from conceptnetwork_spark.catalog import Catalog
+    from conceptnetwork_spark.streaming.stateful import run_stateful_totals
+
+    streamed = run_stateful_totals(spark, SF_SMOKE)
+    ev = Catalog(spark, SF_SMOKE).events
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+    )
+    s = {(r.user_id, r.n_events, round(r.sum_value, 6)) for r in streamed.collect()}
+    b = {(r.user_id, r.n_events, round(r.sum_value, 6)) for r in batch.collect()}
+    assert s == b
