@@ -66,7 +66,7 @@ def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     shingle_n: int = 5,
 ) -> DataFrame:
     """doc_id -> array<long> MinHash signature, computed as one explode +
@@ -85,13 +85,17 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 2
 ) -> DataFrame:
     """Banded LSH: bucket = hash(band slice); self-join per (band, bucket).
 
     Output (doc_a < doc_b) candidate pairs, distinct. The join key
     (band, bucket) is high-cardinality -> shuffle is balanced; no pair is
     ever formed across different buckets (never all-pairs).
+
+    Defaults (16 bands x 2 rows over a 32-hash signature) detect
+    Jaccard>=0.5 pairs with p=0.99; halving the signature width vs 64
+    hashes halves the codegen'd aggregate, the dominant one-shot cost.
     """
     banded = sigs.select(
         "doc_id",
