@@ -278,6 +278,50 @@ def run_windowed_stream(
     return spark.table(table)
 
 
+def run_windowed_append_stream(
+    spark: SparkSession,
+    src_glob: str,
+    schema,
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Append-mode watermarked tumbling-window count over a file stream,
+    one file per micro-batch (files process in modification-time order).
+
+    This is the surface that PINS the late-data contract (SURVEY §7 risk
+    item): a window only emits once the watermark passes its end, and rows
+    arriving after that for an already-finalized window are DROPPED — the
+    emitted counts never include them. Used by the late-data test with two
+    staged files: on-time rows advance the watermark in batch 1; batch 2's
+    late row lands in a finalized window and must not appear.
+    """
+    table = f"stream_late_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{table}")
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_glob)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(table)
+
+
 def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stateful dedup on event_id within a watermark (D28
     streaming form): dropDuplicatesWithinWatermark + append to memory."""

@@ -53,3 +53,44 @@ def test_stateful_running_totals_equals_batch(spark):
     s = {(r.user_id, r.n_events, round(r.sum_value, 6)) for r in streamed.collect()}
     b = {(r.user_id, r.n_events, round(r.sum_value, 6)) for r in batch.collect()}
     assert s == b
+
+
+@pytest.mark.slow
+def test_late_data_dropped_beyond_watermark(spark, tmp_path):
+    """Pin the D26 late-data contract: a row arriving after the watermark
+    passed its window's end is dropped from the appended result."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    def write(name, rows, mtime):
+        t = pa.table({
+            "ts": pa.array([datetime(2024, 1, 1, *hm) for hm in rows],
+                           type=pa.timestamp("us")),
+            "event_type": pa.array(["e"] * len(rows)),
+        })
+        p = str(tmp_path / name)
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    # Spark's two-watermark semantics (3.4+): batch N evicts state at the
+    # watermark computed from batches 0..N-1, but FILTERS late input at the
+    # watermark of batch N-1 — so a late row is dropped once it arrives two
+    # batches after the data that advanced the watermark.
+    # batch 0 (on-time): 10:15, 11:30, 12:50 -> watermark becomes 12:40
+    write("f1.parquet", [(10, 15), (11, 30), (12, 50)], 1_700_000_000)
+    # batch 1 (on-time): 12:55; eviction at 12:40 emits the 10:00 and 11:00
+    # windows; late-filter watermark becomes 12:40 for the NEXT batch
+    write("f2.parquet", [(12, 55)], 1_700_000_100)
+    # batch 2: 10:20 is LATE (10:20 < 12:40) -> dropped by the filter
+    write("f3.parquet", [(10, 20)], 1_700_000_200)
+
+    from conceptnetwork_spark.streaming.ops import run_windowed_append_stream
+
+    schema = "ts timestamp, event_type string"
+    out = run_windowed_append_stream(spark, str(tmp_path / "*.parquet"), schema)
+    got = {(r.window_start, r.n_events) for r in out.collect()}
+    # late 10:20 row must NOT bump the 10:00 window; the 12:00 window never
+    # finalizes (watermark stops at 12:45 < 13:00) so only two windows emit
+    assert got == {("2024-01-01 10:00:00", 1), ("2024-01-01 11:00:00", 1)}, got
