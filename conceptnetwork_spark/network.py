@@ -70,6 +70,17 @@ class Network:
             cols.append(c.feature_engineering(F.col(name)).alias(name))
         return df.select(*cols)
 
+    # -- per-concept inference fan-out (network.py:45-59; P10/M1) ------------
+    def feature_vectors(self, df: DataFrame, targets: bool = False) -> DataFrame:
+        """``get_featurevectors``/``get_targetvectors`` analogue: one vector
+        (array<double>) column per (non-)target concept via each concept's
+        ``inference`` hook — the M1 embedding surface feeding the model."""
+        names = self.target_names if targets else self.feature_names
+        cols = [
+            self.concepts[n].inference(F.col(n)).alias(f"{n}_vec") for n in names
+        ]
+        return df.select(*cols)
+
     # -- feature/target projection (network.py:204-214; P7/P8) ---------------
     def select_features(self, df: DataFrame) -> DataFrame:
         return df.select(*self.feature_names)
@@ -86,9 +97,19 @@ class Network:
             df = df.orderBy(F.rand(shuffle_seed))
         return df
 
-    def write(self, df: DataFrame, path: str) -> None:
-        """Materialize encoded records (S2; parquet-canonical, SURVEY §1.4)."""
-        df.write.mode("overwrite").parquet(path)
+    def write(self, df: DataFrame, path: str, fmt: str = "parquet") -> None:
+        """Materialize encoded records (S2). Parquet is canonical
+        (SURVEY §1.4); ``fmt='tfrecord'`` writes the reference's gzip
+        TFRecord format via the hand-rolled sink (flattened to the
+        reference's ``<concept>_<feature>`` layout first, since Example
+        features are a flat namespace)."""
+        if fmt == "tfrecord":
+            from conceptnetwork_spark.schema import flatten
+            from conceptnetwork_spark.sources.tfrecord import write_tfrecords
+
+            write_tfrecords(flatten(df, list(self.concepts)), path)
+        else:
+            df.write.mode("overwrite").parquet(path)
 
     def __repr__(self) -> str:  # R2 composite naming (network.py:61-65)
         parts = [f"{type(self).__name__}{self.version.replace('.', '')}"]

@@ -196,6 +196,71 @@ def d30_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("d30_ivf_ann", oracle=None)
+def d30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization: seeded KMeans
+    centroids partition the corpus into cells; each query probes its
+    ``nprobe`` nearest cells and re-scores exactly within them.
+
+    The scale path for clustered embedding spaces: the corpus is
+    partitioned (and at 100 TB physically bucketed) by centroid id, so a
+    query touches nprobe/k of the data. The centroid table is k rows —
+    driver-side probe selection is O(k^2), never touching the corpus.
+    Non-oracle (centroid assignment is engine-defined); pytest checks
+    recall@10 vs d30_knn_exact. On the near-uniform synthetic vectors
+    recall ~= nprobe/k (no cluster structure to exploit); on genuinely
+    clustered data (the real use case) nprobe=4 of k=64 recovers ~all
+    true neighbors.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    k, nprobe = 16, 8
+    e = Catalog(spark, sf_dir).embeddings
+    vecs = e.withColumn("fv", array_to_vector(F.col("embedding").cast("array<double>")))
+    km = KMeans(k=k, seed=42, featuresCol="fv", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
+
+    # driver-side probe map: k x k centroid distances (k rows — tiny)
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    d2 = ((centers[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    probes = [
+        (int(c), [int(x) for x in np.argsort(d2[c])[:nprobe]]) for c in range(k)
+    ]
+    probe_df = spark.createDataFrame(probes, "cell int, probe_cells array<int>")
+
+    q = (
+        assigned.where(F.col("vec_id") < 5)
+        .join(F.broadcast(probe_df), "cell")
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            F.explode("probe_cells").alias("cell"),
+        )
+    )
+    cand = (
+        assigned.join(F.broadcast(q), ["cell"])
+        .where(F.col("qid") != F.col("vec_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("qvec"), F.col("embedding"))
+                / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("qid", "rank", "vec_id", "sim")
+        .orderBy("qid", "rank")
+    )
+
+
 @register("d30_embedding_near_dup", oracle=None)
 def d30_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed. Non-oracle

@@ -125,3 +125,30 @@ def test_inference_vector(spark):
     )
     vec = df.select(c.inference(F.col("origin")).alias("v")).collect()[0].v
     assert vec == [3.0, 1.0]
+
+
+def test_network_feature_vectors_and_tfrecord_write(spark, tmp_path):
+    """M1/P10 inference fan-out + TFRecord write path through the Network API."""
+    net = Network().add(MinimalConcept("origin")).add(MinimalConcept("tgt", target=True))
+    raw = spark.createDataFrame([("1,m",), ("2,f",)], ["value"])
+    enc = net.preprocess(raw, {"origin": "value", "tgt": "value"})
+
+    vecs = net.feature_vectors(enc)
+    assert vecs.columns == ["origin_vec"]
+    row = vecs.orderBy("origin_vec").first()
+    assert row.origin_vec == [1.0, 0.0]
+
+    tvecs = net.feature_vectors(enc, targets=True)
+    assert tvecs.columns == ["tgt_vec"]
+
+    out = str(tmp_path / "tfr_net")
+    net.write(enc, out, fmt="tfrecord")
+    from conceptnetwork_spark.sources.tfrecord import read_tfrecords
+
+    back = read_tfrecords(
+        spark, out,
+        "origin_candidate_id double, origin_gender double, "
+        "tgt_candidate_id double, tgt_gender double",
+    )
+    got = sorted((r.origin_candidate_id, r.origin_gender) for r in back.collect())
+    assert got == [(1.0, 0.0), (2.0, 1.0)]

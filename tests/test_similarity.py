@@ -59,3 +59,22 @@ def test_embedding_near_dup_query_returns_pairs(spark):
     rows = queries()["d30_embedding_near_dup"](spark, SF_ORACLE).collect()
     assert rows, "tuned query should surface the closest pairs"
     assert all(r.sim >= 0.35 and r.id_a < r.id_b for r in rows)
+
+
+def test_ivf_ann_recall_vs_exact(spark):
+    qs = queries()
+    exact = qs["d30_knn_exact"](spark, SF_ORACLE).collect()
+    ivf = qs["d30_ivf_ann"](spark, SF_ORACLE).collect()
+    exact_sets, ivf_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    for r in ivf:
+        ivf_sets.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & ivf_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    avg = sum(recalls) / len(recalls)
+    # near-uniform vectors: expected recall ~= nprobe/k = 0.5; assert a
+    # conservative floor (clustered data recovers ~all neighbors)
+    assert avg >= 0.3, f"IVF avg recall@10 {avg:.2f}"
