@@ -104,6 +104,41 @@ def d32_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("doc_id", "n_bytes", "sha").orderBy("doc_id")
 
 
+def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB: real resize requires PIL/opencv (not in this container). The
+    production kernel is mapInPandas with schema
+    ``doc_id long, payload binary`` (payload re-encoded at WxH)."""
+    raise NotImplementedError(
+        "image resize requires an imaging library not present in this "
+        "environment; use fake_frame_sample for plumbing-shape testing"
+    )
+
+
+def fake_frame_sample(
+    df: DataFrame, n_frames: int = 4, frame_bytes: int = 16
+) -> DataFrame:
+    """Deterministic stand-in for a video frame-sample kernel: slice the
+    payload into n_frames evenly-spaced byte windows (one output row per
+    frame — the one->many batch shape a real ffmpeg sampler produces)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                step = max(len(b) // n_frames, 1)
+                for i in range(min(n_frames, len(b))):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(b[i * step : i * step + frame_bytes]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        gen, schema="doc_id long, frame_idx int, frame binary"
+    )
+
+
 def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
     """Real media ingest path: one row per file with content:binary +
     path/length metadata (Spark binaryFile source; splittable listing,

@@ -193,6 +193,62 @@ def d31_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# D31e — MLlib text-feature pipeline (Tokenizer/StopWords/NGram/TF-IDF)
+# --------------------------------------------------------------------------
+def build_text_features_pipeline(
+    num_features: int = 1 << 12, ngram_n: int = 2
+):
+    """RegexTokenizer -> StopWordsRemover -> NGram -> HashingTF -> IDF:
+    the MLlib transformer chain of SURVEY §2.2 D31. All stages are
+    row-local maps except the IDF fit (one doc-frequency aggregate), so
+    the chain is shuffle-free at transform time — exactly what a 100 TB
+    featurization pass needs."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import (
+        IDF,
+        HashingTF,
+        NGram,
+        RegexTokenizer,
+        StopWordsRemover,
+    )
+
+    return Pipeline(
+        stages=[
+            RegexTokenizer(
+                inputCol="text", outputCol="tokens", pattern=r"\s+"
+            ),
+            StopWordsRemover(inputCol="tokens", outputCol="filtered"),
+            NGram(n=ngram_n, inputCol="filtered", outputCol="ngrams"),
+            HashingTF(
+                inputCol="ngrams", outputCol="tf", numFeatures=num_features
+            ),
+            IDF(inputCol="tf", outputCol="tfidf"),
+        ]
+    )
+
+
+@register("d31_tfidf", oracle=None)
+def d31_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF featurization of documents through the MLlib chain. Non-oracle
+    (hashing-trick bucket assignment is engine-defined); emits deterministic
+    summary columns (vector nnz and L1 norm) so the rows-only check is
+    stable across runs."""
+    from pyspark.ml.functions import vector_to_array
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    model = build_text_features_pipeline().fit(d)
+    out = model.transform(d)
+    arr = vector_to_array(F.col("tfidf"))
+    return out.select(
+        "doc_id",
+        F.size(F.filter(arr, lambda x: x != 0)).alias("nnz"),
+        F.round(F.aggregate(arr, F.lit(0.0), lambda a, x: a + F.abs(x)), 4).alias(
+            "l1"
+        ),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # D31d — document fingerprinting
 # --------------------------------------------------------------------------
 @register(

@@ -79,3 +79,28 @@ def test_decode_image_is_stubbed(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(df)
+
+
+def test_tfidf_pipeline_deterministic(spark):
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    a = queries()["d31_tfidf"](spark, SF_SMOKE).collect()
+    b = queries()["d31_tfidf"](spark, SF_SMOKE).collect()
+    assert a == b, "TF-IDF featurization must be deterministic"
+    assert all(r.nnz > 0 for r in a), "every doc should have features"
+
+
+def test_frame_sample_plumbing(spark):
+    from conceptnetwork_spark.operators.multimodal import fake_frame_sample
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(64)))), (2, bytearray(b"tiny"))],
+        "doc_id long, payload binary",
+    )
+    out = fake_frame_sample(df, n_frames=4, frame_bytes=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_idx, bytes(r.frame)))
+    assert len(by_doc[1]) == 4 and by_doc[1][0][1] == bytes(range(8))
+    assert len(by_doc[2]) == 4  # short payload still yields frames
