@@ -51,8 +51,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
 
-    # warm-up: prime JVM/codegen + OS file cache with a cheap full scan
+    # warm-up: prime OS file cache, then run each query once so JIT/codegen
+    # compilation is excluded — timings reflect steady-state execution (the
+    # number that matters for a long-lived cluster serving many queries)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
