@@ -48,6 +48,24 @@ def fix_nanos(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the scan yields fewer partitions than
+    the cluster has cores — i.e. only when downstream CPU-heavy work (shingle
+    hashing, pandas UDFs, brute-force distance) would otherwise run on a
+    handful of tasks.
+
+    At 100 TB a parquet scan already produces thousands of splits and this is
+    a no-op; the guard means we never pay a full-data shuffle at scale. It
+    only fires on locally-tiny inputs (the driver testdata is a single
+    row group per table, so every scan is one task without it).
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 class Catalog:
     """Lazy loader + temp-view registrar for one scale-factor directory."""
 

@@ -8,15 +8,10 @@ Jaccard verification runs only on LSH candidates.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
 
-from conceptnetwork_spark.catalog import Catalog
+from conceptnetwork_spark.catalog import Catalog, ensure_parallelism
 from conceptnetwork_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -46,8 +41,11 @@ def d29_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # D29b — MinHash signatures + banded LSH, all in native Spark SQL
 # --------------------------------------------------------------------------
-# MinHash with k independent hash slots via xxhash64(shingle, seed_i):
-# sig[i] = min over shingles of xxhash64(shingle || i). Banding groups the
+# MinHash with k hash slots via Kirsch-Mitzenmacher double hashing: each
+# shingle is hashed TWICE (xxhash64 seeds 0/1, top 56 bits), and slot i uses
+# h_i = h1 + i*h2 — 2 string hashes per shingle instead of k, with the same
+# collision behavior for min-wise sketching. The 8-bit right shift keeps
+# h1 + 31*h2 < 2^62, safe under ANSI overflow checking. Banding groups the
 # signature into b bands of r rows; docs sharing any band bucket are
 # candidates. Everything is explode/groupBy — no UDF, no all-pairs.
 
@@ -70,15 +68,21 @@ def minhash_signatures(
     shingle_n: int = 5,
 ) -> DataFrame:
     """doc_id -> array<long> MinHash signature, computed as one explode +
-    groupBy(doc) of per-seed mins (partial agg shrinks the shuffle to
-    #docs × num_hashes longs)."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    groupBy(doc) of per-slot mins (partial agg shrinks the shuffle to
+    #docs × num_hashes longs; the shingle strings themselves never shuffle)."""
+    base = ensure_parallelism(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
+    sh = base.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), shingle_n))).alias("sh")
+    )
+    hashed = sh.select(
+        "doc_id",
+        F.shiftrightunsigned(F.xxhash64("sh", F.lit(0)), 8).alias("h1"),
+        F.shiftrightunsigned(F.xxhash64("sh", F.lit(1)), 8).alias("h2"),
     )
     mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"h{i}") for i in range(num_hashes)
     ]
-    agg = sh.groupBy("doc_id").agg(*mins)
+    agg = hashed.groupBy("doc_id").agg(*mins)
     return agg.select(
         "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
     )
@@ -102,15 +106,7 @@ def lsh_candidate_pairs(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice("signature", b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ),
+                lambda b: F.xxhash64(F.slice("signature", b * rows_per_band + 1, rows_per_band)),
             )
         ).alias("band", "bucket"),
     )
@@ -138,7 +134,7 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs only (join twice to attach
     shingle sets, compute |∩|/|∪| with array ops)."""
-    sets = docs.select(
+    sets = ensure_parallelism(docs).select(
         F.col(id_col).alias("sid"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sset"),
     )
@@ -162,7 +158,9 @@ def d29_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verify on candidates. Non-oracle (LSH banding is engine-defined);
     pytest checks pair-recall against planted near-dups."""
     d = Catalog(spark, sf_dir).documents
-    sigs = minhash_signatures(d)
+    # repartition = exchange barrier so the LSH self-join reuses one
+    # materialization of the signatures instead of recomputing per side
+    sigs = minhash_signatures(d).repartition("doc_id")
     cands = lsh_candidate_pairs(sigs)
     return jaccard_verify(d, cands, threshold=0.5).orderBy("doc_a", "doc_b")
 
@@ -212,34 +210,43 @@ def d29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# D29d — SimHash (64-bit) via Arrow-batched pandas UDF
+# D29d — SimHash (64-bit), fully JVM-side (no UDF)
 # --------------------------------------------------------------------------
-@pandas_udf(LongType())
-def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens with a deterministic per-token
-    64-bit FNV-1a hash (pure numpy, Arrow-batched). Near-dup docs land within
-    a small Hamming distance; used bucketed (by 16-bit chunks) at scale."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if t is None:
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in t.lower().split():
-            h = np.uint64(14695981039346656037)
-            for ch in tok.encode("utf-8"):
-                h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
-            bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
-            acc += np.where(bits.astype(np.int64) > 0, 1, -1)
-        sig = np.packbits((acc > 0).astype(np.uint8))
-        out[i] = np.frombuffer(sig.tobytes(), dtype=np.int64)[0]
-    return pd.Series(out)
+# 2^k constants for bit assembly; bit 63 is the long sign bit.
+_POW2 = [(1 << k) if k < 63 else -(1 << 63) for k in range(64)]
+
+
+def simhash64(col) -> Column:
+    """64-bit SimHash over whitespace tokens as a single JVM column
+    expression: xxhash64 per token (computed once), a 64-slot bit-vote
+    accumulated with ``aggregate``/``zip_with``, then majority bits OR'd
+    into one long. Map-only — no shuffle, no Python worker; near-dup docs
+    land within a small Hamming distance and are bucketed by 16-bit chunks
+    at scale (see simhash_near_dup_pairs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    hs = F.transform(toks, lambda t: F.xxhash64(t))
+    bits = F.sequence(F.lit(0), F.lit(63))
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc, bits, lambda a, k: a + F.when(F.bit_get(h, k) == 1, 1).otherwise(-1)
+        ),
+    )
+    pows = F.array(*[F.lit(p).cast("long") for p in _POW2])
+    return F.aggregate(
+        F.zip_with(votes, pows, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, b: a.bitwiseOR(b),
+    )
 
 
 @register("d29_simhash", oracle=None)
 def d29_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 64-bit SimHash fingerprints. Non-oracle (hash definition is
     engine-internal); pytest asserts determinism + near-dup Hamming locality."""
-    d = Catalog(spark, sf_dir).documents
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
     return d.select("doc_id", simhash64(F.col("text")).alias("simhash")).orderBy(
         "doc_id"
     )
@@ -259,7 +266,14 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     (pigeonhole: any pair within Hamming<=6 shares at least one exact chunk
     when distance is spread, and chunk-equality prunes the search space);
     verify Hamming on candidates only."""
-    sh = docs.select("doc_id", simhash64(F.col("text")).alias("sh"))
+    # the trailing repartition is a deliberate exchange barrier: the LSH
+    # self-join references this subtree twice, and shuffle-exchange reuse
+    # means the (expensive) signature computation runs exactly once
+    sh = (
+        ensure_parallelism(docs)
+        .select("doc_id", simhash64(F.col("text")).alias("sh"))
+        .repartition("doc_id")
+    )
     chunks = sh.select(
         "doc_id",
         "sh",
