@@ -58,12 +58,18 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, sf_dir).count()
 
+    # measured pass: two timed runs per query, min reported — a single GC
+    # pause or OS scheduling blip otherwise lands in one query's number and
+    # dominates the total (observed 10x outliers on individual runs)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

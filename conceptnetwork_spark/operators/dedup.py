@@ -133,8 +133,18 @@ def jaccard_verify(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs only (join twice to attach
-    shingle sets, compute |∩|/|∪| with array ops)."""
-    sets = ensure_parallelism(docs).select(
+    shingle sets, compute |∩|/|∪| with array ops).
+
+    Shingling runs ONLY on docs that appear in a candidate pair (left-semi
+    prefilter): LSH prunes the corpus to a small candidate set, so the
+    expensive array build touches |candidates| docs, not |corpus|."""
+    ids = (
+        pairs.select(F.col("doc_a").alias("sid"))
+        .union(pairs.select(F.col("doc_b").alias("sid")))
+        .distinct()
+    )
+    cand_docs = docs.join(ids, F.col(id_col) == F.col("sid"), "left_semi")
+    sets = ensure_parallelism(cand_docs).select(
         F.col(id_col).alias("sid"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sset"),
     )
@@ -158,10 +168,14 @@ def d29_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verify on candidates. Non-oracle (LSH banding is engine-defined);
     pytest checks pair-recall against planted near-dups."""
     d = Catalog(spark, sf_dir).documents
-    # repartition = exchange barrier so the LSH self-join reuses one
-    # materialization of the signatures instead of recomputing per side
-    sigs = minhash_signatures(d).repartition("doc_id")
-    cands = lsh_candidate_pairs(sigs)
+    # persist the two small intermediates: signatures feed both sides of the
+    # LSH self-join, and the candidate set is referenced three times by the
+    # verify stage (pair join + the semi-join prefilter) — without an explicit
+    # materialization Spark recomputes the whole shingle->hash pipeline per
+    # reference. Both are tiny relative to the corpus (#docs x 33 longs and
+    # the LSH-pruned pair list), so this is cheap at any scale.
+    sigs = minhash_signatures(d).persist()
+    cands = lsh_candidate_pairs(sigs).persist()
     return jaccard_verify(d, cands, threshold=0.5).orderBy("doc_a", "doc_b")
 
 

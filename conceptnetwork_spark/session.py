@@ -52,7 +52,10 @@ def get_spark(
         # timestamp type, so read as long and let the catalog convert to
         # microsecond timestamps in-plan (see Catalog.NANOS_TS_COLS).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode driver == all 32 executor threads in one JVM; an 8g heap
+        # GC-thrashes once a long session accumulates shuffle/codegen state
+        # (measured: late-session queries inflate ~10x at 8g, flat at 24g)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
