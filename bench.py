@@ -25,6 +25,7 @@ HEADLINE = [
     "d01_scan_filter",
     "d03_inner_join",
     "d04_star_join",
+    "d04_q3_shipping",
     "d07_range_join",
     "d08_asof_latest_event",
     "d09_hash_agg",

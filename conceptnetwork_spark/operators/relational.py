@@ -122,6 +122,53 @@ def d04_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d04_q3_shipping",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def d04_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): selective filters on all three
+    tables pushed below the joins, fact-fact shuffle join on orderkey, hash
+    agg, then TakeOrderedAndProject top-10 — the canonical composite plan.
+    Filters cut each side BEFORE the shuffle, which is what keeps the
+    orders⋈lineitem exchange tractable at 100 TB."""
+    t = Catalog(spark, sf_dir)
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    c = t.customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = t.orders.where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = t.lineitem.where(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
 # --------------------------------------------------------------------------
 # D5 — outer joins
 # --------------------------------------------------------------------------
@@ -368,6 +415,74 @@ def d12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
         .orderBy("gid", "n_name", "o_orderpriority")
+    )
+
+
+@register(
+    "d12_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+           COALESCE(l_linestatus, '(all)') AS l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 4) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+)
+def d12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (returnflag, linestatus): all four grouping combinations
+    in one Expand+partial-agg pass (no re-scan per grouping set)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 4).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
+            "gid",
+            "n_items",
+            "qty",
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "d12_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+           COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+)
+def d12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two independent 1-d summaries + grand total) —
+    one scan, one Expand, instead of three scans unioned. Expressed in Spark
+    SQL (the DataFrame API has rollup/cube but not arbitrary sets)."""
+    t = Catalog(spark, sf_dir)
+    t.orders.createOrReplaceTempView("cns_d12_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+               COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS revenue
+        FROM cns_d12_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
+        """
     )
 
 

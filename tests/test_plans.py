@@ -29,6 +29,15 @@ def test_d15_topk_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_d04_q3_composite_plan(spark):
+    """Q3 shape: filters pushed to every scan, top-k without global sort."""
+    plan = _plan(spark, "d04_q3_shipping")
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan and "c_mktsegment" in plan
+    # partial+final agg around the shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_d09_partial_aggregation(spark):
     plan = _plan(spark, "d09_hash_agg")
     # partial (map-side) + final aggregate pair
