@@ -44,12 +44,24 @@ def build_ols_pipeline(feature_cols: list[str], label_col: str) -> Pipeline:
 def fit_transform_evaluate(
     df: DataFrame, feature_cols: list[str], label_col: str
 ) -> tuple[PipelineModel, DataFrame, float]:
-    """Mode dispatch (M5): TRAIN -> fit, INFER -> transform, EVAL -> MSE."""
-    model = build_ols_pipeline(feature_cols, label_col).fit(df)
-    preds = model.transform(df)
-    mse = preds.agg(
-        F.avg(F.pow(F.col(label_col) - F.col("prediction"), 2)).alias("mse")
-    ).collect()[0]["mse"]
+    """Mode dispatch (M5): TRAIN -> fit, INFER -> transform, EVAL -> MSE.
+
+    The input is persisted for the duration: fit + transform + evaluate are
+    three passes over the same (narrow, pre-projected) data, and re-scanning
+    the source each pass is the dominant cost once the projection is a small
+    fraction of the table.
+    """
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        model = build_ols_pipeline(feature_cols, label_col).fit(df)
+        preds = model.transform(df)
+        mse = preds.agg(
+            F.avg(F.pow(F.col(label_col) - F.col("prediction"), 2)).alias("mse")
+        ).collect()[0]["mse"]
+    finally:
+        df.unpersist()
     return model, preds, mse
 
 

@@ -350,6 +350,81 @@ def d09_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d09_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def d09_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation: l_returnflag has only 3 values,
+    so a naive groupBy funnels the whole table through 3 reducers. Phase 1
+    aggregates on (key, salt) — 32-way fan-out, partials stay small; phase 2
+    combines the 3x32 partials. Oracle is the plain GROUP BY: salting must
+    be invisible in the result. (Spark's partial+final agg already map-side
+    combines; explicit salting is the pattern for when the FINAL combine of
+    one hot key — e.g. a window or collect_list — is itself the bottleneck.)
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    salted = li.withColumn("salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(32)))
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("l_quantity").alias("sq"),
+        F.sum("l_extendedprice").alias("sp"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("c").alias("n_items"),
+            F.round(F.sum("sq"), 4).alias("sum_qty"),
+            F.round(F.sum("sp") / F.sum("c"), 4).alias("avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "d09_q17_small_qty",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#12'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def d09_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity). Expressed in Spark SQL so Catalyst's decorrelation rewrites
+    the subquery into an aggregate + join — one extra pass over lineitem
+    instead of one subquery execution per outer row, the difference between
+    O(n) and O(n^2) at 100 TB."""
+    t = Catalog(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("cns_q17_lineitem")
+    t.part.createOrReplaceTempView("cns_q17_part")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM cns_q17_lineitem
+        JOIN cns_q17_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#12'
+          AND l_quantity < (
+            SELECT 0.2 * AVG(l_quantity) FROM cns_q17_lineitem l2
+            WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # D10 — distinct / count-distinct
 # --------------------------------------------------------------------------

@@ -38,6 +38,14 @@ def test_d04_q3_composite_plan(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_d09_q17_decorrelated(spark):
+    """The correlated scalar subquery must be rewritten to aggregate+join —
+    no per-outer-row subquery node may survive in the physical plan."""
+    plan = _plan(spark, "d09_q17_small_qty")
+    assert "Subquery" not in plan
+    assert plan.count("HashAggregate") >= 4  # inner avg + outer sum, partial+final
+
+
 def test_d09_partial_aggregation(spark):
     plan = _plan(spark, "d09_hash_agg")
     # partial (map-side) + final aggregate pair
