@@ -1,0 +1,147 @@
+"""Property-based engine-vs-DuckDB parity (SURVEY §5 test plan, item 3):
+random rows through the scalar function library (D17-D19) and the exact-dedup
+key path (D29), asserting both engines agree on arbitrary inputs — not just
+the fixed testdata distributions.
+
+Each example ships one small batch through a real Spark job, so examples are
+capped low; the value is input-space coverage (empty/whitespace strings,
+negative/zero/denormal-ish doubles, duplicate collisions), not volume.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# printable ASCII without regex metacharacters or quotes; keeps the SQL
+# literal-free (data goes through createDataFrame/register, never inlined)
+TEXT = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,:;!?-_",
+    min_size=0,
+    max_size=40,
+)
+
+FINITE = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6, width=64
+)
+
+
+def _compare(spark, sdf_build, sql: str, pdf: pd.DataFrame, sort_cols: list[str]):
+    sdf = sdf_build(spark.createDataFrame(pdf)).toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    odf = con.execute(sql).fetchdf()
+    con.close()
+    s = sdf.sort_values(sort_cols).reset_index(drop=True)
+    o = odf.sort_values(sort_cols).reset_index(drop=True)
+    assert list(s.columns) == list(o.columns)
+    pd.testing.assert_frame_equal(s, o, check_dtype=False, rtol=0, atol=1e-9)
+
+
+@SETTINGS
+@given(rows=st.lists(TEXT, min_size=1, max_size=20, unique=True))
+def test_string_funcs_parity(spark, rows):
+    """lower/upper/trim/substr/lpad/length/concat agree on arbitrary ASCII."""
+    pdf = pd.DataFrame({"s": rows})
+
+    def build(df):
+        return df.select(
+            "s",
+            F.lower("s").alias("lo"),
+            F.upper("s").alias("up"),
+            F.trim("s").alias("tr"),
+            F.substring("s", 2, 5).alias("sub"),
+            F.lpad("s", 10, "x").alias("pad"),
+            F.length("s").cast("long").alias("len"),
+            F.concat(F.lit("p:"), F.col("s")).alias("cat"),
+        )
+
+    _compare(
+        spark,
+        build,
+        """
+        SELECT s, lower(s) AS lo, upper(s) AS up, trim(s) AS tr,
+               substr(s, 2, 5) AS sub, lpad(s, 10, 'x') AS pad,
+               CAST(length(s) AS BIGINT) AS len, 'p:' || s AS cat
+        FROM t
+        """,
+        pdf,
+        ["s"],
+    )
+
+
+@SETTINGS
+@given(rows=st.lists(FINITE, min_size=1, max_size=20, unique=True))
+def test_math_funcs_parity(spark, rows):
+    """round/floor/ceil/abs/sign/sqrt/pmod agree on arbitrary finite doubles."""
+    pdf = pd.DataFrame({"x": rows})
+
+    def build(df):
+        return df.select(
+            "x",
+            F.round("x", 3).alias("r"),
+            F.floor("x").cast("double").alias("fl"),
+            F.ceil("x").cast("double").alias("ce"),
+            F.abs("x").alias("ab"),
+            F.signum("x").alias("sg"),
+            F.sqrt(F.abs("x")).alias("sq"),
+            F.pmod(F.floor("x").cast("long"), F.lit(7)).cast("long").alias("pm"),
+        )
+
+    _compare(
+        spark,
+        build,
+        """
+        SELECT x, round(x, 3) AS r,
+               CAST(floor(x) AS DOUBLE) AS fl, CAST(ceil(x) AS DOUBLE) AS ce,
+               abs(x) AS ab, sign(x) AS sg, sqrt(abs(x)) AS sq,
+               CAST(((CAST(floor(x) AS BIGINT) % 7) + 7) % 7 AS BIGINT) AS pm
+        FROM t
+        """,
+        pdf,
+        ["x"],
+    )
+
+
+@SETTINGS
+@given(
+    rows=st.lists(TEXT, min_size=1, max_size=10),
+    dups=st.integers(min_value=1, max_value=3),
+)
+def test_exact_dedup_key_parity(spark, rows, dups):
+    """The D29 normalize+md5 dedup key: duplicated inputs (including
+    whitespace-variant near-copies) collapse identically in both engines."""
+    variants = []
+    for r in rows:
+        variants.append(r)
+        for _ in range(dups):
+            variants.append("  " + r + " ")  # whitespace variants, same key
+    pdf = pd.DataFrame({"text": variants})
+
+    def build(df):
+        norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        return (
+            df.select(F.md5(norm.cast("binary")).alias("k"))
+            .distinct()
+            .orderBy("k")
+        )
+
+    _compare(
+        spark,
+        build,
+        """
+        SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS k
+        FROM t ORDER BY k
+        """,
+        pdf,
+        ["k"],
+    )
