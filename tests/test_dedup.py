@@ -70,3 +70,15 @@ def test_minhash_signature_shape(spark, docs):
     sigs = dedup.minhash_signatures(docs, num_hashes=16)
     row = sigs.first()
     assert len(row.signature) == 16
+
+
+def test_simhash_fast_matches_reference(spark, docs):
+    """The Arrow-batched vote accumulation must be bit-identical to the pure
+    column-expression form on every document."""
+    from pyspark.sql import functions as F
+
+    cmp = docs.select(
+        dedup.simhash64(F.col("text")).alias("a"),
+        dedup.simhash64_fast(F.col("text")).alias("b"),
+    )
+    assert cmp.where(F.col("a") != F.col("b")).count() == 0
