@@ -72,9 +72,16 @@ def fake_feature_extract(df: DataFrame, n_features: int = 8) -> DataFrame:
     shape / schema a real decoder would use."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             feats = [
-                [sum(1 for byte in b if byte % n_features == i) for i in range(n_features)]
+                list(
+                    np.bincount(
+                        np.frombuffer(b, dtype=np.uint8) % n_features,
+                        minlength=n_features,
+                    ).astype("int64")
+                )
                 for b in pdf["payload"]
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
@@ -102,6 +109,31 @@ def d32_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
     meta = extract_media_metadata(payloads)
     return meta.select("doc_id", "n_bytes", "sha").orderBy("doc_id")
+
+
+@register("d32_feature_extract", oracle=None)
+def d32_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode+featurize kernel shape over binary payloads (deterministic
+    byte-histogram stand-in for the real image/audio featurizer; see
+    decode_image for the stubbed production kernel). Rows-only check: the
+    output is deterministic but DuckDB has no mapInPandas equivalent."""
+    d = Catalog(spark, sf_dir).documents
+    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return fake_feature_extract(payloads).orderBy("doc_id")
+
+
+@register("d32_frame_sample", oracle=None)
+def d32_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sample kernel shape (one->many mapInPandas): slice each
+    payload into 4 evenly-spaced byte windows, one output row per frame.
+    Rows-only check; frames surfaced as hex so the schema is string-stable."""
+    d = Catalog(spark, sf_dir).documents
+    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return (
+        fake_frame_sample(payloads, n_frames=4, frame_bytes=16)
+        .select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
+        .orderBy("doc_id", "frame_idx")
+    )
 
 
 def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
