@@ -29,7 +29,9 @@ HEADLINE = [
     "d07_range_join",
     "d08_asof_latest_event",
     "d09_hash_agg",
+    "d09_q17_small_qty",
     "d12_rollup",
+    "d12_cube",
     "d13_window_rank",
     "d15_topk",
     "d17_string_funcs",
@@ -40,7 +42,10 @@ HEADLINE = [
     "d27_session_window",
     "d29_exact_dedup",
     "d29_minhash_near_dup",
+    "d29_simhash_pairs",
     "d30_knn_exact",
+    "d30_lsh_ann",
+    "d31_lang_id",
     "d31_quality_score",
     "d33_ols_mse",
 ]
