@@ -70,7 +70,12 @@ def d17_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(o_totalprice), 4)                            AS revenue,
            CAST(MIN(year(o_orderdate)) AS BIGINT)                 AS min_year,
            CAST(MAX(date_diff('day', DATE '1995-01-01',
-                              CAST(o_orderdate AS DATE))) AS BIGINT) AS max_days_since_95
+                              CAST(o_orderdate AS DATE))) AS BIGINT) AS max_days_since_95,
+           CAST(MIN(month(o_orderdate)) AS BIGINT)                   AS min_month,
+           CAST(MIN(epoch(o_orderdate)) AS BIGINT)                   AS min_epoch,
+           strftime(MIN(CAST(o_orderdate AS DATE) + 7), '%Y-%m-%d')  AS min_plus7,
+           strftime(MIN(date_trunc('day', o_orderdate)),
+                    '%Y-%m-%d %H:%M:%S')                             AS first_day
     FROM orders
     GROUP BY strftime(o_orderdate, '%Y-%m')
     ORDER BY month
@@ -78,7 +83,8 @@ def d17_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d18_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date family probed through a monthly roll-up: date_format/year/
-    datediff/to_date (trunc-to-month via formatting keeps types scalar)."""
+    datediff/to_date/month/unix_timestamp/date_add/date_trunc (truncated
+    times surfaced as formatted strings so types stay scalar)."""
     o = Catalog(spark, sf_dir).orders
     return (
         o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
@@ -91,6 +97,14 @@ def d18_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("max_days_since_95"),
+            F.min(F.month("o_orderdate")).cast("long").alias("min_month"),
+            F.min(F.unix_timestamp("o_orderdate")).cast("long").alias("min_epoch"),
+            F.date_format(F.min(F.date_add("o_orderdate", 7)), "yyyy-MM-dd").alias(
+                "min_plus7"
+            ),
+            F.date_format(
+                F.min(F.date_trunc("day", "o_orderdate")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("first_day"),
         )
         .orderBy("month")
     )
@@ -158,15 +172,22 @@ def d19_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)         AS l2_norm,
            CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)         AS n_pos,
            ROUND(CAST(list_min(embedding) AS DOUBLE), 4)                   AS e_min,
-           ROUND(CAST(list_max(embedding) AS DOUBLE), 4)                   AS e_max
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4)                   AS e_max,
+           ROUND(CAST(list_sort(embedding)[2] AS DOUBLE), 4)               AS second_min,
+           CAST(len(list_distinct(embedding)) AS BIGINT)                   AS n_distinct,
+           list_contains(embedding, embedding[1])                          AS has_first,
+           ROUND(list_sum(list_transform(embedding[1:3],
+                 x -> CAST(x AS DOUBLE))), 4)                              AS head3_sum
     FROM embeddings ORDER BY vec_id
     """,
 )
 def d20_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array family over embeddings: size/element_at/higher-order
-    transform+filter+aggregate/array_min/array_max — all JVM-side, no UDFs."""
+    """Array family over embeddings: size/element_at/sort_array/slice/
+    array_contains/array_distinct/higher-order transform+filter+aggregate/
+    array_min/array_max — all JVM-side, no UDFs."""
     e = Catalog(spark, sf_dir).embeddings
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    head3 = F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double"))
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
@@ -178,6 +199,16 @@ def d20_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
         F.round(F.array_min("embedding").cast("double"), 4).alias("e_min"),
         F.round(F.array_max("embedding").cast("double"), 4).alias("e_max"),
+        F.round(
+            F.element_at(F.sort_array("embedding"), 2).cast("double"), 4
+        ).alias("second_min"),
+        F.size(F.array_distinct("embedding")).cast("long").alias("n_distinct"),
+        F.array_contains("embedding", F.element_at("embedding", 1)).alias(
+            "has_first"
+        ),
+        F.round(F.aggregate(head3, F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "head3_sum"
+        ),
     ).orderBy("vec_id")
 
 
@@ -189,17 +220,30 @@ def d20_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0) AS k_mod10
+           (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0) AS k_mod10,
+           json_extract_string(props, '$.k')                 AS k_str,
+           to_json(struct_pack(id := event_id))              AS j,
+           map(['et','id'], [event_type, CAST(event_id AS VARCHAR)])['et'][1] AS et,
+           array_to_string(map_keys(
+             map(['et','id'], [event_type, CAST(event_id AS VARCHAR)])), ',') AS ks
     FROM events ORDER BY event_id
     """,
 )
 def d21_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON family: get_json_object / from_json schema projection over the
-    events.props payload; scalar outputs only."""
+    """JSON + map families: get_json_object / from_json / json_tuple /
+    to_json / create_map / map_keys over the events.props payload; scalar
+    outputs only (map values extracted, keys joined to a string)."""
     ev = Catalog(spark, sf_dir).events
     parsed = F.from_json("props", "k BIGINT")
+    m = F.create_map(
+        F.lit("et"), F.col("event_type"), F.lit("id"), F.col("event_id").cast("string")
+    )
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k"),
         (parsed.getField("k") % 10 == 0).alias("k_mod10"),
+        F.json_tuple(F.col("props"), "k").alias("k_str"),
+        F.to_json(F.struct(F.col("event_id").alias("id"))).alias("j"),
+        F.element_at(m, "et").alias("et"),
+        F.array_join(F.map_keys(m), ",").alias("ks"),
     ).orderBy("event_id")
