@@ -75,6 +75,6 @@ def _load_all() -> None:
         multimodal,
         ml,
     )
-    from conceptnetwork_spark.streaming import ops  # noqa: F401
+    from conceptnetwork_spark.streaming import ops, stateful  # noqa: F401
 
     _LOADED = True

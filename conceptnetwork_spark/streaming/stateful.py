@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from conceptnetwork_spark.catalog import Catalog, fix_nanos
+from conceptnetwork_spark.registry import register
 
 _OUT_SCHEMA = "user_id long, n_events long, sum_value double"
 _STATE_SCHEMA = "n long, s double"
@@ -111,3 +112,24 @@ def run_stateful_totals(
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "d25_stateful_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def d25_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, oracle-checked end to end: events
+    replayed in 4 micro-batches through applyInPandasWithState; with all
+    input replayed, the final per-key GroupState totals must equal the plain
+    batch GROUP BY — state carry-over across batches is load-bearing for
+    the hash to match."""
+    from pyspark.sql import functions as F
+
+    out = run_stateful_totals(spark, sf_dir, n_files=4)
+    return out.select(
+        "user_id", "n_events", F.round("sum_value", 4).alias("sum_value")
+    ).orderBy("user_id")
