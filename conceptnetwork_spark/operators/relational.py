@@ -169,6 +169,88 @@ def d04_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d04_q5_local_supplier",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def d04_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): six-way join with a
+    conjunctive join condition (supplier in the customer's nation), region
+    filter, per-nation revenue. nation/region broadcast; supplier is
+    SF-scaled so AQE picks its strategy; the two fact edges shuffle."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "d04_q18_big_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 4) AS price,
+           ROUND(t.sum_qty, 4) AS sum_qty
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    ) t ON o_orderkey = t.l_orderkey
+    ORDER BY price DESC, o_orderkey
+    """,
+)
+def d04_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate-then-join — the
+    HAVING filter shrinks lineitem to the handful of big orders BEFORE the
+    join, so the join input is the filtered aggregate, never the raw fact
+    table. The pattern that matters at 100 TB: pre-aggregation as a join
+    reducer."""
+    t = Catalog(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        t.orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("price"),
+            F.round("sum_qty", 4).alias("sum_qty"),
+        )
+        .orderBy(F.desc("price"), "o_orderkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # D5 — outer joins
 # --------------------------------------------------------------------------
