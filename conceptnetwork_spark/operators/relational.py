@@ -398,6 +398,75 @@ def d08_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d08_asof_join",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, max_by(value, event_id) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    p AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, ROUND(p.value, 4) AS purchase_value,
+           ROUND(v.view_value, 4) AS last_view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+    ORDER BY p.event_id
+    """,
+)
+def d08_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True as-of join: for each purchase event, the user's latest view
+    event at or before the purchase time (NULL if none). The oracle runs
+    DuckDB's native ASOF JOIN; the engine uses the distributed union-sort
+    formulation — tag both sides, one shuffle on user_id, and a running
+    last(ignorenulls) window carries the most recent view value forward to
+    each purchase row. No range-join blowup: cost is one sort per key
+    partition regardless of how many views precede a purchase, which is why
+    this (not the join+filter+rank form) is the 100 TB path. The build side
+    is pre-deduped per (user, ts) so tie-breaks are engine-independent."""
+    ev = Catalog(spark, sf_dir).events
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("view_value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("tag"),
+            "view_value",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("double").alias("view_value"),
+        "event_id",
+        "value",
+    )
+    # views sort before purchases at equal ts (tag 0 < 1), so a view at
+    # exactly the purchase time is visible to it — the ASOF <= contract
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        v.unionByName(p)
+        .withColumn("lv", F.last("view_value", ignorenulls=True).over(w))
+        .where(F.col("tag") == 1)
+        .select(
+            "event_id",
+            F.round("value", 4).alias("purchase_value"),
+            F.round("lv", 4).alias("last_view_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # D9 — hash aggregate (TPC-H Q1 shape)
 # --------------------------------------------------------------------------
