@@ -9,7 +9,7 @@ DuckDB oracle SQL so both engines score identically by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from conceptnetwork_spark.catalog import Catalog
@@ -189,6 +189,102 @@ def d31_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred")).orderBy(
         "doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# D31f — per-language corpus statistics (exact percentiles)
+# --------------------------------------------------------------------------
+@register(
+    "d31_corpus_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))), 4) AS avg_tokens,
+           ROUND(quantile_cont(n_chars, 0.5), 4) AS med_chars,
+           ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def d31_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus summary with EXACT percentiles (Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the same linear-
+    interpolation definition, so medians hash-match). At 100 TB exact
+    percentiles are a sort-based aggregate per group; the approx_percentile
+    sketch is the cheaper alternative when 1% error is acceptable."""
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.regexp_count("text", F.lit(TOKEN_PATTERN))), 4).alias(
+                "avg_tokens"
+            ),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("med_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# D31g — composed corpus filter (the end-to-end pretraining dataprep shape)
+# --------------------------------------------------------------------------
+@register(
+    "d31_corpus_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             {_lang_id_sql('text')} AS lang_pred,
+             CAST(length(text) AS BIGINT) AS chars,
+             CAST(length(text) -
+                  length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)
+                  / length(text) AS punct_ratio,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    kept AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM scored
+      WHERE lang_pred = 'en' AND chars >= 100 AND punct_ratio < 0.1
+    )
+    SELECT doc_id, chars, ROUND(punct_ratio, 4) AS punct_ratio
+    FROM kept WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def d31_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed dataprep pipeline in one declared query: language gate
+    (shared lang-ID heuristic) -> quality gates (min length, punctuation
+    density) -> exact dedup (keep the lowest doc_id per normalized
+    fingerprint). Filters are all map-side; the only shuffle is the dedup
+    window on the 128-bit fingerprint — the same plan a 100 TB corpus
+    filter runs, just wider."""
+    d = Catalog(spark, sf_dir).documents
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    scored = d.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        F.length("text").cast("long").alias("chars"),
+        (
+            (
+                F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
+            ).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+        F.md5(norm.cast("binary")).alias("fp"),
+    ).where(
+        (F.col("lang_pred") == "en")
+        & (F.col("chars") >= 100)
+        & (F.col("punct_ratio") < 0.1)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "chars", F.round("punct_ratio", 4).alias("punct_ratio"))
+        .orderBy("doc_id")
     )
 
 
