@@ -38,6 +38,23 @@ def test_d04_q3_composite_plan(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_d04_q18_preagg_as_join_reducer(spark):
+    """Q18: the HAVING aggregate must run before (and feed) the orders join
+    — partial+final agg pair present, no raw-lineitem join."""
+    plan = _plan(spark, "d04_q18_big_orders")
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" in plan
+
+
+def test_d08_asof_single_shuffle_window(spark):
+    """The as-of union-sort form: one running-last window, no nested-loop or
+    cartesian fallback (the join+filter+rank form would show one)."""
+    plan = _plan(spark, "d08_asof_join")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_d09_q17_decorrelated(spark):
     """The correlated scalar subquery must be rewritten to aggregate+join —
     no per-outer-row subquery node may survive in the physical plan."""
