@@ -86,3 +86,40 @@ def test_dataprep_parse_codegen(spark, tmp_path):
     # "*(n)" is the simpleString marker for a WholeStageCodegen span
     assert "WholeStageCodegen" in plan or "*(1)" in plan, plan
     assert df.count() == 2
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key join with NO Exchange on either
+    side — the write-time shuffle is amortized across every later join."""
+    from conceptnetwork_spark.sources.bucketed import cocluster_join, write_bucketed
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        "t_orders_b", "custkey", str(tmp_path / "ob"), n_buckets=8,
+    )
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "custkey"),
+        "t_customer_b", "custkey", str(tmp_path / "cb"), n_buckets=8,
+    )
+    try:
+        # planner's choice: never a shuffle exchange (may broadcast locally)
+        joined = cocluster_join(spark, "t_orders_b", "t_customer_b", "custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        # the 100 TB plan: forced sort-merge over aligned buckets — no
+        # Exchange of any kind, bucket layout actually used
+        merged = cocluster_join(
+            spark, "t_orders_b", "t_customer_b", "custkey", force_merge=True
+        )
+        mplan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in mplan, mplan
+        assert "Exchange" not in mplan, mplan
+        assert "Bucketed: true" in mplan, mplan
+        assert joined.count() == orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
