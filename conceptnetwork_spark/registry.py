@@ -67,6 +67,7 @@ def _load_all() -> None:
         return
     from conceptnetwork_spark.operators import (  # noqa: F401
         relational,
+        subqueries,
         scalar,
         udf,
         dedup,
