@@ -68,6 +68,7 @@ def _load_all() -> None:
     from conceptnetwork_spark.operators import (  # noqa: F401
         relational,
         subqueries,
+        composite2,
         scalar,
         udf,
         dedup,
