@@ -123,3 +123,38 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_d09_q15_view_reuse_no_subquery_probe(spark):
+    """Q15: the revenue view's max must be a broadcast scalar join, never a
+    per-row subquery; date filter pushed to the lineitem scan."""
+    plan = _plan(spark, "d09_q15_top_supplier")
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d09_q21_no_correlated_probes(spark):
+    """Q21: the double-EXISTS must be decorrelated to per-order aggregates —
+    partial+final agg pairs, no nested-loop fallback."""
+    plan = _plan(spark, "d09_q21_waiting")
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d09_q14_broadcast_pruned_dim(spark):
+    """Q14: part broadcasts, and the broadcast side reads only the two
+    columns the query touches (pruning reaches the dim scan)."""
+    plan = _plan(spark, "d09_q14_promo")
+    assert "BroadcastHashJoin" in plan
+    assert "p_retailprice" not in plan  # pruned from the part scan
+
+
+def test_d04_q8_single_agg_pass(spark):
+    """Q8: numerator and denominator of the market-share ratio come from ONE
+    aggregation pass (no double scan of the joined fact)."""
+    plan = _plan(spark, "d04_q8_market_share")
+    # exactly one partial+final pair over the join output (plus AQE copies)
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "p_type" in plan
