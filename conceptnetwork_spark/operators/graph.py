@@ -1,0 +1,211 @@
+"""Distributed connected components + near-duplicate clustering.
+
+The step after pair generation in every large-scale dedup pipeline: near-dup
+PAIRS (from MinHash-LSH, SimHash, or exact Jaccard) must become CLUSTERS so
+one canonical document per cluster can be kept. Transitive closure is a graph
+problem, so this implements the alternating large-star / small-star
+connected-components algorithm of Kiveris et al., "Connected Components in
+MapReduce and Beyond" (SoCC'14) — the standard shuffle-based CC formulation:
+
+- every round is two groupBy-min passes over the edge set (pure DataFrame
+  ops, partial+final aggregation, no driver-side graph state);
+- converges in O(log n) rounds on real graphs (diameter collapses
+  doubly-exponentially), vs O(diameter) for naive label propagation;
+- per-round lineage is cut with localCheckpoint so the plan does not grow
+  unboundedly across iterations (the classic iterative-Spark trap);
+- the only driver-side value per round is a 3-number convergence checksum.
+
+At 100 TB the edge set (near-dup pairs) is orders of magnitude smaller than
+the corpus — LSH emits only same-bucket pairs — so CC runs on a small
+fraction of the data, shuffling (node, min-neighbor) longs only.
+
+Reference anchor: the reference has no graph surface (SURVEY §2.1 "not
+present" list); this is part of the mandated LLM-data-pipeline extension
+built on the D29 dedup family (SURVEY §2.2 D29).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conceptnetwork_spark.catalog import Catalog
+from conceptnetwork_spark.registry import register
+
+
+def _canonical(e: DataFrame) -> DataFrame:
+    """Orient every edge (max, min), drop self-loops, dedupe."""
+    return (
+        e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u, connect every strictly-larger neighbor to
+    min(N(u) ∪ {u}). Shrinks tall chains toward each component's minimum."""
+    b = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = b.groupBy("src").agg(F.min("dst").alias("mn"))
+    m = mins.select("src", F.least("src", "mn").alias("m"))
+    return (
+        b.where(F.col("dst") > F.col("src"))
+        .join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For each node u (edges oriented max→min), connect u and all its
+    smaller neighbors to the smallest of them. Flattens stars."""
+    o = _canonical(e)
+    mins = o.groupBy("src").agg(F.min("dst").alias("m"))
+    with_min = o.join(mins, "src")
+    neighbor_edges = with_min.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    self_edges = mins.select("src", F.col("m").alias("dst"))
+    return (
+        neighbor_edges.union(self_edges)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Edges (src, dst) → (node, component) where component = min node id
+    in the connected component. Nodes appearing in no edge are absent from
+    the result (callers outer-join their full node set and coalesce).
+
+    Alternating large-star/small-star until the edge set reaches a
+    fixpoint (checked by count + order-independent hash sum — never by
+    collecting edges). Each round materializes via localCheckpoint, so
+    iteration N+1's plan starts from N's result, not from the raw input.
+    """
+    e = _canonical(edges).localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        # count + order-independent XOR fold (bit_xor never overflows; a
+        # plain SUM of 64-bit hashes trips ANSI overflow checks)
+        sig_row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+            F.expr("bit_xor(hash(src, dst))").alias("h2"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"], sig_row["h2"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # at fixpoint every edge points node → component-min
+    roots = e.select(F.col("dst").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    return (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+        .union(roots)
+        .distinct()
+    )
+
+
+def cluster_documents(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, cluster_id) for EVERY input doc: near-dup pairs → connected
+    components; singleton docs become their own cluster. cluster_id is the
+    min doc_id in the cluster, so `doc_id == cluster_id` selects the
+    canonical keeper per cluster deterministically."""
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return docs.select(F.col(id_col).alias("doc_id")).join(
+        comp, F.col("doc_id") == F.col("node"), "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# D29 extension — oracle-checked dup clustering (bounded exact edges; the
+# DuckDB oracle computes the same transitive closure via a recursive CTE)
+# --------------------------------------------------------------------------
+@register(
+    "d29_dup_clusters",
+    oracle="""
+    WITH RECURSIVE sets AS (
+      SELECT doc_id,
+             list_distinct(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS toks
+      FROM documents WHERE doc_id < 200
+    ), pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95
+    ), edges AS (
+      SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ), walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM sets
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id
+    FROM walk GROUP BY node ORDER BY doc_id
+    """,
+)
+def d29_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering, oracle form: exact token-set Jaccard ≥ 0.95
+    over a bounded id range gives a deterministic edge set both engines
+    agree on; large-star/small-star CC turns it into (doc_id, cluster_id).
+    The DuckDB oracle reaches the same fixpoint by recursive-CTE label
+    propagation — two different algorithms, one answer."""
+    d = Catalog(spark, sf_dir).documents.where(F.col("doc_id") < 200)
+    toks = F.array_distinct(
+        F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    )
+    sets = d.select(F.col("doc_id"), toks.alias("toks"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    pairs = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .where(
+            F.size(F.array_intersect("ta", "tb"))
+            / F.size(F.array_union("ta", "tb")).cast("double")
+            >= 0.95
+        )
+        .select("doc_a", "doc_b")
+    )
+    return cluster_documents(d, pairs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# D29 extension — the scale path: LSH candidate pairs → verify → CC
+# --------------------------------------------------------------------------
+@register("d29_dup_clusters_lsh", oracle=None)
+def d29_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus near-dup clustering exactly as a 100 TB pipeline runs it:
+    MinHash signatures → banded LSH buckets → exact-Jaccard verification of
+    candidates only → connected components → (cluster_id, n_docs, keep_doc).
+    Never all-pairs; the CC edge set is only the verified near-dup pairs.
+    Non-oracle (MinHash bucketing is engine-defined); pytest checks cluster
+    consistency against the exact bounded form instead."""
+    from conceptnetwork_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    sigs = minhash_signatures(docs)
+    cands = lsh_candidate_pairs(sigs)
+    pairs = jaccard_verify(docs, cands, threshold=0.9)
+    clusters = cluster_documents(docs, pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+        .where(F.col("n_docs") > 1)
+        .orderBy("cluster_id")
+    )

@@ -69,6 +69,7 @@ def _load_all() -> None:
         relational,
         subqueries,
         composite2,
+        graph,
         scalar,
         udf,
         dedup,

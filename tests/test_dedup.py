@@ -82,3 +82,72 @@ def test_simhash_fast_matches_reference(spark, docs):
         dedup.simhash64_fast(F.col("text")).alias("b"),
     )
     assert cmp.where(F.col("a") != F.col("b")).count() == 0
+
+
+def test_connected_components_topologies(spark):
+    """Chain, triangle, and isolated pair must each collapse to their min
+    node id; the algorithm's output is (node -> component-min) for every
+    node that touches an edge."""
+    from conceptnetwork_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, triangle 10-11-12 (+dup edge), pair 20-21
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (12, 10), (21, 20)],
+        "src long, dst long",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_cluster_documents_singletons(spark):
+    """Docs with no near-dup pair are their own cluster; doc_id==cluster_id
+    picks exactly one canonical doc per cluster."""
+    from pyspark.sql import functions as F
+
+    from conceptnetwork_spark.operators.graph import cluster_documents
+
+    docs = spark.range(6).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "doc_a long, doc_b long")
+    out = cluster_documents(docs, pairs)
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
+    keepers = out.where(F.col("doc_id") == F.col("cluster_id")).count()
+    assert keepers == 4  # {0,3,5} + three singletons
+
+
+def test_lsh_clusters_capture_exact_duplicates(spark):
+    """Identical normalized texts have identical MinHash signatures, land in
+    the same LSH buckets, and verify at Jaccard 1.0 — so every exact-dup
+    group MUST be contained in one LSH-path cluster (a guaranteed recall
+    floor, unlike near-dups where banding is probabilistic)."""
+    from pyspark.sql import functions as F
+
+    from conceptnetwork_spark.catalog import Catalog
+    from conceptnetwork_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from conceptnetwork_spark.operators.graph import cluster_documents
+    from tests.conftest import SF_ORACLE
+
+    # the driver testdata plants near-dups but no byte-identical dups, so
+    # plant our own on top of a real-corpus sample
+    base = (
+        Catalog(spark, SF_ORACLE)
+        .documents.where(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    clones = base.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    docs = base.union(clones)
+    dup_groups = [[i, i + 1000] for i in range(10)]
+
+    sigs = minhash_signatures(docs)
+    pairs = jaccard_verify(docs, lsh_candidate_pairs(sigs), threshold=0.9)
+    lsh = {
+        r.doc_id: r.cluster_id for r in cluster_documents(docs, pairs).collect()
+    }
+    for members in dup_groups:
+        assert len({lsh[d] for d in members}) == 1, members

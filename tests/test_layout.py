@@ -1,0 +1,69 @@
+"""Partitioned-layout tests: static pruning, dynamic partition pruning, and
+result parity with the unpartitioned form."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conceptnetwork_spark.sources.layout import read_partitioned, write_partitioned
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def orders_by_year(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("layout") / "orders_by_year")
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    write_partitioned(
+        orders,
+        path,
+        ["o_year"],
+        derive={"o_year": F.year("o_orderdate")},
+        sort_col="o_orderkey",
+    )
+    return path
+
+
+def test_static_partition_pruning(spark, orders_by_year):
+    """A literal filter on the partition column must prune directories at
+    plan time: PartitionFilters on the scan, and only the matching year's
+    rows are read."""
+    df = read_partitioned(spark, orders_by_year).where(F.col("o_year") == 1996)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_year" in plan
+    expected = (
+        spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        .where(F.year("o_orderdate") == 1996)
+        .count()
+    )
+    assert df.count() == expected
+
+
+def test_dynamic_partition_pruning(spark, orders_by_year):
+    """When the partition column is a join key fed by a filtered build side,
+    the optimizer must inject a runtime pruning subquery on the fact scan
+    (`dynamicpruning` in the optimized plan)."""
+    fact = read_partitioned(spark, orders_by_year)
+    years = (
+        spark.range(1995, 2002)
+        .select(F.col("id").cast("int").alias("y"))
+        .withColumn("wanted", F.col("y") <= 1996)
+    )
+    dim = years.where(F.col("wanted"))
+    joined = fact.join(dim, fact.o_year == dim.y).groupBy("y").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in optimized.lower(), optimized
+
+
+def test_partitioned_roundtrip_parity(spark, orders_by_year):
+    """Partitioning must not change query answers: a non-partition-column
+    aggregation over the tree equals the same over the flat file."""
+    part = read_partitioned(spark, orders_by_year)
+    flat = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    a = part.agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).collect()[0]
+    b = flat.agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).collect()[0]
+    assert (a.n, a.s) == (b.n, b.s)
