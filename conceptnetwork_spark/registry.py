@@ -69,6 +69,7 @@ def _load_all() -> None:
         relational,
         subqueries,
         composite2,
+        composite3,
         graph,
         scalar,
         udf,

@@ -158,3 +158,41 @@ def test_d04_q8_single_agg_pass(spark):
     # exactly one partial+final pair over the join output (plus AQE copies)
     assert "BroadcastHashJoin" in plan
     assert "PushedFilters" in plan and "p_type" in plan
+
+
+def test_d09_q6_pure_scan_plan(spark):
+    """Q6 is the pushdown litmus test: all predicates reach the scan, the
+    ReadSchema is the 4 touched columns, and there is no join or exchange
+    beyond the single-row final agg."""
+    plan = _plan(spark, "d09_q6_forecast_revenue")
+    assert "PushedFilters" in plan
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in plan
+    assert "Join" not in plan
+    assert "l_returnflag" not in plan  # pruned
+    assert plan.count("HashAggregate") >= 2  # partial+final
+
+
+def test_d04_q2_decorrelated_broadcast_min(spark):
+    """Q2: the correlated per-region min must be a broadcast agg join, not
+    a per-row subquery probe or nested loop."""
+    plan = _plan(spark, "d04_q2_min_acctbal_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d09_q9_selective_dim_broadcast(spark):
+    """Q9: the p_name filter is on the broadcast part side; lineitem rows
+    are pruned at the probe before the orders shuffle."""
+    plan = _plan(spark, "d09_q9_product_profit")
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "p_name" in plan
+
+
+def test_d06_q20_semi_join_from_aggregate(spark):
+    """Q20: the qty>avg threshold set feeds a semi join; no nested-loop
+    fallback anywhere in the chain."""
+    plan = _plan(spark, "d06_q20_heavy_suppliers")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
