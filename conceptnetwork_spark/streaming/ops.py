@@ -343,3 +343,106 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(table)
+
+
+# --------------------------------------------------------------------------
+# D25 extension — stream-stream interval join (view→purchase attribution)
+# --------------------------------------------------------------------------
+@register(
+    "d25_stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+    ORDER BY view_id, purchase_id
+    """,
+)
+def d25_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-stream interval join: every purchase within
+    one hour after a view by the same user (classic attribution). Identical
+    semantics to the watermarked streaming join in
+    ``run_stream_stream_join`` — the interval condition is what makes the
+    streaming state bounded, so the batch and streaming forms agree exactly
+    on static input. At scale the join shuffles both streams on user_id
+    once; state per key is capped by the 1-hour event-time bound."""
+    ev = Catalog(spark, sf_dir).events
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            "user_id",
+            F.date_format("v_ts", _TS_FMT).alias("view_ts"),
+        )
+        .orderBy("view_id", "purchase_id")
+    )
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real stream-stream inner join: two watermarked readStreams over the
+    same events file, interval condition bounding state, append-mode memory
+    sink. With AvailableNow over static input the watermark drops nothing,
+    so the result equals ``d25_stream_stream_join``'s batch form. The
+    interval bound is MANDATORY in streaming (unbounded-state joins are
+    rejected for append output) — this pins that contract."""
+    table = f"stream_ssjoin_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{table}")
+    src = _events_stream(spark, sf_dir)
+    views = (
+        src.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        F.date_format("v_ts", _TS_FMT).alias("view_ts"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(table)

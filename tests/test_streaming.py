@@ -94,3 +94,13 @@ def test_late_data_dropped_beyond_watermark(spark, tmp_path):
     # late 10:20 row must NOT bump the 10:00 window; the 12:00 window never
     # finalizes (watermark stops at 12:45 < 13:00) so only two windows emit
     assert got == {("2024-01-01 10:00:00", 1), ("2024-01-01 11:00:00", 1)}, got
+
+
+@pytest.mark.slow
+def test_stream_stream_join_equals_batch(spark):
+    """Watermarked interval stream-stream join over static input must emit
+    exactly the batch attribution pairs (nothing dropped, nothing extra)."""
+    streamed = ops.run_stream_stream_join(spark, SF_SMOKE)
+    batch = queries()["d25_stream_stream_join"](spark, SF_SMOKE)
+    cols = ["view_id", "purchase_id", "user_id", "view_ts"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
