@@ -29,6 +29,8 @@ HEADLINE = [
     "d07_range_join",
     "d08_asof_latest_event",
     "d09_hash_agg",
+    "d09_q6_forecast_revenue",
+    "d09_q9_product_profit",
     "d09_q17_small_qty",
     "d12_rollup",
     "d12_cube",
@@ -38,6 +40,7 @@ HEADLINE = [
     "d20_array_funcs",
     "d22_pandas_udf",
     "d23_grouped_map",
+    "d25_stream_stream_join",
     "d26_tumbling_window",
     "d27_session_window",
     "d29_exact_dedup",

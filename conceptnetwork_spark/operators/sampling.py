@@ -1,0 +1,165 @@
+"""Reproducible sampling & split assignment for training-data pipelines.
+
+The sampling layer every 100 TB dataprep job needs and Spark's built-in
+``df.sample`` cannot give you: **content-addressed, engine-independent**
+row selection. ``sample()``/``sampleBy()`` are seeded per-partition, so the
+selected set changes whenever partitioning changes and can never be
+reproduced by another engine. Instead we bucket on a cryptographic hash of
+a stable key — ``bucket = int(md5(key)[:8], 16) % N`` — which gives:
+
+- the same rows selected on every engine, every partitioning, every run
+  (the DuckDB oracle literally re-derives the sample);
+- stable membership under corpus growth (a doc's bucket never changes, so
+  train/test assignment is permanent — no leakage when data is re-ingested);
+- per-row pure projection: no shuffle, no state, fully pushdown-friendly.
+
+This is the standard trick (e.g. the "mod-hash split" used across published
+LLM dataprep stacks); md5 is uniform enough that bucket sizes are within
+~1% of nominal at corpus scale.
+
+Reference anchor: the reference's only sampling surface is the boolean
+``randomize_input`` training shuffle (`conceptnetwork/network.py:199`),
+mapped to Network.read(shuffle_seed); deterministic subsetting/splitting is
+part of the mandated LLM-pipeline extension surface (SURVEY §2.2 preamble).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conceptnetwork_spark.catalog import Catalog
+from conceptnetwork_spark.registry import register
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Engine-portable deterministic bucket in [0, n_buckets): the first 8
+    hex chars of md5(key) as an integer, mod n_buckets. 32 bits of hash is
+    plenty for bucket assignment (collisions don't matter — identical keys
+    SHOULD collide)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+
+
+def hash_sample(df: DataFrame, key: str, fraction_pct: int) -> DataFrame:
+    """Keep rows whose hash bucket falls below ``fraction_pct`` (out of
+    100). Reproducible across engines/runs/partitionings, unlike
+    ``df.sample``."""
+    return df.where(hash_bucket(F.col(key)) < fraction_pct)
+
+
+def assign_split(
+    df: DataFrame, key: str, train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """Add a ``split`` column (train/val/test) by hash bucket. Membership is
+    a pure function of the key, so re-ingesting or growing the corpus never
+    moves a document across splits (the leakage-safety property)."""
+    b = hash_bucket(F.col(key))
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def _bucket_sql(key_expr: str, n: int = 100) -> str:
+    """The DuckDB spelling of hash_bucket (same md5-prefix arithmetic)."""
+    return f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8)) AS BIGINT) % {n}"
+
+
+# --------------------------------------------------------------------------
+# D2 extension — reproducible hash sample
+# --------------------------------------------------------------------------
+@register(
+    "d02_hash_sample",
+    oracle=f"""
+    SELECT doc_id, length(text) AS n_chars
+    FROM documents
+    WHERE {_bucket_sql('doc_id')} < 10
+    ORDER BY doc_id
+    """,
+)
+def d02_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample of the corpus by md5 bucket of doc_id —
+    the DuckDB oracle re-derives the identical row set, which no seeded
+    ``df.sample`` could ever satisfy. Pure projection+filter: no shuffle,
+    and the filter is a scan-level predicate at any scale."""
+    d = Catalog(spark, sf_dir).documents
+    return (
+        hash_sample(d, "doc_id", 10)
+        .select("doc_id", F.length("text").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# D2 extension — leakage-safe train/val/test split
+# --------------------------------------------------------------------------
+@register(
+    "d02_train_test_split",
+    oracle=f"""
+    WITH s AS (
+      SELECT CASE WHEN {_bucket_sql('doc_id')} < 80 THEN 'train'
+                  WHEN {_bucket_sql('doc_id')} < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM s GROUP BY split ORDER BY split
+    """,
+)
+def d02_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by doc_id hash bucket, summarized
+    per split. Both engines derive the same permanent assignment; the
+    per-split char means also agreeing proves the row membership matches,
+    not just the counts."""
+    d = Catalog(spark, sf_dir).documents
+    return (
+        assign_split(d, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+# --------------------------------------------------------------------------
+# D31 extension — percentile-thresholded corpus filter
+# --------------------------------------------------------------------------
+@register(
+    "d31_quantile_filter",
+    oracle="""
+    SELECT doc_id, length(text) AS n_chars
+    FROM documents
+    WHERE length(text) > (SELECT quantile_cont(length(text), 0.75)
+                          FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def d31_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents longer than the corpus 75th percentile — the
+    quantile-thresholded filter shape used for quality gating. The exact
+    interpolated percentile (Spark ``percentile`` == DuckDB
+    ``quantile_cont``) is computed once and broadcast as a single-row
+    threshold; at scale the percentile is one partial+final agg pass, never
+    a sort. (``approx_percentile`` is the drop-in at 100 TB; the exact form
+    is declared because it is oracle-comparable.)"""
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    thr = d.agg(
+        F.expr("percentile(n_chars, 0.75)").alias("p75")
+    )
+    return (
+        d.join(F.broadcast(thr))
+        .where(F.col("n_chars") > F.col("p75"))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )

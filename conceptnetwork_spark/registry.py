@@ -71,6 +71,7 @@ def _load_all() -> None:
         composite2,
         composite3,
         graph,
+        sampling,
         scalar,
         udf,
         dedup,
