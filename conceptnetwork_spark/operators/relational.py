@@ -872,3 +872,50 @@ def d16_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     ).select(F.lit("ord").alias("src"), "key", "cnt")
     return a.unionAll(b).orderBy("src", "key")
+
+
+# --------------------------------------------------------------------------
+# D12 extension — true pivot (wide cross-tab), explicit value list
+# --------------------------------------------------------------------------
+@register(
+    "d12_pivot",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) FILTER (o_orderpriority = '1-URGENT')        AS p1_urgent,
+           COUNT(*) FILTER (o_orderpriority = '2-HIGH')          AS p2_high,
+           COUNT(*) FILTER (o_orderpriority = '3-MEDIUM')        AS p3_medium,
+           COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+           COUNT(*) FILTER (o_orderpriority = '5-LOW')           AS p5_low
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def d12_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True ``groupBy().pivot()`` cross-tab: order counts per nation ×
+    priority. The pivot value list is EXPLICIT — at scale an implicit pivot
+    first runs a distinct job over the whole fact table to discover values;
+    declaring them keeps this a single partial+final aggregate. Pivoted
+    column names are re-aliased to identifier-safe names shared with the
+    oracle's FILTER form."""
+    t = Catalog(spark, sf_dir)
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("o_orderpriority", prios)
+        .count()
+    )
+    safe = {
+        "1-URGENT": "p1_urgent",
+        "2-HIGH": "p2_high",
+        "3-MEDIUM": "p3_medium",
+        "4-NOT SPECIFIED": "p4_not_specified",
+        "5-LOW": "p5_low",
+    }
+    return wide.select(
+        "n_name",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(safe[p]) for p in prios],
+    ).orderBy("n_name")

@@ -247,3 +247,33 @@ def d21_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "et").alias("et"),
         F.array_join(F.map_keys(m), ",").alias("ks"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# D20 extension — element-wise vector aggregation (per-label centroid)
+# --------------------------------------------------------------------------
+@register(
+    "d20_embedding_centroid",
+    oracle="""
+    SELECT label, pos, ROUND(AVG(embedding[pos]), 4) AS mean_val
+    FROM embeddings, (SELECT UNNEST(range(1, 9)) AS pos)
+    GROUP BY label, pos ORDER BY label, pos
+    """,
+)
+def d20_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors (first 8 dims), in long
+    (label, pos, mean) form — element-wise vector aggregation, the core of
+    IVF coarse-quantizer training and embedding-drift monitoring. Long form
+    via posexplode keeps the aggregate a plain partial+final hash agg on
+    (label, pos): at 100 TB this shuffles only (label, pos, partial-sum)
+    triples, never whole vectors, and needs no collect_list re-assembly.
+    1-based pos matches SQL ordinality."""
+    e = Catalog(spark, sf_dir).embeddings
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .select("label", (F.col("pos0") + 1).alias("pos"), "val")
+        .where(F.col("pos") <= 8)
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 4).alias("mean_val"))
+        .orderBy("label", "pos")
+    )

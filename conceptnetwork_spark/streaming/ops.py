@@ -446,3 +446,64 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(table)
+
+
+# --------------------------------------------------------------------------
+# D25 extension — stream-static enrichment join
+# --------------------------------------------------------------------------
+@register(
+    "d25_stream_static_join",
+    oracle="""
+    SELECT n_name, event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name, event_type ORDER BY n_name, event_type
+    """,
+)
+def d25_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of stream-static enrichment: events keyed to the customer
+    dimension, rolled up per nation × type. In streaming, the static side
+    is broadcast to every micro-batch (no state, re-resolved per batch);
+    semantics equal the batch join, which is what the oracle checks."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.events.join(t.customer, F.col("user_id") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("n_name", "event_type")
+    )
+
+
+def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real streaming form of d25_stream_static_join: readStream events
+    joined to the STATIC customer/nation DataFrames (broadcast into each
+    micro-batch), complete-mode aggregate to a memory sink."""
+    t = Catalog(spark, sf_dir)
+    table = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{table}")
+    enriched = (
+        _events_stream(spark, sf_dir)
+        .join(t.customer, F.col("user_id") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(table)

@@ -104,3 +104,13 @@ def test_stream_stream_join_equals_batch(spark):
     batch = queries()["d25_stream_stream_join"](spark, SF_SMOKE)
     cols = ["view_id", "purchase_id", "user_id", "view_ts"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+@pytest.mark.slow
+def test_stream_static_join_equals_batch(spark):
+    """Stream-static enrichment (static side broadcast per micro-batch)
+    must equal the batch join+rollup."""
+    streamed = ops.run_stream_static_join(spark, SF_SMOKE)
+    batch = queries()["d25_stream_static_join"](spark, SF_SMOKE)
+    cols = ["n_name", "event_type", "n_events", "sum_value"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
