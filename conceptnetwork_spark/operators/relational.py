@@ -919,3 +919,27 @@ def d12_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(safe[p]) for p in prios],
     ).orderBy("n_name")
+
+
+# --------------------------------------------------------------------------
+# D10 extension — row-level DISTINCT projection
+# --------------------------------------------------------------------------
+@register(
+    "d10_distinct",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey
+    FROM customer ORDER BY c_mktsegment, c_nationkey
+    """,
+)
+def d10_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level ``distinct()`` over a pruned projection — the other half of
+    the declared D10 surface (``d10_count_distinct`` covers the aggregate
+    form). Distinct is a partial+final hash aggregate on the projected
+    columns, so only (segment, nationkey) pairs ever shuffle — the scan
+    prunes the rest of the table."""
+    c = Catalog(spark, sf_dir).customer
+    return (
+        c.select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+    )

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import DoubleType, IntegerType
 
 from conceptnetwork_spark.catalog import Catalog
 from conceptnetwork_spark.registry import register
@@ -138,3 +138,92 @@ def flatmap_parse(df: DataFrame, schema: str, parse_iter) -> DataFrame:
             yield from parse_iter(pdf)
 
     return df.mapInPandas(gen, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# D22b — row-at-a-time Python UDF (declared surface; deliberately not hot path)
+# --------------------------------------------------------------------------
+@register(
+    "d22_scalar_udf",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN lower(substr(c_name, 1, 1)) = 'c' THEN 0 ELSE 1 END AS g
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def d22_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time ``F.udf`` form of D2/D22 — the declared D22 surface
+    includes both UDF flavors, so the plain-Python path (pickle per row, no
+    Arrow) is pinned to the same oracle. It exists to prove semantics, not
+    speed: at 100 TB you use the pandas_udf twin (``d22_pandas_udf``), which
+    is the same logic Arrow-batched."""
+
+    @F.udf(IntegerType())
+    def first_char_class(name):
+        return 0 if (name or "")[:1].lower() == "c" else 1
+
+    c = Catalog(spark, sf_dir).customer
+    return c.select(
+        "c_custkey", first_char_class(F.col("c_name")).alias("g")
+    ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# D23b — GROUPED_AGG pandas UDF (true UDAF surface)
+# --------------------------------------------------------------------------
+@pandas_udf(DoubleType())
+def _mean_agg(v: pd.Series) -> float:
+    return float(v.mean())
+
+
+@register(
+    "d23_grouped_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(AVG(l_quantity), 4) AS avg_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def d23_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a GROUPED_AGG pandas UDF — the UDAF half of the
+    declared D23 surface (``d23_grouped_map`` is the grouped-map half).
+    Arrow ships each group's column once; the group count here is tiny (~4)
+    so the whole-group-in-memory contract holds at any SF. Rounding is
+    JVM-side after the UDF (HALF_UP, matching the oracle)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(_mean_agg("l_quantity"), 4).alias("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# D24b — one→many through mapInPandas (the faithful P1 escape hatch)
+# --------------------------------------------------------------------------
+@register(
+    "d24_mapinpandas_parse",
+    oracle="""
+    SELECT p_partkey, t.word AS word
+    FROM part, unnest(string_split(p_name, ' ')) AS t(word)
+    ORDER BY p_partkey, word
+    """,
+)
+def d24_mapinpandas_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python one→many path: ``mapInPandas`` fan-out of p_name into
+    words, pinned to the same oracle as the JVM-native ``d24_explode_words``.
+    This is the faithful shape of the reference's ``beam.FlatMap``
+    (``examples/trainer/networks/preprocess.py:54-55``) for parsers that
+    genuinely need Python; Arrow-batched both directions, and the scan still
+    prunes to the two referenced columns."""
+
+    def parse_iter(pdf: pd.DataFrame):
+        out = pdf[["p_partkey", "p_name"]].copy()
+        out["word"] = out["p_name"].str.split(" ")
+        yield out.explode("word")[["p_partkey", "word"]]
+
+    p = Catalog(spark, sf_dir).part.select("p_partkey", "p_name")
+    return flatmap_parse(p, "p_partkey long, word string", parse_iter).orderBy(
+        "p_partkey", "word"
+    )
