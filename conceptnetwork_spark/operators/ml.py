@@ -96,3 +96,39 @@ def d33_ols_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(round(slope, 4), round(intercept, 4), round(mse, 4))],
         "slope double, intercept double, mse double",
     )
+
+
+# --------------------------------------------------------------------------
+# D33 extension — StringIndexer (learned categorical vocabulary, P4 faithful)
+# --------------------------------------------------------------------------
+@register(
+    "d33_string_indexer",
+    oracle="""
+    SELECT c_custkey, seg_idx
+    FROM customer
+    JOIN (
+      SELECT c_mktsegment,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, c_mktsegment) - 1 AS seg_idx
+      FROM customer GROUP BY c_mktsegment
+    ) USING (c_mktsegment)
+    ORDER BY c_custkey
+    """,
+)
+def d33_string_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib ``StringIndexer`` on c_mktsegment — the learned-vocabulary form
+    of the reference's categorical map P4 (``minimal_concept.py:18-28``,
+    GENDER_MAP) where the vocabulary is fit from data instead of hardcoded.
+    Deterministic: frequencyDesc order with alphabetic tie-break, which the
+    oracle reproduces as ROW_NUMBER() OVER (count DESC, value ASC). The fit
+    is one tiny agg over the distinct segments; transform is a broadcast map
+    lookup — no shuffle of the fact rows at any scale."""
+    from pyspark.ml.feature import StringIndexer
+
+    c = Catalog(spark, sf_dir).customer
+    idx = StringIndexer(
+        inputCol="c_mktsegment", outputCol="seg_idx_d", stringOrderType="frequencyDesc"
+    )
+    out = idx.fit(c).transform(c)
+    return out.select(
+        "c_custkey", F.col("seg_idx_d").cast("long").alias("seg_idx")
+    ).orderBy("c_custkey")

@@ -163,3 +163,32 @@ def d31_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D2 extension — stratified (per-class rate) hash sample
+# --------------------------------------------------------------------------
+@register(
+    "d02_stratified_sample",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE {_bucket_sql('c_custkey')} <
+          CASE WHEN c_mktsegment = 'BUILDING' THEN 10 ELSE 50 END
+    ORDER BY c_custkey
+    """,
+)
+def d02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum downsampling (10% of the over-represented BUILDING
+    segment, 50% elsewhere) — the class-rebalancing primitive of a training
+    pipeline, expressed as the same md5-bucket predicate as d02_hash_sample
+    so membership is permanent and oracle-reproducible (unlike seeded
+    ``df.sampleBy``). Still a pure scan-level filter: no shuffle, no state,
+    identical row set on any cluster size."""
+    c = Catalog(spark, sf_dir).customer
+    rate = F.when(F.col("c_mktsegment") == "BUILDING", 10).otherwise(50)
+    return (
+        c.where(hash_bucket(F.col("c_custkey")) < rate)
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )

@@ -323,3 +323,47 @@ def embedding_near_dup_pairs(
         .where(F.col("sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# --------------------------------------------------------------------------
+# D30 extension — L2-normalize + int8 scalar quantization (long form)
+# --------------------------------------------------------------------------
+@register(
+    "d30_quantize_int8",
+    oracle="""
+    SELECT vec_id, pos,
+           CAST(ROUND(
+             CAST(embedding[pos] AS DOUBLE)
+             / sqrt(list_sum(list_transform(embedding,
+                                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * 127) AS INTEGER) AS qval
+    FROM embeddings, (SELECT UNNEST(range(1, 65)) AS pos)
+    ORDER BY vec_id, pos
+    """,
+)
+def d30_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize each embedding and scalar-quantize to int8 (×127), in
+    long (vec_id, pos, qval) form — the standard 4× footprint reduction
+    before ANN indexing. All math is JVM-side higher-order functions on
+    doubles (floats are widened FIRST so Spark and the oracle run identical
+    double arithmetic); per-row work only, no shuffle before the final
+    presentation sort. 1-based pos matches SQL ordinality."""
+    e = Catalog(spark, sf_dir).embeddings
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        e.select("vec_id", nrm.alias("nrm"), F.posexplode("embedding"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("pos"),
+            F.round(F.col("col").cast("double") / F.col("nrm") * 127, 0)
+            .cast("int")
+            .alias("qval"),
+        )
+        .orderBy("vec_id", "pos")
+    )
