@@ -943,3 +943,57 @@ def d10_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("c_mktsegment", "c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# D5 extension — right outer join
+# --------------------------------------------------------------------------
+@register(
+    "d05_right_outer_join",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    ORDER BY c_custkey, o_orderkey NULLS FIRST
+    """,
+)
+def d05_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join — same result set as d05_left_outer_join but driven
+    through the 'right' join-type code path (Spark plans it as the mirrored
+    left-outer; preserved side is the customer build side). Null o_orderkey
+    rows are the order-less customers."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"), "right")
+        .select("c_custkey", "o_orderkey")
+        .orderBy("c_custkey", F.asc_nulls_first("o_orderkey"))
+    )
+
+
+# --------------------------------------------------------------------------
+# D13 extension — rank / dense_rank over ties
+# --------------------------------------------------------------------------
+@register(
+    "d13_rank_dense",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           RANK()       OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rk,
+           DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS drk
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def d13_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() vs dense_rank() with REAL ties (l_quantity is a small integer
+    domain, so tie groups are large) — gap semantics vs gapless semantics in
+    one window pass. Ties make the rank values themselves deterministic even
+    though intra-tie row order is not; row identity comes from the output
+    key (l_orderkey, l_linenumber), so the result is total-order stable.
+    One shuffle on l_returnflag + intra-partition sort."""
+    li = Catalog(spark, sf_dir).lineitem
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+    ).orderBy("l_orderkey", "l_linenumber")
