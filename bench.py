@@ -34,6 +34,7 @@ HEADLINE = [
     "d09_q17_small_qty",
     "d12_rollup",
     "d12_cube",
+    "d12_pivot",
     "d13_window_rank",
     "d15_topk",
     "d17_string_funcs",
@@ -48,6 +49,7 @@ HEADLINE = [
     "d29_simhash_pairs",
     "d30_knn_exact",
     "d30_lsh_ann",
+    "d30_quantize_int8",
     "d31_lang_id",
     "d31_quality_score",
     "d33_ols_mse",

@@ -277,3 +277,33 @@ def d20_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("val"), 4).alias("mean_val"))
         .orderBy("label", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# D20 extension — zip_with pairwise combine (element-wise vector algebra)
+# --------------------------------------------------------------------------
+@register(
+    "d20_zip_with_dot",
+    oracle="""
+    SELECT vec_id,
+           ROUND(SUM(CAST(embedding[pos] AS DOUBLE)
+                     * CAST(embedding[65 - pos] AS DOUBLE)), 4) AS rdot
+    FROM embeddings, (SELECT UNNEST(range(1, 65)) AS pos)
+    GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def d20_zip_with_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``zip_with`` + ``reverse`` + ``aggregate`` in one JVM-side expression:
+    the dot product of each embedding with its own reversal. This is the
+    element-wise-combine primitive behind vector math without UDFs — the
+    whole computation stays in whole-stage codegen, zero Python crossings,
+    zero shuffles before the presentation sort. Floats are widened to double
+    inside the lambda so both engines run identical arithmetic."""
+    e = Catalog(spark, sf_dir).embeddings
+    pairwise = F.zip_with(
+        "embedding",
+        F.reverse(F.col("embedding")),
+        lambda a, b: a.cast("double") * b.cast("double"),
+    )
+    rdot = F.aggregate(pairwise, F.lit(0.0), lambda acc, x: acc + x)
+    return e.select("vec_id", F.round(rdot, 4).alias("rdot")).orderBy("vec_id")
