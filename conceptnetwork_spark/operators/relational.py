@@ -997,3 +997,96 @@ def d13_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rk"),
         F.dense_rank().over(w).alias("drk"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+# --------------------------------------------------------------------------
+# D9 extension — collect_set / string_agg (deterministic via sorting)
+# --------------------------------------------------------------------------
+@register(
+    "d09_collect_set",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def d09_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued aggregation: distinct segments per nation, made
+    deterministic by sort_array before join (collect_set order is otherwise
+    partition-dependent — never compare it raw). Serialized to a CSV string
+    so both engines hash the same scalar. Per-group state is bounded by the
+    segment domain (5 values), so the agg stays partial+final safe at any
+    row count."""
+    c = Catalog(spark, sf_dir).customer
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# D9 extension — arg-max via max_by with a deterministic struct tiebreak
+# --------------------------------------------------------------------------
+@register(
+    "d09_arg_max",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS best_order, ROUND(o_totalprice, 4) AS best_price
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1 ORDER BY o_custkey
+    """,
+)
+def d09_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's highest-value order via ``max_by`` keyed on a
+    (price, orderkey) struct — the struct's lexicographic order makes ties
+    deterministic (highest orderkey wins), which bare max_by(price) would
+    not. One partial+final agg; compare with d08's window formulation, which
+    needs a full shuffle+sort — arg-max-by-struct ships one row per group
+    per partition instead."""
+    o = Catalog(spark, sf_dir).orders
+    key = F.struct("o_totalprice", "o_orderkey")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", key).alias("best_order"),
+            F.round(F.max("o_totalprice"), 4).alias("best_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# D16 extension — unionByName (schema-aligned-by-name set op)
+# --------------------------------------------------------------------------
+@register(
+    "d16_union_by_name",
+    oracle="""
+    SELECT c_custkey AS key, 'cust' AS src FROM customer WHERE c_acctbal < 0
+    UNION ALL
+    SELECT o_custkey AS key, 'ord' AS src FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY src, key
+    """,
+)
+def d16_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unionByName`` over two branches whose column ORDER differs — the
+    positional ``union`` would silently mis-align (key into src); by-name
+    resolution is the safe spelling when branches come from different
+    pipelines. Both branch filters stay pushed to their scans."""
+    t = Catalog(spark, sf_dir)
+    a = t.customer.where(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("key"), F.lit("cust").alias("src")
+    )
+    b = t.orders.where(F.col("o_orderstatus") == "F").select(
+        F.lit("ord").alias("src"), F.col("o_custkey").alias("key")
+    )
+    return a.unionByName(b).orderBy("src", "key")

@@ -227,3 +227,30 @@ def d24_mapinpandas_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatmap_parse(p, "p_partkey long, word string", parse_iter).orderBy(
         "p_partkey", "word"
     )
+
+
+# --------------------------------------------------------------------------
+# D24c — explode_outer (null-preserving generate)
+# --------------------------------------------------------------------------
+@register(
+    "d24_explode_outer",
+    oracle="""
+    SELECT p_partkey, t.word
+    FROM part LEFT JOIN LATERAL (
+      SELECT UNNEST(list_filter(string_split(p_name, ' '), w -> length(w) > 5)) AS word
+    ) t ON TRUE
+    ORDER BY p_partkey, word NULLS FIRST
+    """,
+)
+def d24_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer`` over a filtered word array: parts with no word
+    longer than 5 chars survive as a NULL row instead of vanishing — the
+    outer-generate semantics a plain explode (inner-join-like) loses. The
+    array filter is a JVM higher-order function, so the generate input never
+    leaves codegen."""
+    p = Catalog(spark, sf_dir).part
+    words = F.filter(F.split("p_name", " "), lambda w: F.length(w) > 5)
+    return (
+        p.select("p_partkey", F.explode_outer(words).alias("word"))
+        .orderBy("p_partkey", F.asc_nulls_first("word"))
+    )
