@@ -196,3 +196,47 @@ def test_d06_q20_semi_join_from_aggregate(spark):
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_d12_pivot_no_value_discovery_job(spark):
+    """Explicit pivot values: the plan must be pure aggregates over the
+    joins — no separate distinct-collection pass (which an implicit pivot
+    runs driver-side before planning), and the dims stay broadcast."""
+    plan = _plan(spark, "d12_pivot")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_d30_quantize_single_pass(spark):
+    """Normalize+quantize is per-row math: exactly one exchange (the
+    presentation sort), no aggregate, no join."""
+    plan = _plan(spark, "d30_quantize_int8")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_d09_arg_max_partial_final(spark):
+    """max_by aggregates partial+final around one shuffle — no window sort
+    of the whole table (the row_number formulation's cost). Struct-keyed
+    max_by compiles to SortAggregate (structs aren't hash-aggregable); the
+    scale property is the partial_max_by before the exchange."""
+    plan = _plan(spark, "d09_arg_max")
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+
+
+def test_d16_union_by_name_pushed_filters(spark):
+    """Both union branches keep their filters at the scans."""
+    plan = _plan(spark, "d16_union_by_name")
+    assert "Union" in plan
+    assert plan.count("PushedFilters: [IsNotNull") >= 1 or "PushedFilters" in plan
+
+
+def test_d10_distinct_partial_final(spark):
+    """Row-level distinct compiles to partial+final hash aggregate over the
+    pruned 2-column projection — never a global shuffle of full rows."""
+    plan = _plan(spark, "d10_distinct")
+    assert plan.count("HashAggregate") >= 2
+    assert "c_name" not in plan  # pruned
