@@ -1090,3 +1090,75 @@ def d16_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ord").alias("src"), F.col("o_custkey").alias("key")
     )
     return a.unionByName(b).orderBy("src", "key")
+
+
+# --------------------------------------------------------------------------
+# D3/D4 extension — salted large-large join (skew mitigation, explicit form)
+# --------------------------------------------------------------------------
+@register(
+    "d03_salted_skew_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice), 4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def d03_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly SALTED large-large shuffle join: the fact side gets a
+    deterministic salt in [0,8) hashed from its row identity, the other side
+    is replicated 8x with every salt value, and the join key becomes
+    (l_orderkey, salt) — so one hot orderkey's rows spread over 8 reducers
+    instead of one. The join result is salt-invariant, which the plain-join
+    oracle proves. This is the manual fallback for skew AQE can't fix
+    (single-key hot spots inside one partition); AQE skew-split stays on as
+    the first line of defense. Replication costs 8x of the SMALLER side
+    only — choose the salted side accordingly."""
+    t = Catalog(spark, sf_dir)
+    S = 8
+    li = t.lineitem.select("l_orderkey", "l_extendedprice").withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_extendedprice"), F.lit(S)).cast("int"),
+    )
+    o_rep = t.orders.select("o_orderkey", "o_orderpriority").crossJoin(
+        spark.range(S).select(F.col("id").cast("int").alias("salt"))
+    )
+    return (
+        li.join(
+            o_rep,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (li["salt"] == o_rep["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# D11 extension — approx percentile sketch (non-oracle; tolerance-tested)
+# --------------------------------------------------------------------------
+@register("d11_approx_percentile", oracle=None)
+def d11_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch) of l_extendedprice per
+    returnflag — mergeable single-pass sketch, the scale path where exact
+    percentiles (d09_percentiles' full sort) are unaffordable. Non-oracle:
+    sketches are engine-specific; pytest bounds it against the exact
+    percentile within 1% relative error."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 4
+            ).alias("p50_approx"),
+            F.round(
+                F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)), 4
+            ).alias("p95_approx"),
+        )
+        .orderBy("l_returnflag")
+    )

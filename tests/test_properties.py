@@ -145,3 +145,33 @@ def test_exact_dedup_key_parity(spark, rows, dups):
         pdf,
         ["k"],
     )
+
+
+def test_d11_approx_count_distinct_tolerance(spark, ddb):
+    """SURVEY D11: the HLL++ estimate must be within 5% of the exact count."""
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_ORACLE
+
+    approx = queries()["d11_approx_count_distinct"](spark, SF_ORACLE).collect()[0][0]
+    exact = ddb.execute("SELECT COUNT(DISTINCT o_custkey) FROM orders").fetchone()[0]
+    assert abs(approx - exact) / exact <= 0.05
+
+
+def test_d11_approx_percentile_tolerance(spark, ddb):
+    """The percentile sketch must sit within 1% relative error of exact."""
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_ORACLE
+
+    rows = {
+        r["l_returnflag"]: r
+        for r in queries()["d11_approx_percentile"](spark, SF_ORACLE).collect()
+    }
+    exact = ddb.execute(
+        """SELECT l_returnflag,
+                  quantile_cont(l_extendedprice, 0.5)  AS p50,
+                  quantile_cont(l_extendedprice, 0.95) AS p95
+           FROM lineitem GROUP BY l_returnflag"""
+    ).fetchall()
+    for flag, p50, p95 in exact:
+        assert abs(rows[flag]["p50_approx"] - p50) / p50 <= 0.01
+        assert abs(rows[flag]["p95_approx"] - p95) / p95 <= 0.01
