@@ -1162,3 +1162,105 @@ def d11_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# D14 extension — first_value / last_value / nth_value over explicit frames
+# --------------------------------------------------------------------------
+@register(
+    "d14_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_ord,
+           LAST_VALUE(o_orderkey)  OVER w AS last_ord,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_ord
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey
+    """,
+)
+def d14_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with an EXPLICIT full-partition frame — the
+    default frame stops at CURRENT ROW, which silently turns last_value into
+    the running row (the classic window bug); pinning ROWS UNBOUNDED..
+    UNBOUNDED gives the per-customer chronology endpoints. Total intra-
+    partition order via (o_orderdate, o_orderkey) keeps all three values
+    deterministic."""
+    o = Catalog(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_ord"),
+        F.last("o_orderkey").over(w).alias("last_ord"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ord"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# D18 extension — calendar-spine gap fill (time-series resample)
+# --------------------------------------------------------------------------
+@register(
+    "d18_gap_fill",
+    oracle="""
+    WITH months AS (
+      SELECT UNNEST(generate_series(DATE '1995-01-01', DATE '1995-12-01',
+                                    INTERVAL 1 MONTH))::DATE AS mon
+    ),
+    counts AS (
+      SELECT date_trunc('month', o_orderdate)::DATE AS mon, o_orderpriority,
+             COUNT(*) AS n
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+      GROUP BY 1, 2
+    )
+    SELECT p.o_orderpriority, strftime(m.mon, '%Y-%m-%d') AS mon,
+           COALESCE(c.n, 0) AS n_orders
+    FROM months m
+    CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    LEFT JOIN counts c ON c.mon = m.mon AND c.o_orderpriority = p.o_orderpriority
+    ORDER BY p.o_orderpriority, mon
+    """,
+)
+def d18_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense monthly time series per priority with zero-filled gaps: a
+    generated calendar spine (sequence+explode — pure JVM, 12 rows) cross-
+    joined with the tiny priority domain, left-joined to the aggregated
+    facts. The facts aggregate FIRST (partial+final on ~60 groups), so the
+    spine join touches group-level rows only — the resample pattern that
+    scales to any fact count. Both join inputs are broadcast-sized."""
+    o = Catalog(spark, sf_dir).orders
+    spine = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(to_date('1995-01-01'), to_date('1995-12-01'),"
+                " interval 1 month)"
+            )
+        ).alias("mon")
+    )
+    prios = o.select("o_orderpriority").distinct()
+    counts = (
+        o.where(
+            F.col("o_orderdate").between("1995-01-01", "1995-12-31 23:59:59")
+        )
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.crossJoin(prios)
+        .join(F.broadcast(counts), ["mon", "o_orderpriority"], "left")
+        .select(
+            "o_orderpriority",
+            F.date_format("mon", "yyyy-MM-dd").alias("mon"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority", "mon")
+    )
