@@ -40,7 +40,7 @@ HEADLINE = [
     "d17_string_funcs",
     "d20_array_funcs",
     "d22_pandas_udf",
-    "d23_grouped_map",
+    "d23_mean_center",
     "d25_stream_stream_join",
     "d26_tumbling_window",
     "d27_session_window",

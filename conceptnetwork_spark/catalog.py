@@ -34,17 +34,25 @@ TABLES = (
 # customer/part/supplier grow with SF -> treated as shuffle-side at scale.
 DIM_TABLES = frozenset({"region", "nation"})
 
-# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long (see
-# session.py nanosAsLong) and we convert to microsecond timestamps in-plan.
-# Integer `div` avoids the double-precision loss of `/1000` at ns-epoch
-# magnitude (~1.7e18 > 2^53); DuckDB truncates ns->us the same way.
+# Event-time columns needing normalization to TIMESTAMP (LTZ):
+# - parquet TIMESTAMP(NANOS): Spark reads as long (session.py nanosAsLong);
+#   integer `div` avoids double-precision loss at ns-epoch magnitude
+#   (~1.7e18 > 2^53); DuckDB truncates ns->us the same way.
+# - parquet timestamp[us] with isAdjustedToUTC=false: Spark reads as
+#   TIMESTAMP_NTZ, which withWatermark rejects
+#   (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Session TZ is pinned UTC
+#   (session.py), so casting NTZ->LTZ reinterprets the same wall-clock
+#   instant and batch/oracle semantics are unchanged.
 NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def fix_nanos(df: DataFrame, name: str) -> DataFrame:
     for c in NANOS_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -81,17 +81,23 @@ def fit_transform_evaluate(
     """,
 )
 def d33_ols_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic seeded linear model: fit l_extendedprice ~ l_quantity
-    with MLlib's normal-equation solver; oracle recomputes the closed form
-    with DuckDB regression aggregates. Proves the full M1-M6 surface
-    (assemble -> fit -> transform -> evaluate) numerically."""
+    """Deterministic linear model: fit l_extendedprice ~ l_quantity with
+    MLlib's normal-equation solver; oracle recomputes the closed form with
+    DuckDB regression aggregates.
+
+    Cheap by construction (round-1 bench lesson): the normal solver already
+    aggregates the sufficient statistics in its single training pass, and
+    the training summary exposes meanSquaredError computed from them — so
+    this is ONE pass over a 2-column projection, no persist, no transform,
+    no extra aggregation job. The full fit->transform->evaluate dispatch
+    surface (M5) stays covered by ``fit_transform_evaluate`` in the pytest
+    suite."""
     li = Catalog(spark, sf_dir).lineitem.select("l_quantity", "l_extendedprice")
-    model, preds, mse = fit_transform_evaluate(
-        li, ["l_quantity"], "l_extendedprice"
-    )
+    model = build_ols_pipeline(["l_quantity"], "l_extendedprice").fit(li)
     lrm = model.stages[-1]
     slope = float(lrm.coefficients[0])
     intercept = float(lrm.intercept)
+    mse = float(lrm.summary.meanSquaredError)
     return spark.createDataFrame(
         [(round(slope, 4), round(intercept, 4), round(mse, 4))],
         "slope double, intercept double, mse double",

@@ -106,6 +106,35 @@ def mean_center_scalable(df: DataFrame, key: str, value: str) -> DataFrame:
     ).drop("__mean")
 
 
+@register(
+    "d23_mean_center",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           ROUND(l_quantity - AVG(l_quantity) OVER (PARTITION BY l_returnflag), 4)
+             AS centered
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def d23_mean_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALABLE D23 headline: same per-group mean-centering semantics as
+    ``d23_grouped_map`` (identical oracle), but via ``mean_center_scalable``
+    — a 3-row mean aggregate broadcast-joined back onto the stream. The row
+    stream stays fully parallel (no 3-task concentration, no Python
+    workers); ``d23_grouped_map`` remains the applyInPandas API-surface
+    check."""
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    out = mean_center_scalable(li, "l_returnflag", "l_quantity")
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("centered_raw", 4).alias("centered"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
 # --------------------------------------------------------------------------
 # D24 — UDTF surface (one row -> many)
 # --------------------------------------------------------------------------

@@ -59,9 +59,71 @@ def oracles() -> dict[str, str]:
 
 _LOADED = False
 
+# Certification-first ordering. The driver's CORRECTNESS window checks the
+# FIRST 50 registry entries (round-1 lesson: insertion order burned all 50
+# slots on D1-D16 variants, leaving D17-D33 driver-unverified). This list
+# puts one-or-more oracle queries from EVERY declared component D1-D33 in
+# the first 50 slots; everything else follows in module insertion order.
+CERT_FIRST: tuple[str, ...] = (
+    # D17-D33: the families with no driver row in round 1
+    "d17_string_funcs",
+    "d18_date_funcs",
+    "d19_math_funcs",
+    "d20_array_funcs",
+    "d21_json_funcs",
+    "d22_pandas_udf",
+    "d22_scalar_udf",
+    "d23_mean_center",
+    "d23_grouped_map",
+    "d23_grouped_agg",
+    "d24_explode_words",
+    "d24_mapinpandas_parse",
+    "d25_stream_ingest",
+    "d25_stream_static_join",
+    "d25_stream_stream_join",
+    "d25_stateful_totals",
+    "d26_tumbling_window",
+    "d26_sliding_window",
+    "d27_session_window",
+    "d28_keyed_dedup",
+    "d29_exact_dedup",
+    "d29_dup_clusters",
+    "d29_ngram_jaccard",
+    "d30_knn_exact",
+    "d30_quantize_int8",
+    "d31_text_stats",
+    "d31_quality_score",
+    "d31_lang_id",
+    "d31_fingerprint",
+    "d32_binary_meta",
+    "d33_ols_mse",
+    "d33_string_indexer",
+    "d20_zip_with_dot",
+    "d24_explode_outer",
+    # D1-D16: one representative each so every component keeps a green row
+    "d01_scan_filter",
+    "d02_case_parse",
+    "d03_inner_join",
+    "d04_q3_shipping",
+    "d05_left_outer_join",
+    "d06_semi_join",
+    "d07_range_join",
+    "d08_asof_join",
+    "d09_hash_agg",
+    "d10_count_distinct",
+    "d11_approx_count_distinct",
+    "d12_rollup",
+    "d12_pivot",
+    "d13_window_rank",
+    "d14_window_running",
+    "d15_topk",
+    "d16_union_all",
+)
+
 
 def _load_all() -> None:
-    """Import every module that registers declared queries."""
+    """Import every module that registers declared queries, then reorder the
+    registry so the certification set occupies the first slots."""
     global _LOADED
     if _LOADED:
         return
@@ -81,5 +143,13 @@ def _load_all() -> None:
         ml,
     )
     from conceptnetwork_spark.streaming import ops, stateful  # noqa: F401
+
+    missing = [n for n in CERT_FIRST if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"CERT_FIRST names not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in CERT_FIRST}
+    ordered.update((n, d) for n, d in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
 
     _LOADED = True

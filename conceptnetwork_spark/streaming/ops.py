@@ -322,6 +322,42 @@ def run_windowed_append_stream(
     return spark.table(table)
 
 
+def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real streaming form of d27_session_window: watermarked
+    session_window aggregation (30-min gap) over readStream events,
+    complete-mode memory sink. With AvailableNow over static input the
+    watermark drops nothing, so the result equals the batch session
+    query — this pins that the session_window expression is genuinely
+    streaming-capable (merging session state across micro-batches)."""
+    table = f"stream_session_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{table}")
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(table)
+
+
 def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stateful dedup on event_id within a watermark (D28
     streaming form): dropDuplicatesWithinWatermark + append to memory."""

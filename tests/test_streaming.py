@@ -21,6 +21,14 @@ def test_stream_windowed_agg_equals_batch(spark):
 
 
 @pytest.mark.slow
+def test_stream_session_window_equals_batch(spark):
+    streamed = ops.run_session_window_stream(spark, SF_SMOKE)
+    batch = queries()["d27_session_window"](spark, SF_SMOKE)
+    cols = ["user_id", "session_start", "n_events", "sum_value"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+@pytest.mark.slow
 def test_stream_dedup_equals_batch(spark):
     streamed = ops.run_stream_dedup(spark, SF_SMOKE)
     batch = queries()["d28_keyed_dedup"](spark, SF_SMOKE)
