@@ -69,14 +69,18 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, sf_dir).count()
 
-    # measured pass: two timed runs per query, min reported — a single GC
+    # measured pass: three timed runs per query, min reported — a single GC
     # pause or OS scheduling blip otherwise lands in one query's number and
-    # dominates the total (observed 10x outliers on individual runs)
+    # dominates the total (observed 10x outliers on individual runs; round-1
+    # driver bench recorded 7-75 s for queries that measure <1.6 s on an
+    # idle host, so the measurement must survive a loaded host). A GC nudge
+    # between queries keeps one query's garbage out of the next's timing.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
