@@ -41,6 +41,43 @@ def build_ols_pipeline(feature_cols: list[str], label_col: str) -> Pipeline:
     return Pipeline(stages=[assembler, lr])
 
 
+def build_nonlinear_pipeline(
+    feature_cols: list[str], label_col: str, seed: int = 42
+) -> Pipeline:
+    """Nonlinear Network inference (M2 parity): the reference's model is
+    dense(100, relu) -> dense(n) (``examples/trainer/networks/
+    minimal_network.py:38-43``) — a nonlinear regressor from origin features
+    to target features. MLlib ships no MLP *regressor*, so the Spark-first
+    equivalent is ``GBTRegressor``: seeded-deterministic, distributed fit,
+    ``save``/``load`` (R3 checkpoint hook) — same Pipeline surface as the
+    linear stage, swapped via ``build_pipeline(model=...)``."""
+    from pyspark.ml.regression import GBTRegressor
+
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    gbt = GBTRegressor(
+        featuresCol="features",
+        labelCol=label_col,
+        seed=seed,
+        maxIter=20,
+        maxDepth=3,
+        stepSize=0.1,
+        subsamplingRate=1.0,  # no row sampling -> deterministic given seed
+    )
+    return Pipeline(stages=[assembler, gbt])
+
+
+def build_pipeline(
+    feature_cols: list[str], label_col: str, model: str = "linear", seed: int = 42
+) -> Pipeline:
+    """Model-stage dispatch behind one surface (M2/M6): 'linear' is the
+    closed-form OLS stage, 'gbt' the nonlinear stage."""
+    if model == "linear":
+        return build_ols_pipeline(feature_cols, label_col)
+    if model == "gbt":
+        return build_nonlinear_pipeline(feature_cols, label_col, seed=seed)
+    raise ValueError(f"unknown model {model!r}; expected 'linear' or 'gbt'")
+
+
 def fit_transform_evaluate(
     df: DataFrame, feature_cols: list[str], label_col: str
 ) -> tuple[PipelineModel, DataFrame, float]:
@@ -102,6 +139,30 @@ def d33_ols_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(round(slope, 4), round(intercept, 4), round(mse, 4))],
         "slope double, intercept double, mse double",
     )
+
+
+# --------------------------------------------------------------------------
+# D33 extension — nonlinear model stage (M2 parity; non-oracle like D11)
+# --------------------------------------------------------------------------
+@register("d33_gbt_mse", oracle=None)
+def d33_gbt_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded GBT regression of l_extendedprice on (l_quantity, l_discount,
+    l_tax): the nonlinear-model half of the M2 surface. No DuckDB oracle
+    (tree ensembles are engine-specific, like the D11 sketches); pytest pins
+    determinism (two fits agree exactly) and that the nonlinear fit beats
+    the linear one on training MSE. MSE comes from one evaluation pass over
+    the 4-column projection — no persist, no driver-side rows."""
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice"
+    )
+    model = build_pipeline(
+        ["l_quantity", "l_discount", "l_tax"], "l_extendedprice", model="gbt"
+    ).fit(li)
+    preds = model.transform(li)
+    mse = preds.agg(
+        F.avg(F.pow(F.col("l_extendedprice") - F.col("prediction"), 2)).alias("m")
+    ).collect()[0]["m"]
+    return spark.createDataFrame([(round(float(mse), 4),)], "mse double")
 
 
 # --------------------------------------------------------------------------

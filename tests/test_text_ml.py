@@ -53,6 +53,48 @@ def test_ols_pipeline_save_load(spark, tmp_path):
     assert p1 == p2
 
 
+def test_gbt_pipeline_nonlinear_beats_linear(spark, tmp_path):
+    """M2 parity: the reference network is dense(100, relu) -> dense(n) —
+    nonlinear. On a quadratic relation the GBT stage must (a) be exactly
+    deterministic across fits given the seed, (b) save/load to identical
+    predictions (R3), and (c) beat the linear stage's training MSE."""
+    df = spark.createDataFrame(
+        [(float(x), 0.5 * x * x - 3.0 * x + 2.0) for x in range(200)], ["x", "y"]
+    )
+    m1 = ml.build_pipeline(["x"], "y", model="gbt").fit(df)
+    m2 = ml.build_pipeline(["x"], "y", model="gbt").fit(df)
+    p1 = [r.prediction for r in m1.transform(df).collect()]
+    p2 = [r.prediction for r in m2.transform(df).collect()]
+    assert p1 == p2, "seeded GBT fit must be deterministic"
+
+    path = str(tmp_path / "gbt_model")
+    m1.write().overwrite().save(path)
+    from pyspark.ml import PipelineModel
+
+    restored = PipelineModel.load(path)
+    p3 = [r.prediction for r in restored.transform(df).collect()]
+    assert p1 == p3, "restored model must predict identically"
+
+    def mse(model):
+        return (
+            model.transform(df)
+            .agg(F.avg(F.pow(F.col("y") - F.col("prediction"), 2)).alias("m"))
+            .collect()[0]["m"]
+        )
+
+    lin = ml.build_pipeline(["x"], "y", model="linear").fit(df)
+    assert mse(m1) < mse(lin) / 10, "nonlinear stage must fit the quadratic"
+
+
+def test_gbt_declared_query_deterministic(spark):
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    a = queries()["d33_gbt_mse"](spark, SF_SMOKE).collect()
+    b = queries()["d33_gbt_mse"](spark, SF_SMOKE).collect()
+    assert a == b and a[0].mse >= 0.0
+
+
 def test_media_metadata_plumbing(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"hello")), (2, bytearray(b"\x00\x01\x02"))],
