@@ -56,10 +56,44 @@ HEADLINE = [
 ]
 
 
+def sweep(spark, sf_dir: str) -> None:
+    """--sweep: run EVERY registered query once (one-shot, cold codegen) and
+    print per-query seconds. This is the per-family regression radar the
+    headline bench can't provide (it times 31 of 100+ queries); run it each
+    round and diff against the previous sweep before the driver bench sees a
+    regression."""
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # record, don't abort the sweep
+            timings[name] = -1.0
+            print(f"# FAIL {name}: {ex}", file=sys.stderr)
+    total = round(sum(t for t in timings.values() if t > 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "full_sweep_one_shot_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="conceptnetwork-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--sweep" in sys.argv:
+        sweep(spark, sf_dir)
+        spark.stop()
+        return
     qs = registry.queries()
 
     # warm-up: prime OS file cache, then run each query once so JIT/codegen

@@ -69,7 +69,11 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Partition count straight from the physical plan — df.rdd.getNumPartitions()
+    # would build the whole Python-RDD conversion plan on every call (an
+    # analyzer round-trip per query in the hot path).
+    n = len(df._jdf.rdd().partitions())
+    if n < target:
         return df.repartition(target)
     return df
 

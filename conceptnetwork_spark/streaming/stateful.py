@@ -89,16 +89,27 @@ def run_stateful_totals(
     )
     table = f"stateful_totals_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{table}")
-    q = (
-        running_totals(stream)
-        .writeStream.format("memory")
-        .queryName(table)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    # State-store sizing: streaming state is partitioned by the shuffle
+    # partition count AT QUERY START and each partition pays per-batch
+    # commit I/O. 150 user keys across 32 stores x 4 batches is pure fixed
+    # overhead, so scope a smaller count to this query (a real production
+    # knob — state partitions are sized to key cardinality, not to the
+    # batch-side CPU count; checkpointed state pins it for the query's life).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            running_totals(stream)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # update-mode memory sink appends one row per key per batch; the final
     # totals are the per-key max (counts are monotone)
     from pyspark.sql import functions as F
