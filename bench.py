@@ -53,6 +53,7 @@ HEADLINE = [
     "d31_lang_id",
     "d31_quality_score",
     "d33_ols_mse",
+    "d34_llm_dataprep",
 ]
 
 

@@ -1,0 +1,162 @@
+"""End-to-end LLM training-data prep composite (SURVEY §2.2 D34).
+
+The integration query that chains the extension families the way a real
+pretraining-data pipeline does — one declarative plan, so Catalyst fuses the
+whole thing:
+
+  scan documents
+    → quality gate   (D31: length / word-count / punctuation-density)
+    → language ID    (D31: shared-profile n-gram heuristic, annotation)
+    → exact dedup    (D29: md5 of normalized text, keep min doc_id;
+                      ids-only shuffle via agg + semi-join, never full rows)
+    → token counting (D31: BPE-ish regex tokens)
+    → split assign   (D2: md5-bucket train/val/test — permanent membership)
+
+Every stage is a pure ``pyspark.sql.functions`` expression (WholeStageCodegen,
+zero Python), and the full pipeline is ONE job: scan → map-side filters →
+one 16-byte-key shuffle for the dedup agg → broadcast semi-join back →
+map-side projection. At 100 TB the only shuffle is (md5, min_id) pairs.
+
+Reference anchor: composes the mandated LLM-pipeline extension surface
+(SURVEY §2.2 preamble; BASELINE.json north-star); the reference itself has
+no corpus operators (SURVEY §2.1 "not present" list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conceptnetwork_spark.catalog import Catalog
+from conceptnetwork_spark.operators.sampling import _bucket_sql, hash_bucket
+from conceptnetwork_spark.operators.text import (
+    PUNCT_CLASS,
+    TOKEN_PATTERN,
+    _lang_id_sql,
+    lang_id,
+)
+from conceptnetwork_spark.registry import register
+
+# normalized-content key for exact dedup: case/whitespace-insensitive
+_NORM_SQL = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+
+def _norm_key(col):
+    return F.md5(
+        F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))).cast("binary")
+    )
+
+
+@register(
+    "d34_llm_dataprep",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(length(text) AS BIGINT) AS chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS tokens,
+             CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g'))
+                  AS DOUBLE) / length(text) AS punct_ratio
+      FROM documents
+    ), quality AS (
+      SELECT * FROM base
+      WHERE chars >= 100 AND words >= 20 AND punct_ratio < 0.10
+    ), keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY {_NORM_SQL}
+    ), dedup AS (
+      SELECT q.* FROM quality q JOIN keep USING (doc_id)
+    )
+    SELECT doc_id,
+           CASE WHEN {_bucket_sql('doc_id')} < 80 THEN 'train'
+                WHEN {_bucket_sql('doc_id')} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           {_lang_id_sql('text')} AS lang,
+           tokens, chars
+    FROM dedup ORDER BY doc_id
+    """,
+)
+def d34_llm_dataprep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship integration: quality-gate → lang-annotate → exact-dedup
+    (normalized content hash, min-id canonical) → token-count → leakage-safe
+    split, as one fused declarative plan. DuckDB re-derives the identical
+    surviving row set, split membership, language labels and token counts."""
+    d = Catalog(spark, sf_dir).documents
+    base = d.select(
+        "doc_id",
+        "text",
+        F.length("text").cast("long").alias("chars"),
+        F.size(F.split("text", " ")).cast("long").alias("words"),
+        F.regexp_count("text", F.lit(TOKEN_PATTERN)).cast("long").alias("tokens"),
+        (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
+            ).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+    )
+    quality = base.where(
+        (F.col("chars") >= 100)
+        & (F.col("words") >= 20)
+        & (F.col("punct_ratio") < 0.10)
+    )
+    # dedup: only (norm-hash, min doc_id) pairs shuffle; survivors re-join
+    # by id (broadcast-able: keepers ≈ distinct contents, bounded per bucket)
+    keep = quality.groupBy(_norm_key(F.col("text")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    dedup = quality.join(keep.select("doc_id"), "doc_id", "left_semi")
+    return dedup.select(
+        "doc_id",
+        F.when(hash_bucket(F.col("doc_id")) < 80, "train")
+        .when(hash_bucket(F.col("doc_id")) < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        lang_id(F.col("text")).alias("lang"),
+        "tokens",
+        "chars",
+    ).orderBy("doc_id")
+
+
+@register(
+    "d34_dataprep_summary",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(length(text) AS BIGINT) AS chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS tokens,
+             CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g'))
+                  AS DOUBLE) / length(text) AS punct_ratio
+      FROM documents
+    ), quality AS (
+      SELECT * FROM base
+      WHERE chars >= 100 AND words >= 20 AND punct_ratio < 0.10
+    ), keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY {_NORM_SQL}
+    ), dedup AS (
+      SELECT q.* FROM quality q JOIN keep USING (doc_id)
+    )
+    SELECT CASE WHEN {_bucket_sql('doc_id')} < 80 THEN 'train'
+                WHEN {_bucket_sql('doc_id')} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(tokens) AS total_tokens,
+           ROUND(AVG(chars), 4) AS avg_chars
+    FROM dedup GROUP BY split ORDER BY split
+    """,
+)
+def d34_dataprep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level readout of the same pipeline: docs / token budget / size
+    per split — the numbers a dataprep run reports before training starts.
+    Same plan as d34_llm_dataprep plus one 3-group aggregate."""
+    full = d34_llm_dataprep(spark, sf_dir)
+    return (
+        full.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("total_tokens"),
+            F.round(F.avg("chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )

@@ -72,12 +72,12 @@ CERT_FIRST: tuple[str, ...] = (
     "d20_array_funcs",
     "d21_json_funcs",
     "d22_pandas_udf",
-    "d22_scalar_udf",
     "d23_mean_center",
     "d23_grouped_map",
     "d23_grouped_agg",
     "d24_explode_words",
     "d24_mapinpandas_parse",
+    "d34_llm_dataprep",
     "d25_stream_ingest",
     "d25_stream_static_join",
     "d25_stream_stream_join",
@@ -99,7 +99,6 @@ CERT_FIRST: tuple[str, ...] = (
     "d33_ols_mse",
     "d33_string_indexer",
     "d20_zip_with_dot",
-    "d24_explode_outer",
     # D1-D16: one representative each so every component keeps a green row
     "d01_scan_filter",
     "d02_case_parse",
@@ -141,6 +140,7 @@ def _load_all() -> None:
         text,
         multimodal,
         ml,
+        pipeline,
     )
     from conceptnetwork_spark.streaming import ops, stateful  # noqa: F401
 
