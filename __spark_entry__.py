@@ -19,11 +19,12 @@ from conceptnetwork_spark import registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: TPC-H Q1-shaped hash
-    aggregation (D9) — scan + partial/final agg + sort."""
-    from conceptnetwork_spark.operators.relational import d09_hash_agg
+    """Flagship on /root/testdata/sf0.001: the end-to-end LLM dataprep
+    composite (D34) — quality gate → lang-ID → exact dedup → token count →
+    leakage-safe split, one fused Catalyst plan."""
+    from conceptnetwork_spark.operators.pipeline import d34_llm_dataprep
 
-    return d09_hash_agg(spark, "/root/testdata/sf0.001")
+    return d34_llm_dataprep(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -125,6 +125,166 @@ def run_stateful_totals(
     )
 
 
+# --------------------------------------------------------------------------
+# D25/D28 companion — Spark 4 native stateful API (transformWithStateInPandas)
+# --------------------------------------------------------------------------
+def _twsp_available() -> bool:
+    """transformWithStateInPandas needs the StatefulProcessor API (Spark 4+)
+    AND google.protobuf (its state-server wire protocol). protobuf is not in
+    this container, so the query registers only where the dependency exists
+    (any real Spark 4 cluster); the applyInPandasWithState path below covers
+    the custom-stateful surface either way and is oracle-checked."""
+    try:
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def run_first_seen_stats(
+    spark: SparkSession, sf_dir: str, n_files: int = 3
+) -> DataFrame:
+    """Per-user (first_seen, n_events) via ``transformWithStateInPandas`` —
+    the Spark-4 arbitrary-stateful API (typed ValueState, RocksDB state
+    store) that supersedes applyInPandasWithState. State carries across
+    micro-batches (maxFilesPerTrigger=1 over a staged multi-file copy), and
+    the final emission per key must equal the batch MIN(ts)/COUNT(*).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    class FirstSeenProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg",
+                StructType(
+                    [
+                        StructField("first_ts", TimestampType()),
+                        StructField("n", LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            first_ts, n = (
+                self._state.get() if self._state.exists() else (None, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                batch_min = pdf["ts"].min()
+                if first_ts is None or batch_min < first_ts:
+                    first_ts = batch_min
+            self._state.update((first_ts, n))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "first_seen": [first_ts], "n_events": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = Catalog(spark, sf_dir).events
+    stage = os.path.join(
+        tempfile.gettempdir(), f"tws_src_{uuid.uuid4().hex[:8]}"
+    )
+    ev.repartition(n_files).write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+    stream = fix_nanos(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        "events",
+    )
+    table = f"first_seen_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{table}")
+    # transformWithState requires the RocksDB state store (bundled in
+    # Spark 4); scope it + a key-sized state partition count to this query
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            stream.groupBy("user_id")
+            .transformWithStateInPandas(
+                FirstSeenProcessor(),
+                outputStructType="user_id long, first_seen timestamp, n_events long",
+                outputMode="Update",
+                timeMode="None",
+            )
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    from pyspark.sql import functions as F
+
+    return (
+        spark.table(table)
+        .groupBy("user_id")
+        .agg(
+            F.max_by("first_seen", "n_events").alias("first_seen"),
+            F.max("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+if _twsp_available():
+
+    @register(
+        "d25_first_seen_tws",
+        oracle="""
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen_s,
+               COUNT(*) AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id
+        """,
+    )
+    def d25_first_seen_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Spark-4 native stateful operator (transformWithStateInPandas +
+        typed ValueState + RocksDB store), oracle-checked end to end: events
+        replayed in 3 micro-batches; the final per-user (first_seen, count)
+        must equal the batch MIN(ts)/COUNT(*) — cross-batch ValueState
+        carry-over is load-bearing for the hash to match."""
+        from pyspark.sql import functions as F
+
+        out = run_first_seen_stats(spark, sf_dir, n_files=3)
+        return out.select(
+            "user_id",
+            F.date_format("first_seen", "yyyy-MM-dd HH:mm:ss").alias(
+                "first_seen_s"
+            ),
+            "n_events",
+        ).orderBy("user_id")
+
+
 @register(
     "d25_stateful_totals",
     oracle="""

@@ -240,3 +240,17 @@ def test_d10_distinct_partial_final(spark):
     plan = _plan(spark, "d10_distinct")
     assert plan.count("HashAggregate") >= 2
     assert "c_name" not in plan  # pruned
+
+
+def test_d34_dataprep_fused_plan(spark):
+    """The end-to-end dataprep composite must stay one fused declarative
+    plan: no Python eval anywhere (every stage is codegen'd SQL), the
+    dedup agg partial+final, and no cartesian/BNLJ fallback from the
+    semi-join."""
+    plan = _plan(spark, "d34_llm_dataprep")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # column pruning: untouched documents columns must not be read
+    assert "ReadSchema" in plan

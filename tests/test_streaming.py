@@ -122,3 +122,16 @@ def test_stream_static_join_equals_batch(spark):
     batch = queries()["d25_stream_static_join"](spark, SF_SMOKE)
     cols = ["n_name", "event_type", "n_events", "sum_value"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_transform_with_state_gating(spark):
+    """The Spark-4 transformWithStateInPandas query registers only where its
+    protobuf dependency exists; in either case the registry stays coherent."""
+    from conceptnetwork_spark.streaming import stateful
+    from conceptnetwork_spark.registry import queries, oracles
+
+    if stateful._twsp_available():
+        assert "d25_first_seen_tws" in queries()
+        assert "d25_first_seen_tws" in oracles()
+    else:
+        assert "d25_first_seen_tws" not in queries()
