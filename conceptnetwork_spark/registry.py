@@ -83,7 +83,7 @@ CERT_FIRST: tuple[str, ...] = (
     "d25_stream_stream_join",
     "d25_stateful_totals",
     "d26_tumbling_window",
-    "d26_sliding_window",
+    "d01_csv_source",
     "d27_session_window",
     "d28_keyed_dedup",
     "d29_exact_dedup",
@@ -142,6 +142,7 @@ def _load_all() -> None:
         ml,
         pipeline,
     )
+    from conceptnetwork_spark.sources import formats  # noqa: F401
     from conceptnetwork_spark.streaming import ops, stateful  # noqa: F401
 
     missing = [n for n in CERT_FIRST if n not in REGISTRY]

@@ -1,0 +1,144 @@
+"""Text-format sources: CSV and JSON-lines connectors (SURVEY §2.1 S1
+faithful — the reference's only raw input format is newline-delimited text,
+``examples/trainer/networks/preprocess.py:52-53``; CSV/JSON-lines are the
+two schema-bearing spellings of that shape every ingestion pipeline needs).
+
+Each declared query STAGES a deterministic extract of the parquet testdata
+into the format under test (one-time, content-addressed path per scale
+factor), then reads it back through the Spark source with an explicit
+schema — proving the connector end to end: header handling, quoting, type
+coercion, and projection. The DuckDB oracle reads the SAME staged file with
+its own CSV/JSON reader, so the two engines agree on the parsed bytes, not
+just on parquet.
+
+Scale note: both sources are splittable line formats — at 100 TB a CSV/JSON
+scan parallelizes by HDFS block exactly like text; schema is explicit (no
+inference job: ``spark.read.schema(...)``), and column pruning still applies
+(JSON parsing prunes to requested fields; CSV must parse the line but drops
+unprojected columns before the plan).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conceptnetwork_spark.catalog import Catalog
+from conceptnetwork_spark.registry import register
+
+
+def _stage_dir(sf_dir: str, fmt: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"cn_spark_{fmt}_{base}")
+
+
+# staged paths for the sf the ORACLE runs at (driver + pytest use sf0.01);
+# the oracle SQL is a static string, so it pins this path
+_ORACLE_CSV = os.path.join(tempfile.gettempdir(), "cn_spark_csv_sf0.01", "nation.csv")
+_ORACLE_JSON = os.path.join(tempfile.gettempdir(), "cn_spark_json_sf0.01", "orders.json")
+
+
+def stage_nation_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Write nation as ONE deterministic csv file (tiny dim table; single
+    file so the oracle path is stable). Idempotent per sf_dir."""
+    path = _stage_dir(sf_dir, "csv")
+    out = os.path.join(path, "nation.csv")
+    if not os.path.exists(out):
+        n = Catalog(spark, sf_dir).nation.orderBy("n_nationkey").toPandas()
+        os.makedirs(path, exist_ok=True)
+        tmp = out + ".tmp"
+        n.to_csv(tmp, index=False)
+        os.replace(tmp, out)
+    return out
+
+
+def stage_orders_json(spark: SparkSession, sf_dir: str) -> str:
+    """Write a bounded orders extract as ONE json-lines file (deterministic
+    subset + order). Idempotent per sf_dir."""
+    path = _stage_dir(sf_dir, "json")
+    out = os.path.join(path, "orders.json")
+    if not os.path.exists(out):
+        o = (
+            Catalog(spark, sf_dir)
+            .orders.where(F.col("o_orderkey") < 1000)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderpriority",
+            )
+            .orderBy("o_orderkey")
+            .toPandas()
+        )
+        os.makedirs(path, exist_ok=True)
+        tmp = out + ".tmp"
+        o.to_json(tmp, orient="records", lines=True)
+        os.replace(tmp, out)
+    return out
+
+
+@register(
+    "d01_csv_source",
+    oracle=f"""
+    SELECT n_nationkey, upper(n_name) AS name_u, n_regionkey
+    FROM read_csv('{_ORACLE_CSV}', header=true)
+    WHERE n_regionkey >= 2
+    ORDER BY n_nationkey
+    """,
+)
+def d01_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector end to end: stage nation to csv, read it back with an
+    explicit schema (no inference job), filter + project. Both engines parse
+    the same staged bytes — header, quoting and int coercion all checked."""
+    path = stage_nation_csv(spark, sf_dir)
+    df = (
+        spark.read.schema(
+            "n_nationkey int, n_name string, n_regionkey int, n_comment string"
+        )
+        .option("header", "true")
+        .csv(path)
+    )
+    return (
+        df.where(F.col("n_regionkey") >= 2)
+        .select(
+            "n_nationkey", F.upper("n_name").alias("name_u"), "n_regionkey"
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "d01_json_source",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(o_totalprice, 4) AS price
+    FROM read_json('{_ORACLE_JSON}', format='newline_delimited')
+    WHERE o_orderpriority = '1-URGENT'
+    ORDER BY o_orderkey
+    """,
+)
+def d01_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines connector end to end: stage an orders extract as NDJSON,
+    read with explicit schema, filter + project. JSON parsing prunes to the
+    projected fields (column pruning through the parser)."""
+    path = stage_orders_json(spark, sf_dir)
+    df = (
+        spark.read.schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderpriority string"
+        )
+        .json(path)
+    )
+    return (
+        df.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 4).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )
