@@ -307,3 +307,32 @@ def d20_zip_with_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rdot = F.aggregate(pairwise, F.lit(0.0), lambda acc, x: acc + x)
     return e.select("vec_id", F.round(rdot, 4).alias("rdot")).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# D21 extension — Spark 4 VariantType semi-structured path
+# --------------------------------------------------------------------------
+@register(
+    "d21_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)      AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) * 2  AS k2,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS miss
+    FROM events ORDER BY event_id
+    """,
+)
+def d21_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VariantType: ``parse_json`` once into a variant, then typed
+    ``variant_get`` path extraction (including a missing path -> NULL, the
+    open-schema contract). Variant is the engine's semi-structured scale
+    path — binary-encoded, parsed once, shredded on access — vs re-parsing
+    the JSON string per extraction in d21_json_funcs."""
+    ev = Catalog(spark, sf_dir).events
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        (F.variant_get(v, "$.k", "bigint") * 2).alias("k2"),
+        F.variant_get(v, "$.missing", "bigint").alias("miss"),
+    ).orderBy("event_id")
