@@ -382,6 +382,49 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# D25 extension — real FILE sink (parquet + commit protocol), not memory
+# --------------------------------------------------------------------------
+@register(
+    "d25_parquet_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d25_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FILE sink end to end: readStream → foreachBatch upsert into
+    a parquet directory → read the files back. foreachBatch is the
+    production sink shape for aggregates (file sink proper only supports
+    append mode); the batch writer overwrites per micro-batch, and with
+    AvailableNow over static input the final files hold the complete
+    aggregate — which must hash-match the batch oracle. Exercises the sink
+    commit path (temp-file + rename) that the memory sink bypasses."""
+    out_dir = os.path.join(tempfile.gettempdir(), f"sink_{uuid.uuid4().hex[:8]}")
+    ckpt = out_dir + "_ckpt"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out_dir).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
 # D25 extension — stream-stream interval join (view→purchase attribution)
 # --------------------------------------------------------------------------
 @register(
