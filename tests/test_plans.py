@@ -254,3 +254,21 @@ def test_d34_dataprep_fused_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # column pruning: untouched documents columns must not be read
     assert "ReadSchema" in plan
+
+
+def test_d23_mean_center_broadcast_join(spark):
+    """The scalable D23 headline must broadcast the tiny per-key means back
+    onto the stream — no low-cardinality grouped shuffle of the full rows,
+    no Python workers anywhere in the plan."""
+    plan = _plan(spark, "d23_mean_center")
+    assert "BroadcastHashJoin" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_d01_csv_source_no_inference_scan(spark):
+    """CSV connector: explicit schema (no inference job) and the filter
+    evaluated over the parsed columns."""
+    plan = _plan(spark, "d01_csv_source")
+    assert "Scan csv" in plan
+    assert "n_comment" not in plan  # projection pruned before the plan
