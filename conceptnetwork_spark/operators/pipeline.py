@@ -160,3 +160,64 @@ def d34_dataprep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# D35 — upsert / CDC merge (round 2)
+# --------------------------------------------------------------------------
+@register(
+    "d35_upsert_cdc",
+    oracle="""
+    WITH changes AS (
+      SELECT CASE WHEN user_id % 7 = 0 THEN user_id + 1000000
+                  ELSE user_id END AS key,
+             ROUND(SUM(value), 4) AS delta,
+             COUNT(*) AS n_changes
+      FROM events GROUP BY 1
+    )
+    SELECT COALESCE(c.c_custkey, ch.key) AS c_custkey,
+           ROUND(COALESCE(c.c_acctbal, 0) + COALESCE(ch.delta, 0), 4) AS balance,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN ch.key IS NULL THEN 'keep'
+                ELSE 'update' END AS op
+    FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.key
+    ORDER BY c_custkey
+    """,
+)
+def d35_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert / CDC merge — the MERGE INTO primitive of every incremental
+    pipeline, expressed engine-agnostically as aggregate-changes →
+    full-outer-join → coalesce-per-column: matched keys update (balance +=
+    delta), unmatched change keys insert, untouched base rows keep. The
+    change batch shifts every 7th user to a fresh key so all three MERGE
+    branches are genuinely exercised and oracle-checked.
+
+    Scale: the changes side is a pre-aggregated per-key delta (partial+final
+    agg over the CDC stream); the merge is ONE equi-join shuffle on the key
+    — exactly the shape Delta/Iceberg MERGE compiles to when the change set
+    is not broadcast-able. No row-by-row driver logic anywhere."""
+    t = Catalog(spark, sf_dir)
+    key = F.when(F.col("user_id") % 7 == 0, F.col("user_id") + 1000000).otherwise(
+        F.col("user_id")
+    )
+    changes = (
+        t.events.groupBy(key.alias("key"))
+        .agg(
+            F.round(F.sum("value"), 4).alias("delta"),
+            F.count(F.lit(1)).alias("n_changes"),
+        )
+    )
+    base = t.customer.select("c_custkey", "c_acctbal")
+    merged = base.join(changes, base.c_custkey == changes.key, "full_outer")
+    return merged.select(
+        F.coalesce("c_custkey", "key").alias("c_custkey"),
+        F.round(
+            F.coalesce(F.col("c_acctbal"), F.lit(0.0))
+            + F.coalesce(F.col("delta"), F.lit(0.0)),
+            4,
+        ).alias("balance"),
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("key").isNull(), "keep")
+        .otherwise("update")
+        .alias("op"),
+    ).orderBy("c_custkey")

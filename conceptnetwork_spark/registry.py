@@ -76,8 +76,8 @@ CERT_FIRST: tuple[str, ...] = (
     "d23_grouped_map",
     "d23_grouped_agg",
     "d24_explode_words",
-    "d24_mapinpandas_parse",
     "d34_llm_dataprep",
+    "d35_upsert_cdc",
     "d25_stream_ingest",
     "d25_stream_static_join",
     "d25_stream_stream_join",
