@@ -221,3 +221,41 @@ def d35_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("op"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "d35_scd2_history",
+    oracle="""
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S'),
+                    '9999-12-31 00:00:00') AS valid_to,
+           ROUND(value, 4) AS value,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from, value
+    """,
+)
+def d35_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 historization — the other half of CDC: each change event
+    becomes a versioned row with a [valid_from, valid_to) interval, closed
+    by the next change for the same key (lead window), open-ended sentinel
+    + is_current flag for the latest. One shuffle on the key, sort within
+    partitions — the standard dimension-history build at any scale."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events.where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+        F.round("value", 4).alias("value"),
+        nxt.isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from", "value")
