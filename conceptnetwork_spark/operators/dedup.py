@@ -71,8 +71,17 @@ def minhash_signatures(
     shingle_n: int = 5,
 ) -> DataFrame:
     """doc_id -> array<long> MinHash signature, computed as one explode +
-    groupBy(doc) of per-slot mins (partial agg shrinks the shuffle to
-    #docs × num_hashes longs; the shingle strings themselves never shuffle)."""
+    groupBy(doc) of per-slot mins (partial agg does the min map-side, so the
+    shuffle is #docs × num_hashes longs — the same size as the output
+    signatures themselves; the shingle strings never shuffle).
+
+    Measured design note (round 2): a zero-shuffle per-row alternative —
+    hash the shingle array twice with ``transform`` and take num_hashes
+    ``array_min(zip_with(...))`` reductions — is semantically identical but
+    measured 40% SLOWER here (2.0 s vs 1.4 s at sf0.1): Spark evaluates
+    higher-order-function lambdas interpreted per element, while the explode
+    form's hash-aggregate min updates are whole-stage-codegen'd. The shuffle
+    it saves is only signature-sized, so codegen wins."""
     base = ensure_parallelism(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
     sh = base.select(
         "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), shingle_n))).alias("sh")
