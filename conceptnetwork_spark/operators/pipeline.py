@@ -259,3 +259,66 @@ def d35_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         nxt.isNull().alias("is_current"),
     ).orderBy("user_id", "valid_from", "value")
+
+
+@register(
+    "d35_temporal_join",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id, ts AS valid_from,
+             COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      TIMESTAMP '9999-12-31') AS valid_to,
+             ROUND(value, 4) AS feature_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.event_id, v.user_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           h.feature_value
+    FROM events v
+    JOIN hist h ON v.user_id = h.user_id
+               AND v.ts >= h.valid_from AND v.ts < h.valid_to
+    WHERE v.event_type = 'view'
+    ORDER BY v.event_id, h.feature_value
+    """,
+)
+def d35_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct (temporal) join — the feature-store primitive
+    that prevents training leakage: each view event joins the purchase-
+    derived feature version VALID AT THE EVENT'S TIME (valid_from <= ts <
+    valid_to), never a later one. Built as SCD2 intervals (lead window) +
+    an equi-join on the key with range predicates — Spark sort-merge-joins
+    on user_id and filters the interval per key, so at scale this shuffles
+    each side once on the join key and never builds an all-pairs product."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    hist = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("h_user"),
+            F.col("ts").alias("valid_from"),
+            F.coalesce(
+                F.lead("ts").over(
+                    Window.partitionBy("user_id").orderBy("ts", "event_id")
+                ),
+                F.lit("9999-12-31").cast("timestamp"),
+            ).alias("valid_to"),
+            F.round("value", 4).alias("feature_value"),
+        )
+    )
+    views = ev.where(F.col("event_type") == "view")
+    return (
+        views.join(
+            hist,
+            (F.col("user_id") == F.col("h_user"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("ts") < F.col("valid_to")),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            "feature_value",
+        )
+        .orderBy("event_id", "feature_value")
+    )
