@@ -1264,3 +1264,59 @@ def d18_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "mon")
     )
+
+
+# --------------------------------------------------------------------------
+# D10 extension — column profiling (the ANALYZE-style data-quality pass)
+# --------------------------------------------------------------------------
+@register(
+    "d10_column_profile",
+    oracle="""
+    SELECT 'l_discount' AS col, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_discount) AS n_nulls,
+           COUNT(DISTINCT l_discount) AS n_distinct,
+           ROUND(MIN(l_discount), 4) AS min_v, ROUND(MAX(l_discount), 4) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice),
+           ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+           COUNT(DISTINCT l_quantity),
+           ROUND(MIN(l_quantity), 4), ROUND(MAX(l_quantity), 4)
+    FROM lineitem
+    ORDER BY col
+    """,
+)
+def d10_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the ANALYZE-style pass every ingestion pipeline
+    runs before training: per-column row/null/distinct counts and value
+    range, computed in ONE scan as a multi-distinct aggregate (Catalyst
+    expands the distincts into one partial+final plan; the scan reads only
+    the three profiled columns) and unpivoted to one row per column. At
+    100 TB swap COUNT(DISTINCT) for approx_count_distinct — declared here
+    exact because exact is oracle-comparable."""
+    li = Catalog(spark, sf_dir).lineitem
+    cols = ["l_discount", "l_extendedprice", "l_quantity"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+        ]
+    wide = li.select(*cols).agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col, n_rows, n_nulls, n_distinct, min_v, max_v)"
+        )
+    ).orderBy("col")

@@ -192,3 +192,54 @@ def d02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# D2 extension — deterministic negative sampling (contrastive pairs)
+# --------------------------------------------------------------------------
+@register(
+    "d02_negative_sampling",
+    oracle="""
+    WITH pos AS (
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey < 500
+    ), negs AS (
+      SELECT o_orderkey, o_custkey, j AS neg_rank,
+             ((o_orderkey * 31 + j * 17) % (SELECT MAX(p_partkey) FROM part)) + 1
+               AS neg_partkey
+      FROM pos, unnest([1, 2, 3]) AS t(j)
+    )
+    SELECT n.o_orderkey, n.neg_rank, n.neg_partkey, p.p_name
+    FROM negs n JOIN part p ON n.neg_partkey = p.p_partkey
+    ORDER BY o_orderkey, neg_rank
+    """,
+)
+def d02_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs: k=3
+    pseudo-random part ids per positive via modular arithmetic on the order
+    key (NO all-pairs, no seeded rand — both engines derive the identical
+    negatives), then one equi-join to resolve attributes. The generate step
+    is a pure projection + 3-element explode; the resolve step shuffles only
+    (order, neg_id) pairs against the part table — at 100 TB this is the
+    standard 'generate ids, hydrate via join' shape."""
+    t = Catalog(spark, sf_dir)
+    max_part = t.part.agg(F.max("p_partkey").alias("m"))
+    pos = t.orders.where(F.col("o_orderkey") < 500).select(
+        "o_orderkey", "o_custkey"
+    )
+    negs = (
+        pos.join(F.broadcast(max_part))
+        .select(
+            "o_orderkey",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("neg_rank"),
+            F.col("m"),
+        )
+        .withColumn(
+            "neg_partkey",
+            (F.col("o_orderkey") * 31 + F.col("neg_rank") * 17) % F.col("m") + 1,
+        )
+    )
+    return (
+        negs.join(t.part, F.col("neg_partkey") == F.col("p_partkey"))
+        .select("o_orderkey", "neg_rank", "neg_partkey", "p_name")
+        .orderBy("o_orderkey", "neg_rank")
+    )
