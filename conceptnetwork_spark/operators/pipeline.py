@@ -1,4 +1,6 @@
-"""End-to-end LLM training-data prep composite (SURVEY §2.2 D34).
+"""End-to-end LLM training-data prep composite (SURVEY §2.2 D34) and the
+incremental-pipeline family (D35: upsert/CDC merge, SCD Type-2
+historization, point-in-time temporal join).
 
 The integration query that chains the extension families the way a real
 pretraining-data pipeline does — one declarative plan, so Catalyst fuses the
