@@ -199,3 +199,41 @@ def d33_string_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "c_custkey", F.col("seg_idx_d").cast("long").alias("seg_idx")
     ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# D33 extension — MLP stage (the literal dense-hidden-layer M2 analogue)
+# --------------------------------------------------------------------------
+@register("d33_mlp_accuracy", oracle=None)
+def d33_mlp_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded MultilayerPerceptronClassifier with layers [3, 16, 2] — the
+    literal shape of the reference network's dense hidden layer
+    (``examples/trainer/networks/minimal_network.py:38-43``: dense(100) →
+    dense(n)), here sized to the task: predict whether a customer's balance
+    is above the median from (nationkey, acctbal scaled, segment index).
+    Non-oracle (NN training is engine-specific); pytest pins seed
+    determinism and that training accuracy beats the majority class."""
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+    from pyspark.ml.feature import StringIndexer
+
+    c = Catalog(spark, sf_dir).customer
+    med = c.agg(F.expr("percentile(c_acctbal, 0.5)").alias("m"))
+    df = (
+        c.join(F.broadcast(med))
+        .select(
+            F.col("c_nationkey").cast("double").alias("f1"),
+            (F.col("c_acctbal") / 10000.0).alias("f2"),
+            F.length("c_mktsegment").cast("double").alias("f3"),
+            (F.col("c_acctbal") > F.col("m")).cast("double").alias("label"),
+        )
+    )
+    assembler = VectorAssembler(inputCols=["f1", "f2", "f3"], outputCol="features")
+    mlp = MultilayerPerceptronClassifier(
+        layers=[3, 16, 2], seed=42, maxIter=50, featuresCol="features"
+    )
+    model = Pipeline(stages=[assembler, mlp]).fit(df)
+    preds = model.transform(df)
+    acc = preds.agg(
+        F.avg((F.col("prediction") == F.col("label")).cast("double")).alias("a")
+    ).collect()[0]["a"]
+    return spark.createDataFrame([(round(float(acc), 4),)], "accuracy double")

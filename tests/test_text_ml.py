@@ -146,3 +146,13 @@ def test_frame_sample_plumbing(spark):
         by_doc.setdefault(r.doc_id, []).append((r.frame_idx, bytes(r.frame)))
     assert len(by_doc[1]) == 4 and by_doc[1][0][1] == bytes(range(8))
     assert len(by_doc[2]) == 4  # short payload still yields frames
+
+
+def test_mlp_deterministic_and_better_than_majority(spark):
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    a = queries()["d33_mlp_accuracy"](spark, SF_SMOKE).collect()[0].accuracy
+    b = queries()["d33_mlp_accuracy"](spark, SF_SMOKE).collect()[0].accuracy
+    assert a == b, "seeded MLP fit must be deterministic"
+    assert a > 0.5, f"MLP must beat the majority class (got {a})"
