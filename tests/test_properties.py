@@ -175,3 +175,38 @@ def test_d11_approx_percentile_tolerance(spark, ddb):
     for flag, p50, p95 in exact:
         assert abs(rows[flag]["p50_approx"] - p50) / p50 <= 0.01
         assert abs(rows[flag]["p95_approx"] - p95) / p95 <= 0.01
+
+
+@SETTINGS
+@given(rows=st.lists(st.integers(min_value=0, max_value=2**31), min_size=1, max_size=30, unique=True))
+def test_hash_bucket_cross_engine_parity(spark, rows):
+    """The md5 split/sample bucket (D2 family) must be identical in both
+    engines for arbitrary keys — permanent split membership depends on it."""
+    from conceptnetwork_spark.operators.sampling import hash_bucket
+
+    pdf = pd.DataFrame({"k": rows})
+    _compare(
+        spark,
+        lambda df: df.select("k", hash_bucket(F.col("k")).alias("b")),
+        """SELECT k, CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+           FROM t""",
+        pdf,
+        ["k"],
+    )
+
+
+@SETTINGS
+@given(rows=st.lists(st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=20, unique=True))
+def test_variant_extraction_parity(spark, rows):
+    """parse_json + variant_get must agree with DuckDB json extraction on
+    arbitrary integer payloads (D21 variant path)."""
+    pdf = pd.DataFrame({"j": [f'{{"v": {r}}}' for r in rows], "k": rows})
+    _compare(
+        spark,
+        lambda df: df.select(
+            "k", F.variant_get(F.parse_json("j"), "$.v", "bigint").alias("v")
+        ),
+        "SELECT k, CAST(json_extract_string(j, '$.v') AS BIGINT) AS v FROM t",
+        pdf,
+        ["k"],
+    )
