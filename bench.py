@@ -54,6 +54,8 @@ HEADLINE = [
     "d31_quality_score",
     "d33_ols_mse",
     "d34_llm_dataprep",
+    "d35_upsert_cdc",
+    "d25_parquet_sink",
 ]
 
 
@@ -65,6 +67,7 @@ def sweep(spark, sf_dir: str) -> None:
     regression."""
     qs = registry.queries()
     timings: dict[str, float] = {}
+    failures: list[str] = []
     for name, fn in qs.items():
         t0 = time.perf_counter()
         try:
@@ -72,6 +75,7 @@ def sweep(spark, sf_dir: str) -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as ex:  # record, don't abort the sweep
             timings[name] = -1.0
+            failures.append(name)
             print(f"# FAIL {name}: {ex}", file=sys.stderr)
     total = round(sum(t for t in timings.values() if t > 0), 3)
     print(
@@ -82,9 +86,12 @@ def sweep(spark, sf_dir: str) -> None:
                 "unit": "sec",
                 "queries": timings,
                 "n_queries": len(timings),
+                "failures": failures,
             }
         )
     )
+    if failures:  # a regressed query must NOT look like a faster sweep
+        sys.exit(1)
 
 
 def main() -> None:

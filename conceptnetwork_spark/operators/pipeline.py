@@ -228,7 +228,7 @@ def d35_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d35_scd2_history",
     oracle="""
-    SELECT user_id,
+    SELECT user_id, event_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
            COALESCE(strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S'),
                     '9999-12-31 00:00:00') AS valid_to,
@@ -237,7 +237,7 @@ def d35_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WHERE event_type = 'purchase'
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ORDER BY user_id, valid_from, value
+    ORDER BY user_id, valid_from, event_id
     """,
 )
 def d35_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,8 +251,12 @@ def d35_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events.where(F.col("event_type") == "purchase")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
+    # event_id in the output + sort keys makes the ordering TOTAL: two
+    # purchases for one user with equal ts and equal value would otherwise
+    # tie, and an order-sensitive cross-engine hash could flake.
     return ev.select(
         "user_id",
+        "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
         F.coalesce(
             F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"),
@@ -260,7 +264,7 @@ def d35_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.round("value", 4).alias("value"),
         nxt.isNull().alias("is_current"),
-    ).orderBy("user_id", "valid_from", "value")
+    ).orderBy("user_id", "valid_from", "event_id")
 
 
 @register(

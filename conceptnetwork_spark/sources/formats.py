@@ -26,8 +26,18 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from conceptnetwork_spark.catalog import Catalog
 from conceptnetwork_spark.registry import register
+
+# Staging is a FIXTURE path (bounded extracts feeding the connector oracle),
+# never a data path: refuse to funnel anything fact-table-sized through the
+# single-file pandas writer — at 100 TB the engine reads CSV/JSON in place
+# via spark.read, it never stages.
+_STAGE_ROW_CEILING = 100_000
+
+# the sf the ORACLE runs at (driver + pytest evaluate oracles at sf0.01);
+# staged eagerly below so an oracle evaluated standalone — without the Spark
+# query having run first — still reads the identical bytes
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _stage_dir(sf_dir: str, fmt: str) -> str:
@@ -35,19 +45,27 @@ def _stage_dir(sf_dir: str, fmt: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"cn_spark_{fmt}_{base}")
 
 
-# staged paths for the sf the ORACLE runs at (driver + pytest use sf0.01);
-# the oracle SQL is a static string, so it pins this path
-_ORACLE_CSV = os.path.join(tempfile.gettempdir(), "cn_spark_csv_sf0.01", "nation.csv")
-_ORACLE_JSON = os.path.join(tempfile.gettempdir(), "cn_spark_json_sf0.01", "orders.json")
-
-
-def stage_nation_csv(spark: SparkSession, sf_dir: str) -> str:
+def stage_nation_csv(sf_dir: str) -> str:
     """Write nation as ONE deterministic csv file (tiny dim table; single
-    file so the oracle path is stable). Idempotent per sf_dir."""
+    file so the oracle path is stable). Idempotent per sf_dir. Reads the
+    parquet with pyarrow directly — no SparkSession needed, so oracle
+    staging cannot depend on Spark query execution order."""
+    import pyarrow.parquet as pq
+
     path = _stage_dir(sf_dir, "csv")
     out = os.path.join(path, "nation.csv")
     if not os.path.exists(out):
-        n = Catalog(spark, sf_dir).nation.orderBy("n_nationkey").toPandas()
+        n = (
+            pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+            .to_pandas()
+            .sort_values("n_nationkey")
+        )
+        if len(n) > _STAGE_ROW_CEILING:
+            raise ValueError(
+                f"refusing to stage {len(n)} rows to a single local csv "
+                f"(ceiling {_STAGE_ROW_CEILING}); staging is for bounded "
+                "oracle fixtures only — read big tables in place"
+            )
         os.makedirs(path, exist_ok=True)
         tmp = out + ".tmp"
         n.to_csv(tmp, index=False)
@@ -55,30 +73,60 @@ def stage_nation_csv(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-def stage_orders_json(spark: SparkSession, sf_dir: str) -> str:
+def stage_orders_json(sf_dir: str) -> str:
     """Write a bounded orders extract as ONE json-lines file (deterministic
-    subset + order). Idempotent per sf_dir."""
+    subset + order). Idempotent per sf_dir; pyarrow filter pushdown keeps
+    the read bounded too."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
     path = _stage_dir(sf_dir, "json")
     out = os.path.join(path, "orders.json")
     if not os.path.exists(out):
         o = (
-            Catalog(spark, sf_dir)
-            .orders.where(F.col("o_orderkey") < 1000)
-            .select(
-                "o_orderkey",
-                "o_custkey",
-                "o_orderstatus",
-                "o_totalprice",
-                "o_orderpriority",
+            pq.read_table(
+                os.path.join(sf_dir, "orders.parquet"),
+                columns=[
+                    "o_orderkey",
+                    "o_custkey",
+                    "o_orderstatus",
+                    "o_totalprice",
+                    "o_orderpriority",
+                ],
+                filters=pc.field("o_orderkey") < 1000,
             )
-            .orderBy("o_orderkey")
-            .toPandas()
+            .to_pandas()
+            .sort_values("o_orderkey")
         )
+        if len(o) > _STAGE_ROW_CEILING:
+            raise ValueError(
+                f"refusing to stage {len(o)} rows to a single local json "
+                f"(ceiling {_STAGE_ROW_CEILING}); staging is for bounded "
+                "oracle fixtures only — read big tables in place"
+            )
         os.makedirs(path, exist_ok=True)
         tmp = out + ".tmp"
         o.to_json(tmp, orient="records", lines=True)
         os.replace(tmp, out)
     return out
+
+
+def _stage_oracle_fixtures() -> tuple[str, str]:
+    """Stage the oracle-sf fixtures at import (= registration) time so the
+    static oracle SQL strings below always point at existing, current bytes
+    regardless of which engine runs first or on which host. If the oracle
+    testdata dir is absent (e.g. unit tests on a bare host), fall back to
+    the deterministic paths — the query-side staging call fills them in."""
+    try:
+        return stage_nation_csv(_ORACLE_SF_DIR), stage_orders_json(_ORACLE_SF_DIR)
+    except (FileNotFoundError, OSError):
+        return (
+            os.path.join(_stage_dir(_ORACLE_SF_DIR, "csv"), "nation.csv"),
+            os.path.join(_stage_dir(_ORACLE_SF_DIR, "json"), "orders.json"),
+        )
+
+
+_ORACLE_CSV, _ORACLE_JSON = _stage_oracle_fixtures()
 
 
 @register(
@@ -94,7 +142,7 @@ def d01_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV connector end to end: stage nation to csv, read it back with an
     explicit schema (no inference job), filter + project. Both engines parse
     the same staged bytes — header, quoting and int coercion all checked."""
-    path = stage_nation_csv(spark, sf_dir)
+    path = stage_nation_csv(sf_dir)
     df = (
         spark.read.schema(
             "n_nationkey int, n_name string, n_regionkey int, n_comment string"
@@ -125,7 +173,7 @@ def d01_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines connector end to end: stage an orders extract as NDJSON,
     read with explicit schema, filter + project. JSON parsing prunes to the
     projected fields (column pruning through the parser)."""
-    path = stage_orders_json(spark, sf_dir)
+    path = stage_orders_json(sf_dir)
     df = (
         spark.read.schema(
             "o_orderkey long, o_custkey long, o_orderstatus string, "

@@ -29,6 +29,19 @@ from conceptnetwork_spark.registry import register
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+def await_finished(q, timeout_sec: int) -> None:
+    """Wait for a bounded (availableNow-trigger) stream to finish, hard-stop
+    and raise on timeout. ``awaitTermination`` returns False on timeout with
+    the query STILL RUNNING — ignoring that would read a partial sink and
+    restore session confs mid-query, silently."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not finish within "
+            f"{timeout_sec}s; sink contents would be partial"
+        )
+
+
 def _events_stream(spark: SparkSession, sf_dir: str):
     """readStream over the events parquet, nanos-ts converted in-plan
     (same fix_nanos as the batch catalog so both sides agree)."""
@@ -237,7 +250,7 @@ def d25_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q, 120)
     return spark.table(table).orderBy("event_type")
 
 
@@ -274,7 +287,7 @@ def run_windowed_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q, 120)
     return spark.table(table)
 
 
@@ -318,7 +331,7 @@ def run_windowed_append_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q, 120)
     return spark.table(table)
 
 
@@ -354,7 +367,7 @@ def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q, 120)
     return spark.table(table)
 
 
@@ -377,7 +390,7 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q, 120)
     return spark.table(table)
 
 
@@ -420,7 +433,7 @@ def d25_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q, 120)
     return spark.read.parquet(out_dir).orderBy("event_type")
 
 
@@ -523,7 +536,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q, 120)
     return spark.table(table)
 
 
@@ -584,5 +597,5 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q, 120)
     return spark.table(table)

@@ -33,6 +33,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from conceptnetwork_spark.catalog import Catalog, fix_nanos
 from conceptnetwork_spark.registry import register
+from conceptnetwork_spark.streaming.ops import await_finished
 
 _OUT_SCHEMA = "user_id long, n_events long, sum_value double"
 _STATE_SCHEMA = "n long, s double"
@@ -107,7 +108,7 @@ def run_stateful_totals(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        await_finished(q, 180)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     # update-mode memory sink appends one row per key per batch; the final
@@ -234,7 +235,7 @@ def run_first_seen_stats(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        await_finished(q, 180)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if prev_provider is None:
