@@ -2,13 +2,14 @@
 (SURVEY §2.2 D32).
 
 Design: image/audio/video payloads are opaque ``BinaryType`` columns with a
-typed metadata struct alongside. Real decode (PIL/librosa/ffmpeg) is NOT
-available in this environment, so the decode kernels are stubbed behind
-``NotImplementedError`` with a deterministic fake path — but the Spark-side
-plumbing (schemas, mapInPandas batch shape, partitioning) is real and
-tested. At 100 TB: payloads are read via ``binaryFile`` datasource (one row
-per object, streamed in 128 MB partitions) and metadata extraction is a pure
-map — no shuffle.
+typed metadata struct alongside. Image decode/resize are REAL kernels for
+the netpbm family (P6/P5), implemented dependency-free in numpy —
+JPEG/PNG/audio/video would use the identical mapInPandas shape with
+PIL/librosa/ffmpeg on a production cluster (not installable here), and the
+deterministic fake featurizer/frame-sampler below pin that batch shape. At
+100 TB: payloads are read via ``binaryFile`` datasource (one row per
+object, streamed in 128 MB partitions) and every kernel is a pure map — no
+shuffle.
 """
 
 from __future__ import annotations
@@ -53,16 +54,109 @@ def extract_media_metadata(df: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(df: DataFrame) -> DataFrame:
-    """STUB: real image decode requires PIL/opencv (not in this container).
+# --------------------------------------------------------------------------
+# Real image codec: netpbm (P6 color / P5 gray), dependency-free numpy.
+# Netpbm is the one raster format simple enough to decode correctly without
+# an imaging library, so decode/resize are REAL kernels here; JPEG/PNG would
+# use the identical mapInPandas shape with PIL on a production cluster.
+# --------------------------------------------------------------------------
 
-    The production kernel is a mapInPandas with schema
-    ``doc_id long, width int, height int, pixels array<int>`` — plumbing
-    identical to extract_media_metadata.
-    """
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; use fake_feature_extract for deterministic testing"
+_PPM_MAGICS = {b"P6": 3, b"P5": 1}
+
+
+def encode_ppm(arr) -> bytes:
+    """(h, w, 3) or (h, w) uint8 array -> binary PPM (P6) / PGM (P5)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        magic, (h, w) = b"P5", a.shape
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic, (h, w) = b"P6", a.shape[:2]
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) array, got {a.shape}")
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Binary PPM/PGM bytes -> (h, w, channels) uint8 array. Tolerates the
+    full netpbm header grammar: arbitrary whitespace and # comments between
+    tokens, exactly one whitespace byte before the raster."""
+    import numpy as np
+
+    magic = bytes(payload[:2])
+    if magic not in _PPM_MAGICS:
+        raise ValueError(f"not a binary netpbm payload (magic {magic!r})")
+    channels = _PPM_MAGICS[magic]
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated netpbm header")
+        b = payload[pos]
+        if b in b" \t\r\n":
+            pos += 1
+        elif b in b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos] not in b"\n":
+                pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and payload[pos] not in b" \t\r\n#":
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+    w, h, maxval = tokens
+    if not 0 < maxval < 256:
+        raise ValueError(f"unsupported maxval {maxval} (1-byte samples only)")
+    pos += 1  # the single whitespace byte separating header from raster
+    n = w * h * channels
+    raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return raster.reshape((h, w, channels))
+
+
+def _resize_nearest(arr, width: int, height: int):
+    """Nearest-neighbor resample to (height, width) via numpy fancy
+    indexing — the standard index map floor((i + 0.5) * src / dst) is
+    center-aligned, matching PIL's NEAREST."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    rows = np.minimum(((np.arange(height) + 0.5) * h / height).astype(int), h - 1)
+    cols = np.minimum(((np.arange(width) + 0.5) * w / width).astype(int), w - 1)
+    return arr[rows][:, cols]
+
+
+IMAGE_STATS_SCHEMA = (
+    "doc_id long, width int, height int, channels int, "
+    "mean_r double, mean_g double, mean_b double, px_sum long"
+)
+
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """payload:binary (netpbm) -> typed image stats via mapInPandas: parsed
+    dimensions, per-channel means, total pixel sum. Map-only (no shuffle);
+    at 100 TB this runs one Arrow batch at a time per 128 MB input split."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:  # one output frame per Arrow batch (bounded mem)
+            rows: dict[str, list] = {
+                k: [] for k in ("doc_id", "width", "height", "channels",
+                                "mean_r", "mean_g", "mean_b", "px_sum")
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                a = decode_ppm(b)
+                means = a.reshape(-1, a.shape[2]).mean(axis=0)
+                rows["doc_id"].append(doc_id)
+                rows["height"].append(a.shape[0])
+                rows["width"].append(a.shape[1])
+                rows["channels"].append(a.shape[2])
+                # grayscale (P5) reports its single channel in all three
+                rows["mean_r"].append(float(means[0]))
+                rows["mean_g"].append(float(means[1 % len(means)]))
+                rows["mean_b"].append(float(means[2 % len(means)]))
+                rows["px_sum"].append(int(a.sum()))
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        gen, schema=IMAGE_STATS_SCHEMA
     )
 
 
@@ -137,12 +231,27 @@ def d32_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: real resize requires PIL/opencv (not in this container). The
-    production kernel is mapInPandas with schema
-    ``doc_id long, payload binary`` (payload re-encoded at WxH)."""
-    raise NotImplementedError(
-        "image resize requires an imaging library not present in this "
-        "environment; use fake_frame_sample for plumbing-shape testing"
+    """payload:binary (netpbm) -> payload re-encoded at width x height
+    (nearest-neighbor). Map-only; output schema identical to the input so
+    resize composes with decode_image / extract_media_metadata."""
+
+    def one(b: bytes) -> bytes:
+        a = decode_ppm(b)
+        if a.shape[2] == 1:  # keep P5 gray round-tripping as P5
+            a = a.squeeze(axis=-1)
+        return encode_ppm(_resize_nearest(a, width, height))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [one(b) for b in pdf["payload"]],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        gen, schema="doc_id long, payload binary"
     )
 
 
@@ -168,6 +277,82 @@ def fake_frame_sample(
 
     return df.select("doc_id", "payload").mapInPandas(
         gen, schema="doc_id long, frame_idx int, frame binary"
+    )
+
+
+def synth_ppm_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> deterministic binary P6 payload: width = doc_id%6+2,
+    height = doc_id%9+2, pixel(row, col, ch) = (row + ch) % 256. Heights
+    stay < 256 so every image statistic has a closed form an oracle can
+    compute from doc_id alone — the decode math is checkable end to end."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = int(doc_id) % 6 + 2, int(doc_id) % 9 + 2
+                r = np.arange(h, dtype=np.uint16)[:, None, None]
+                ch = np.arange(3, dtype=np.uint16)[None, None, :]
+                a = np.broadcast_to((r + ch) % 256, (h, w, 3))
+                payloads.append(encode_ppm(a))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+@register(
+    "d32_image_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 6 + 2 AS INT) AS width,
+             CAST(doc_id % 9 + 2 AS INT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
+           ROUND((height - 1) / 2.0, 4)     AS mean_r,
+           ROUND((height - 1) / 2.0 + 1, 4) AS mean_g,
+           ROUND((height - 1) / 2.0 + 2, 4) AS mean_b,
+           CAST(width * (3 * height * (height - 1) / 2 + 3 * height)
+                AS BIGINT) AS px_sum,
+           ROUND((floor(height / 4.0) + floor(3 * height / 4.0)) / 2.0, 4)
+               AS rs_mean_r
+    FROM dims ORDER BY doc_id
+    """,
+)
+def d32_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode + resize over binary payloads: synthesize a P6
+    image per document (deterministic pixels from doc_id), decode it back
+    (header parse + raster reshape + channel stats), nearest-neighbor
+    resize to 2x2 and decode again. The oracle recomputes every statistic
+    in closed form from doc_id — a decoder that mis-parses the header,
+    swaps width/height in the reshape, or mis-maps resize indices breaks
+    the hash. All three kernels are map-only (no shuffle); the final stats
+    join is doc_id-equi and AQE-broadcastable at any scale."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    payloads = synth_ppm_payloads(docs)
+    orig = decode_image(payloads)
+    rs = decode_image(resize_image(payloads, 2, 2)).select(
+        "doc_id", F.col("mean_r").alias("rs_mean_r")
+    )
+    return (
+        orig.join(rs, "doc_id")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "channels",
+            F.round("mean_r", 4).alias("mean_r"),
+            F.round("mean_g", 4).alias("mean_g"),
+            F.round("mean_b", 4).alias("mean_b"),
+            "px_sum",
+            F.round("rs_mean_r", 4).alias("rs_mean_r"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -115,12 +115,54 @@ def test_fake_feature_extract_shape(spark):
     assert sum(row.features) == 8
 
 
-def test_decode_image_is_stubbed(spark):
-    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
-    from conceptnetwork_spark.operators.multimodal import decode_image
+def test_ppm_codec_round_trip():
+    import numpy as np
 
-    with pytest.raises(NotImplementedError):
-        decode_image(df)
+    from conceptnetwork_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    a = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert (decode_ppm(encode_ppm(a)) == a).all()
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)  # P5 grayscale
+    d = decode_ppm(encode_ppm(g))
+    assert d.shape == (3, 4, 1) and (d.squeeze(-1) == g).all()
+    # full netpbm header grammar: comments + arbitrary whitespace
+    hdr = b"P6\n# comment\n 3  2 # trailing\n255\n" + bytes(range(18))
+    assert decode_ppm(hdr).shape == (2, 3, 3)
+    with pytest.raises(ValueError, match="netpbm"):
+        decode_ppm(b"JFIF....")
+
+
+def test_resize_nearest_center_aligned():
+    import numpy as np
+
+    from conceptnetwork_spark.operators.multimodal import _resize_nearest
+
+    a = np.arange(8, dtype=np.uint8)[:, None].repeat(4, axis=1)  # 8x4, v=row
+    r = _resize_nearest(a, 2, 2)
+    # center-aligned nearest: rows floor(0.5*8/2)=2 and floor(1.5*8/2)=6
+    assert r.shape == (2, 2) and list(r[:, 0]) == [2, 6]
+
+
+def test_decode_resize_spark_kernels(spark):
+    from conceptnetwork_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+        resize_image,
+    )
+    import numpy as np
+
+    imgs = [
+        (1, bytearray(encode_ppm(np.full((4, 6, 3), 9, dtype=np.uint8)))),
+        (2, bytearray(encode_ppm(np.zeros((8, 2), dtype=np.uint8)))),  # P5
+    ]
+    df = spark.createDataFrame(imgs, "doc_id long, payload binary")
+    stats = {r.doc_id: r for r in decode_image(df).collect()}
+    assert (stats[1].width, stats[1].height, stats[1].channels) == (6, 4, 3)
+    assert stats[1].mean_r == 9.0 and stats[1].px_sum == 4 * 6 * 3 * 9
+    assert (stats[2].width, stats[2].height, stats[2].channels) == (2, 8, 1)
+    rs = {r.doc_id: r for r in decode_image(resize_image(df, 3, 2)).collect()}
+    assert (rs[1].width, rs[1].height) == (3, 2)
+    assert (rs[2].width, rs[2].height, rs[2].channels) == (3, 2, 1)
 
 
 def test_tfidf_pipeline_deterministic(spark):
