@@ -1320,3 +1320,82 @@ def d10_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col, n_rows, n_nulls, n_distinct, min_v, max_v)"
         )
     ).orderBy("col")
+
+
+# --------------------------------------------------------------------------
+# D13b — ntile bucketing (per-segment deciles; the quantile-bucket assigner
+# behind stratified quality tiers in a training-data pipeline)
+# --------------------------------------------------------------------------
+@register(
+    "d13_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(NTILE(10) OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS INT)
+             AS decile
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def d13_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acctbal deciles WITHIN each market segment. Partitioned ntile keeps
+    the sort distributed (one shuffle on c_mktsegment, per-partition sort);
+    a global unpartitioned ntile would serialize on one task at scale —
+    deliberately avoided."""
+    c = Catalog(spark, sf_dir).customer
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(10).over(w).alias("decile"),
+    ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# D14b — EWMA over a fixed lookback (exponentially-weighted moving average;
+# the feature-smoothing primitive for event-stream features)
+# --------------------------------------------------------------------------
+_EWMA_ALPHA, _EWMA_K = 0.5, 8
+
+# identical term-by-term formula in both engines: weighted sum over the k
+# available lags, normalized by the weight mass actually present
+_EWMA_NUM_SQL = " + ".join(
+    f"{_EWMA_ALPHA**k!r} * COALESCE(LAG(value, {k}) OVER w, 0)"
+    for k in range(_EWMA_K)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"{_EWMA_ALPHA**k!r} * CASE WHEN LAG(value, {k}) OVER w IS NULL "
+    "THEN 0 ELSE 1 END"
+    for k in range(_EWMA_K)
+)
+
+
+@register(
+    "d14_ewma",
+    oracle=f"""
+    SELECT event_id, user_id,
+           ROUND(({_EWMA_NUM_SQL}) / ({_EWMA_DEN_SQL}), 4) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+)
+def d14_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values over the last 8 observations
+    (alpha=0.5), normalized by the weight mass present so early rows are
+    unbiased. Bounded-lookback form keeps it a pure window expression —
+    one shuffle on user_id, no recursion, no state."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = sum(
+        F.lit(_EWMA_ALPHA**k)
+        * F.coalesce(F.lag("value", k).over(w), F.lit(0.0))
+        for k in range(_EWMA_K)
+    )
+    den = sum(
+        F.lit(_EWMA_ALPHA**k)
+        * F.lag("value", k).over(w).isNotNull().cast("double")
+        for k in range(_EWMA_K)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(num / den, 4).alias("ewma")
+    ).orderBy("event_id")

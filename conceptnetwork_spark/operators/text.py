@@ -366,3 +366,85 @@ def d31_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", fp.alias("fp"), F.substring(fp, 1, 4).alias("fp_bucket")
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# D31e — BM25 retrieval scoring (the ranking function behind every sparse
+# text-retrieval / contamination-check stage in an LLM data pipeline)
+# --------------------------------------------------------------------------
+BM25_QUERY_TERMS = ("spark", "join", "window")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+@register(
+    "d31_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ),
+    corpus AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN {tuple(BM25_QUERY_TERMS)!r} GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id,
+           ROUND(SUM(
+             ln(1 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({BM25_K1} + 1)
+             / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / corpus.avgdl))
+           ), 4) AS score
+    FROM tf
+    JOIN df USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN corpus
+    GROUP BY tf.doc_id
+    ORDER BY tf.doc_id
+    """,
+)
+def d31_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 score of every document against a fixed query-term set.
+
+    Scale shape: tokenize + explode is map-side; tf is one groupBy on
+    (doc_id, term) AFTER filtering to the |Q| query terms (the explode
+    never shuffles non-query tokens); df (|Q| rows) and the corpus
+    n_docs/avgdl scalars join back via broadcast; the only non-broadcast
+    shuffle joins tf to per-doc length on doc_id. No collect — corpus
+    stats stay plan-side as a broadcast cross join."""
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom), 4
+            ).alias("score")
+        )
+        .orderBy("doc_id")
+    )

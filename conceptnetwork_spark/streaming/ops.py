@@ -599,3 +599,55 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     await_finished(q, 120)
     return spark.table(table)
+
+
+# --------------------------------------------------------------------------
+# D27b — batch sessionization: assign each EVENT its per-user session
+# ordinal (the event->conversation grouping step of an interaction-log
+# pipeline; d27_session_window is the aggregate view, this is the
+# assignment view)
+# --------------------------------------------------------------------------
+@register(
+    "d27_batch_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_idx
+    FROM flagged ORDER BY event_id
+    """,
+)
+def d27_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands session assignment, 30-min inactivity gap: flag
+    session starts with lag(ts), number sessions with a running sum. Both
+    windows share the (user_id; ts, event_id) sort — Spark computes them
+    in ONE shuffle + sort (same window spec), so this costs exactly what
+    the aggregate form costs."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = (
+        prev.isNull()
+        | (F.col("ts") >= prev + F.expr("INTERVAL 30 MINUTES"))
+    ).cast("int")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("new_session", new_session)
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("new_session").over(wsum).cast("long").alias("session_idx"),
+        )
+        .orderBy("event_id")
+    )
