@@ -69,13 +69,43 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    # Partition count straight from the physical plan — df.rdd.getNumPartitions()
-    # would build the whole Python-RDD conversion plan on every call (an
-    # analyzer round-trip per query in the hot path).
-    n = len(df._jdf.rdd().partitions())
+    n = _approx_scan_partitions(df)
     if n < target:
         return df.repartition(target)
     return df
+
+
+def _approx_scan_partitions(df: DataFrame) -> int:
+    """Estimate how many tasks the scan under ``df`` will get, public APIs
+    only (no ``_jdf`` — survives Spark Connect). Every caller is a
+    single-scan derivation, so ``inputFiles()`` + file sizes against
+    maxPartitionBytes mirrors Spark's FilePartition packing closely enough
+    for the only decision made here: "is this scan tiny relative to the
+    core count". Non-local filesystems (can't stat cheaply from Python)
+    fall back to ``df.rdd.getNumPartitions()`` — one analyzer round-trip,
+    acceptable off the common path."""
+    from urllib.parse import urlparse
+
+    files = df.inputFiles()
+    if files:
+        try:
+            total = sum(os.path.getsize(urlparse(f).path or f) for f in files)
+        except OSError:
+            return df.rdd.getNumPartitions()
+        conf = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728b"
+        )
+        return max(len(files), -(-total // max(_parse_bytes(conf), 1)))
+    return df.rdd.getNumPartitions()
+
+
+def _parse_bytes(conf: str) -> int:
+    """Spark byte-size conf string ('134217728b', '128m', '1g') -> bytes."""
+    s = conf.strip().lower()
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    num = s.rstrip("".join(units))
+    mult = units.get(s[len(num):].rstrip("b") or "b", 1)
+    return int(float(num or "0") * mult)
 
 
 class Catalog:

@@ -60,63 +60,70 @@ def oracles() -> dict[str, str]:
 _LOADED = False
 
 # Certification-first ordering. The driver's CORRECTNESS window checks the
-# FIRST 50 registry entries (round-1 lesson: insertion order burned all 50
-# slots on D1-D16 variants, leaving D17-D33 driver-unverified). This list
-# puts one-or-more oracle queries from EVERY declared component D1-D33 in
-# the first 50 slots; everything else follows in module insertion order.
+# FIRST 50 registry entries, so this list ROTATES per round: it leads with
+# oracle queries that have never hash-matched in any prior driver window
+# (cumulative ledger: CERTIFIED.md), then new queries added this round,
+# then canaries — one previously-green query per component not already
+# represented. All 50 slots carry oracles; D11's approx sketches are
+# oracle-less BY DESIGN (5%-tolerance pytest instead) and deliberately
+# stay outside the window. Round-3 window below; after the driver runs,
+# every registered oracle query will have >=1 driver hash-match across
+# rounds 1-3.
 CERT_FIRST: tuple[str, ...] = (
-    # D17-D33: the families with no driver row in round 1
+    # -- never driver-checked before round 3 (27) --
+    "d01_json_source",
+    "d02_hash_sample",
+    "d02_train_test_split",
+    "d02_stratified_sample",
+    "d02_negative_sampling",
+    "d04_q2_min_acctbal_supplier",
+    "d06_q20_heavy_suppliers",
+    "d09_q6_forecast_revenue",
+    "d09_q9_product_profit",
+    "d09_q11_important_parts",
+    "d09_q14_promo",
+    "d09_q15_top_supplier",
+    "d09_q21_waiting",
+    "d10_column_profile",
+    "d20_embedding_centroid",
+    "d21_variant",
+    "d22_scalar_udf",
+    "d24_mapinpandas_parse",
+    "d24_explode_outer",
+    "d25_parquet_sink",
+    "d26_sliding_window",
+    "d31_quantile_filter",
+    "d31_corpus_stats",
+    "d31_corpus_filter",
+    "d34_dataprep_summary",
+    "d35_scd2_history",
+    "d35_temporal_join",
+    # -- new in round 3 (5) --
+    "d32_image_decode",
+    "d31_bm25",
+    "d13_ntile",
+    "d14_ewma",
+    "d27_batch_sessionize",
+    # -- canaries: components not otherwise represented, all green in a
+    #    prior driver window (18) --
+    "d01_scan_filter",
+    "d03_inner_join",
+    "d05_left_outer_join",
+    "d07_range_join",
+    "d08_asof_join",
+    "d12_rollup",
+    "d15_topk",
+    "d16_union_all",
     "d17_string_funcs",
     "d18_date_funcs",
     "d19_math_funcs",
-    "d20_array_funcs",
-    "d21_json_funcs",
-    "d22_pandas_udf",
     "d23_mean_center",
-    "d23_grouped_map",
-    "d23_grouped_agg",
-    "d24_explode_words",
-    "d34_llm_dataprep",
-    "d35_upsert_cdc",
-    "d25_stream_ingest",
-    "d25_stream_static_join",
-    "d25_stream_stream_join",
-    "d25_stateful_totals",
     "d26_tumbling_window",
-    "d01_csv_source",
-    "d27_session_window",
     "d28_keyed_dedup",
     "d29_exact_dedup",
     "d29_dup_clusters",
-    "d29_ngram_jaccard",
     "d30_knn_exact",
-    "d30_quantize_int8",
-    "d31_text_stats",
-    "d31_quality_score",
-    "d31_lang_id",
-    "d31_fingerprint",
-    "d32_binary_meta",
     "d33_ols_mse",
-    "d33_string_indexer",
-    "d20_zip_with_dot",
-    # D1-D16: one representative each so every component keeps a green row
-    "d01_scan_filter",
-    "d02_case_parse",
-    "d03_inner_join",
-    "d04_q3_shipping",
-    "d05_left_outer_join",
-    "d06_semi_join",
-    "d07_range_join",
-    "d08_asof_join",
-    "d09_hash_agg",
-    "d10_count_distinct",
-    "d11_approx_count_distinct",
-    "d12_rollup",
-    "d12_pivot",
-    "d13_window_rank",
-    "d14_window_running",
-    "d15_topk",
-    "d16_union_all",
 )
 
 
@@ -144,6 +151,20 @@ def _load_all() -> None:
     )
     from conceptnetwork_spark.sources import formats  # noqa: F401
     from conceptnetwork_spark.streaming import ops, stateful  # noqa: F401
+
+    if not stateful.TWSP_AVAILABLE:
+        # driver-side only (module import would re-warn from every Python
+        # UDF worker): surface the one env-gated query loudly, once
+        import warnings
+
+        warnings.warn(
+            "d25_first_seen_tws (transformWithStateInPandas) NOT "
+            "registered: google.protobuf is unavailable in this "
+            "environment; the operator is implemented and oracle-backed "
+            "but requires cluster deps",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     missing = [n for n in CERT_FIRST if n not in REGISTRY]
     if missing:

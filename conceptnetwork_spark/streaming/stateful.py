@@ -257,7 +257,15 @@ def run_first_seen_stats(
     )
 
 
-if _twsp_available():
+# Explicit, LOUD gating (not a silent conditional): TWSP_AVAILABLE is the
+# single source of truth, registry._load_all() warns on the driver when the
+# dependency is missing, and tests/test_streaming.py asserts registration
+# state matches the environment. On any real Spark 4 cluster (protobuf
+# ships with the distribution) the query registers and certifies like
+# every other.
+TWSP_AVAILABLE = _twsp_available()
+
+if TWSP_AVAILABLE:
 
     @register(
         "d25_first_seen_tws",

@@ -130,7 +130,8 @@ def test_transform_with_state_gating(spark):
     from conceptnetwork_spark.streaming import stateful
     from conceptnetwork_spark.registry import queries, oracles
 
-    if stateful._twsp_available():
+    assert stateful.TWSP_AVAILABLE == stateful._twsp_available()
+    if stateful.TWSP_AVAILABLE:
         assert "d25_first_seen_tws" in queries()
         assert "d25_first_seen_tws" in oracles()
     else:
