@@ -328,3 +328,124 @@ def d35_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id", "feature_value")
     )
+
+
+# --------------------------------------------------------------------------
+# D34c — sequence packing (concat-then-chunk context-window assignment)
+# --------------------------------------------------------------------------
+PACK_CTX = 512  # tokens per context window
+PACK_SHARDS = 16  # independent packing shards per split
+
+
+@register(
+    "d34_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN {_bucket_sql('doc_id')} < 80 THEN 'train'
+                  WHEN {_bucket_sql('doc_id')} < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             {_bucket_sql('doc_id', PACK_SHARDS)} AS shard,
+             CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT)
+               AS tokens
+      FROM documents
+    )
+    SELECT doc_id, split, shard, tokens,
+           CAST(FLOOR((SUM(tokens) OVER (PARTITION BY split, shard
+                                         ORDER BY doc_id) - tokens)
+                      / {PACK_CTX}.0) AS BIGINT) AS pack_id,
+           CAST((SUM(tokens) OVER (PARTITION BY split, shard
+                                   ORDER BY doc_id) - tokens)
+                % {PACK_CTX} AS BIGINT) AS pack_offset
+    FROM t ORDER BY doc_id
+    """,
+)
+def d34_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining: concatenate documents in a
+    deterministic order and chunk the token stream into fixed context
+    windows (PACK_CTX) — each doc is assigned the pack (and offset) where
+    it STARTS. Packing runs independently per (split, shard) where shard
+    is an md5 bucket of doc_id: the cumulative sum never serializes on one
+    task, packs are reproducible under re-ingestion (hash membership is
+    permanent), and at 100 TB the parallelism is split×shards wide — raise
+    PACK_SHARDS to match the cluster, semantics are unchanged. One shuffle
+    on the (split, shard) key; everything else is map-side."""
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).documents
+    base = d.select(
+        "doc_id",
+        F.when(hash_bucket(F.col("doc_id")) < 80, "train")
+        .when(hash_bucket(F.col("doc_id")) < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        hash_bucket(F.col("doc_id"), PACK_SHARDS).alias("shard"),
+        F.regexp_count("text", F.lit(TOKEN_PATTERN)).cast("long").alias(
+            "tokens"
+        ),
+    )
+    w = Window.partitionBy("split", "shard").orderBy("doc_id")
+    start = F.sum("tokens").over(w) - F.col("tokens")
+    return base.select(
+        "doc_id",
+        "split",
+        "shard",
+        "tokens",
+        F.floor(start / PACK_CTX).cast("long").alias("pack_id"),
+        (start % PACK_CTX).cast("long").alias("pack_offset"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# D35d — snapshot-at-time (point-in-time table-state reconstruction from a
+# CDC/event log: the AS OF read of every lakehouse table format)
+# --------------------------------------------------------------------------
+SNAPSHOT_AT = "2024-01-15 00:00:00"
+
+
+@register(
+    "d35_snapshot_at",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, ROUND(value, 4) AS value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE event_type = 'purchase' AND ts <= TIMESTAMP '{SNAPSHOT_AT}'
+    )
+    SELECT user_id, event_id AS last_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS as_of_ts, value
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def d35_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruct per-key table state AS OF a timestamp from the event log:
+    the latest purchase row per user at SNAPSHOT_AT (arg-max by (ts,
+    event_id), deterministic tiebreak). The time predicate is pushed to the
+    scan (partition pruning on a date-partitioned log reads only history up
+    to T); the arg-max is one window over the key — same plan shape Delta/
+    Iceberg time travel executes for MERGE-log compaction. Complements
+    d35_scd2_history (full interval table) with the cheaper point read."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") <= F.lit(SNAPSHOT_AT).cast("timestamp"))
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("as_of_ts"),
+            F.round("value", 4).alias("value"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )

@@ -1399,3 +1399,76 @@ def d14_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.round(num / den, 4).alias("ewma")
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# D13c — percent_rank / cume_dist (distribution-position features)
+# --------------------------------------------------------------------------
+@register(
+    "d13_percent_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey), 4)
+             AS pr,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey), 4)
+             AS cd
+    FROM orders WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+    """,
+)
+def d13_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative distribution position (percent_rank, cume_dist) of each
+    order's price within its priority class — the normalized-rank features
+    a ranking model trains on. Full-key ORDER BY makes both functions
+    deterministic under ties; one shuffle on the partition key, the filter
+    is pushed to the scan."""
+    o = Catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        o.where(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 4).alias("pr"),
+            F.round(F.cume_dist().over(w), 4).alias("cd"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# D14c — rolling exact median over a row frame (robust smoothing; the
+# outlier-resistant twin of the d14 running mean)
+# --------------------------------------------------------------------------
+@register(
+    "d14_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def d14_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of the last 7 event values per user. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
+    interpolation definition, so the frames hash-match. A 7-row frame is
+    O(1) state per row; one shuffle on user_id, per-partition sort — the
+    robust-smoothing feature at any scale."""
+    ev = Catalog(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med7"),
+    ).orderBy("event_id")

@@ -243,3 +243,54 @@ def d02_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "neg_rank", "neg_partkey", "p_name")
         .orderBy("o_orderkey", "neg_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# D2 extension — domain-mixture resampling (per-source target rates)
+# --------------------------------------------------------------------------
+# mixture spec: keep-percent per source family; the re-weighting step that
+# turns a raw crawl into a curated pretraining mixture
+MIX_FULL = ("src0", "src1")  # curated sources: keep all
+MIX_MID = ("src2", "src3", "src4", "src5")  # keep 40%
+MIX_TAIL_PCT = 15  # everything else
+
+
+@register(
+    "d02_domain_mix",
+    oracle=f"""
+    WITH kept AS (
+      SELECT doc_id, source
+      FROM documents
+      WHERE {_bucket_sql('doc_id')} <
+            CASE WHEN source IN {MIX_FULL!r} THEN 100
+                 WHEN source IN {MIX_MID!r} THEN 40
+                 ELSE {MIX_TAIL_PCT} END
+    )
+    SELECT source, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM kept GROUP BY source ORDER BY source
+    """,
+)
+def d02_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: per-source keep rates (100%/40%/15%)
+    applied via the same md5-bucket predicate as d02_hash_sample, so the
+    sampled membership is permanent, engine-independent, and re-derivable
+    by the oracle. This is the mixture-weights step of pretraining corpus
+    curation (up-weight curated sources, down-weight crawl tail) as a pure
+    scan-level filter — no shuffle for the sampling itself; the per-source
+    summary is one partial+final agg over ~|sources| keys."""
+    d = Catalog(spark, sf_dir).documents
+    rate = (
+        F.when(F.col("source").isin(*MIX_FULL), 100)
+        .when(F.col("source").isin(*MIX_MID), 40)
+        .otherwise(MIX_TAIL_PCT)
+    )
+    return (
+        d.where(hash_bucket(F.col("doc_id")) < rate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )

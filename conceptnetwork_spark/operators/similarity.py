@@ -367,3 +367,141 @@ def d30_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# D30 extension — product quantization (PQ) ANN with ADC scoring + exact
+# re-rank: the memory-compression scale path (64 doubles -> M bytes/vector)
+# --------------------------------------------------------------------------
+PQ_M, PQ_K = 8, 16  # 8 subspaces x 16 centroids -> 8 bytes per vector
+PQ_TRAIN_CAP = 2048  # codebook training sample ceiling (see docstring)
+PQ_RERANK = 50  # ADC candidates re-ranked exactly per query
+
+
+def _pq_train_codebooks(emb: DataFrame, seed: int = 42) -> np.ndarray:
+    """Train per-subspace codebooks with seeded Lloyd iterations on a
+    BOUNDED deterministic sample (md5-bucket membership, capped at
+    PQ_TRAIN_CAP rows). Training on a small reservoir is the standard PQ
+    recipe (codebooks need the distribution's shape, not the corpus): the
+    driver-side collect here is capacity-bounded by construction and
+    independent of corpus size — the full corpus is only ever touched by
+    the distributed encode pass. Returns (M, K, dsub) float64."""
+    from conceptnetwork_spark.operators.sampling import hash_bucket
+
+    n = emb.count()
+    pct = max(1, min(100, int(100 * PQ_TRAIN_CAP / max(n, 1))))
+    sample = (
+        emb.where(hash_bucket(F.col("vec_id")) < pct)
+        .select("embedding")
+        .limit(PQ_TRAIN_CAP)
+        .toPandas()
+    )
+    x = np.vstack(sample["embedding"].to_numpy()).astype(np.float64)
+    dim = x.shape[1]
+    dsub = dim // PQ_M
+    rng = np.random.default_rng(seed)
+    books = np.empty((PQ_M, PQ_K, dsub))
+    for m in range(PQ_M):
+        xs = x[:, m * dsub : (m + 1) * dsub]
+        # seeded k-means++ init then 10 Lloyd rounds — deterministic
+        centers = xs[rng.choice(len(xs), 1)]
+        while len(centers) < PQ_K:
+            d2 = ((xs[:, None, :] - centers[None, :, :]) ** 2).sum(-1).min(1)
+            p = d2 / d2.sum()
+            centers = np.vstack([centers, xs[rng.choice(len(xs), 1, p=p)]])
+        for _ in range(10):
+            assign = ((xs[:, None, :] - centers[None, :, :]) ** 2).sum(-1).argmin(1)
+            for c in range(PQ_K):
+                pts = xs[assign == c]
+                if len(pts):
+                    centers[c] = pts.mean(0)
+        books[m] = centers
+    return books
+
+
+def pq_encode(emb: DataFrame, books: np.ndarray) -> DataFrame:
+    """Distributed PQ encode: vec -> M uint8 codes. One vectorized numpy
+    argmin per Arrow batch against the broadcast codebooks; output is
+    (vec_id, codes) — the 8-byte representation that makes a 100 TB vector
+    corpus fit a fraction of the executors' memory."""
+    spark = emb.sparkSession
+    b_books = spark.sparkContext.broadcast(books)
+
+    def encode(batches):
+        bk = b_books.value  # (M, K, dsub)
+        dsub = bk.shape[2]
+        for pdf in batches:
+            x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(x), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                xs = x[:, m * dsub : (m + 1) * dsub]
+                d2 = ((xs[:, None, :] - bk[m][None, :, :]) ** 2).sum(-1)
+                codes[:, m] = d2.argmin(1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, codes array<int>"
+    )
+
+
+@register("d30_pq_ann", oracle=None)
+def d30_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ANN: asymmetric-distance (ADC) scan over 8-byte PQ codes, then
+    exact cosine re-rank of the top PQ_RERANK candidates per query.
+
+    Scale shape: the corpus is touched by (1) the bounded codebook-training
+    sample, (2) one distributed encode pass, (3) the ADC scan — which reads
+    ONLY (vec_id, 8 int codes), never the vectors; the per-batch score is a
+    table lookup-sum against the query's (M x K) distance table. Exact
+    re-rank hydrates vectors for just PQ_RERANK x |queries| rows via an
+    equi-join. Non-oracle (codebook assignment is engine/seed-defined);
+    pytest checks recall@10 vs d30_knn_exact after re-rank."""
+    e = Catalog(spark, sf_dir).embeddings
+    books = _pq_train_codebooks(e)
+    codes = pq_encode(e, books)
+
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scored = codes.join(F.broadcast(queries)).where(
+        F.col("qid") != F.col("vec_id")
+    )
+
+    b_books = spark.sparkContext.broadcast(books)
+
+    @F.pandas_udf(DoubleType())
+    def adc_dist(qvec: pd.Series, codes_s: pd.Series) -> pd.Series:
+        bk = b_books.value
+        dsub = bk.shape[2]
+        q = np.vstack(qvec.to_numpy()).astype(np.float64)
+        c = np.vstack(codes_s.to_numpy()).astype(np.int64)
+        # per-row subspace distance tables; batch is small (queries are
+        # broadcast so each batch holds few distinct qids — the lookup
+        # below vectorizes over rows regardless)
+        out = np.zeros(len(q))
+        for m in range(PQ_M):
+            qs = q[:, m * dsub : (m + 1) * dsub]  # (N, dsub)
+            d2 = ((qs[:, None, :] - bk[m][None, :, :]) ** 2).sum(-1)  # (N, K)
+            out += d2[np.arange(len(q)), c[:, m]]
+        return pd.Series(out)
+
+    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("adc", adc_dist("qvec", "codes"))
+        .withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= PQ_RERANK)
+        .select("qid", "qvec", "vec_id")
+    )
+    # exact re-rank: hydrate candidate vectors (PQ_RERANK x |queries| rows)
+    rer = cand.join(
+        e.select(F.col("vec_id"), F.col("embedding").alias("cvec")), "vec_id"
+    ).withColumn("sim", F.round(_cosine_batch("qvec", "cvec"), 4))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= 10)
+        .select("qid", "rank", "vec_id", "sim")
+        .orderBy("qid", "rank")
+    )

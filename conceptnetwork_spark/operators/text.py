@@ -369,6 +369,110 @@ def d31_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# D31h — repetition / lexical-diversity signals (the Gopher-style
+# repetitiousness filters: boilerplate and degenerate text score high here)
+# --------------------------------------------------------------------------
+@register(
+    "d31_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+               AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT)                         AS n_toks,
+           CAST(COUNT(*) AS BIGINT)                         AS n_distinct,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 4)    AS ttr,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4)    AS top_tok_frac
+    FROM tf GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def d31_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals per document: type-token ratio and the mass of the
+    single most frequent token — the degenerate-text detectors (boilerplate,
+    keyword stuffing, decode loops) used as pretraining quality gates.
+
+    Scale shape: the classic word-count plan — explode is map-side, the
+    (doc_id, term) aggregate map-side-combines before its shuffle (shuffle
+    carries unique pairs, not token instances), and the per-doc rollup
+    reuses the same hash partitioning on the doc_id prefix. No all-pairs,
+    no driver state, spillable at any corpus size."""
+    d = Catalog(spark, sf_dir).documents
+    tf = (
+        d.select("doc_id", F.explode(_toks(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_toks"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.round(F.count(F.lit(1)).cast("double") / F.sum("cnt"), 4).alias(
+                "ttr"
+            ),
+            F.round(F.max("cnt").cast("double") / F.sum("cnt"), 4).alias(
+                "top_tok_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# D31i — PII redaction (emails / long digit runs), the scrubbing pass every
+# published pretraining pipeline runs before tokenization
+# --------------------------------------------------------------------------
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+DIGIT_RUN_PATTERN = r"[0-9]{4,}"
+
+
+@register(
+    "d31_pii_redact",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS BIGINT)
+               AS n_emails,
+             regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g') AS t1
+      FROM documents
+    )
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(t1, '{DIGIT_RUN_PATTERN}')) AS BIGINT)
+             AS n_digit_runs,
+           CAST(length(regexp_replace(t1, '{DIGIT_RUN_PATTERN}', '<NUM>', 'g'))
+             AS BIGINT) AS redacted_len
+    FROM r ORDER BY doc_id
+    """,
+)
+def d31_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub: mask emails then 4+-digit runs (phone/account/ID
+    shapes), counting each class. Replacement ORDER is part of the contract
+    (emails first, so their digits are never double-counted as digit runs)
+    and is identical in the oracle. Pure map-side regexp expressions —
+    WholeStageCodegen, zero shuffle, embarrassingly parallel at 100 TB."""
+    d = Catalog(spark, sf_dir).documents
+    t1 = F.regexp_replace("text", EMAIL_PATTERN, "<EMAIL>")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(EMAIL_PATTERN)).cast("long").alias(
+            "n_emails"
+        ),
+        F.regexp_count(t1, F.lit(DIGIT_RUN_PATTERN)).cast("long").alias(
+            "n_digit_runs"
+        ),
+        F.length(
+            F.regexp_replace(t1, DIGIT_RUN_PATTERN, "<NUM>")
+        ).cast("long").alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # D31e — BM25 retrieval scoring (the ranking function behind every sparse
 # text-retrieval / contamination-check stage in an LLM data pipeline)
 # --------------------------------------------------------------------------

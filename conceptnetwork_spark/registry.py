@@ -98,15 +98,16 @@ CERT_FIRST: tuple[str, ...] = (
     "d34_dataprep_summary",
     "d35_scd2_history",
     "d35_temporal_join",
-    # -- new in round 3 (5) --
+    # -- new in round 3 (7) --
     "d32_image_decode",
     "d31_bm25",
     "d13_ntile",
     "d14_ewma",
     "d27_batch_sessionize",
-    # -- canaries: components not otherwise represented, all green in a
-    #    prior driver window (18) --
-    "d01_scan_filter",
+    "d34_sequence_pack",
+    "d31_repetition",
+    # -- canaries: one per component not otherwise represented above, all
+    #    green in a prior driver window (16) --
     "d03_inner_join",
     "d05_left_outer_join",
     "d07_range_join",
@@ -118,13 +119,15 @@ CERT_FIRST: tuple[str, ...] = (
     "d18_date_funcs",
     "d19_math_funcs",
     "d23_mean_center",
-    "d26_tumbling_window",
     "d28_keyed_dedup",
     "d29_exact_dedup",
     "d29_dup_clusters",
     "d30_knn_exact",
     "d33_ols_mse",
 )
+# Round-3 additions NOT in this round's 50-slot window (pytest-oracle-green
+# now, scheduled for the round-4 rotation): d31_pii_redact, d35_snapshot_at,
+# d02_domain_mix, d13_percent_rank, d14_rolling_median.
 
 
 def _load_all() -> None:

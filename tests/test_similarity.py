@@ -78,3 +78,35 @@ def test_ivf_ann_recall_vs_exact(spark):
     # near-uniform vectors: expected recall ~= nprobe/k = 0.5; assert a
     # conservative floor (clustered data recovers ~all neighbors)
     assert avg >= 0.3, f"IVF avg recall@10 {avg:.2f}"
+
+
+def test_pq_ann_recall_vs_exact(spark):
+    qs = queries()
+    exact = qs["d30_knn_exact"](spark, SF_ORACLE).collect()
+    pq = qs["d30_pq_ann"](spark, SF_ORACLE).collect()
+    exact_sets, pq_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    for r in pq:
+        pq_sets.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & pq_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    avg = sum(recalls) / len(recalls)
+    # ADC keeps 50 of 500 candidates, then exact re-rank: on near-uniform
+    # vectors the 8x16 codebook approximation should still place most true
+    # neighbors inside the re-rank set
+    assert avg >= 0.5, f"PQ avg recall@10 {avg:.2f}"
+
+
+def test_pq_codes_shape(spark, emb):
+    books = similarity._pq_train_codebooks(emb)
+    assert books.shape == (similarity.PQ_M, similarity.PQ_K, 64 // similarity.PQ_M)
+    codes = similarity.pq_encode(emb, books).collect()
+    assert len(codes) == emb.count()
+    assert all(
+        len(r.codes) == similarity.PQ_M
+        and all(0 <= c < similarity.PQ_K for c in r.codes)
+        for r in codes
+    )
