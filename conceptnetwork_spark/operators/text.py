@@ -552,3 +552,73 @@ def d31_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D31j — unigram LM score (corpus-frequency log-prob per doc: the cheap
+# "perplexity-style" quality signal used to rank crawl text before the
+# expensive model-based filters)
+# --------------------------------------------------------------------------
+@register(
+    "d31_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+               AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY doc_id, term
+    ),
+    vocab AS (
+      SELECT term, SUM(cnt) AS term_total FROM tf GROUP BY term
+    ),
+    corpus AS (
+      SELECT SUM(term_total) AS n_total FROM vocab
+    )
+    SELECT tf.doc_id,
+           ROUND(SUM(tf.cnt * ln(vocab.term_total / corpus.n_total))
+                 / SUM(tf.cnt), 4) AS avg_logprob
+    FROM tf JOIN vocab USING (term) CROSS JOIN corpus
+    GROUP BY tf.doc_id ORDER BY tf.doc_id
+    """,
+)
+def d31_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    empirical unigram distribution — low scores flag gibberish / rare-token
+    soup, high scores flag natural common-word text. The cheap proxy for
+    LM-perplexity quality filtering (same shape: score = mean token
+    log-prob), computable without any model.
+
+    Scale shape: tf is the word-count aggregate (map-side combine, unique
+    (doc, term) pairs in the shuffle); the vocab table aggregates tf a
+    second time on term only; tf joins vocab back on term — a genuine
+    large-large join at corpus scale, which Spark sort-merge-joins on the
+    term key (skewed head words are exactly what AQE skew-join splits);
+    the corpus total rides along as a broadcast scalar. Final rollup
+    reuses the doc_id grouping. No collect, no all-pairs."""
+    d = Catalog(spark, sf_dir).documents
+    tf = (
+        d.select("doc_id", F.explode(_toks(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = tf.groupBy("term").agg(F.sum("cnt").alias("term_total"))
+    corpus = vocab.agg(F.sum("term_total").alias("n_total"))
+    return (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("cnt")
+                    * F.log(F.col("term_total") / F.col("n_total"))
+                )
+                / F.sum("cnt"),
+                4,
+            ).alias("avg_logprob")
+        )
+        .orderBy("doc_id")
+    )

@@ -651,3 +651,97 @@ def d27_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D25 extension — incremental CDC apply: multi-batch streaming MERGE into a
+# keyed state table (the lakehouse "apply changes" sink)
+# --------------------------------------------------------------------------
+@register(
+    "d25_stream_upsert",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ROUND(value, 4) AS value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id AS last_event_id, value
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def d25_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: the event log arrives in micro-batches (input
+    staged as 4 files, maxFilesPerTrigger=1 forces 4 genuine batches) and
+    each batch MERGEs into a keyed parquet state table — compact the batch
+    to one row per key (arg-max on ts,event_id), union with the prior
+    state version, arg-max again, write a NEW version directory (never
+    overwrite what the same job reads). The final state must equal the
+    batch latest-row-per-user oracle REGARDLESS of batch boundaries —
+    per-key arg-max merge is associative and commutative, which is the
+    correctness argument for any out-of-order CDC apply at scale. State
+    shuffles only (user_id, event_id, value) triples, one version per
+    batch; at 100 TB the same loop is Delta/Iceberg MERGE with the version
+    directory replaced by table snapshots."""
+    from pyspark.sql import Window
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"cn_spark_evstage_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(stage):
+        ev = Catalog(spark, sf_dir).events
+        ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(
+            stage + ".tmp"
+        )
+        os.rename(stage + ".tmp", stage)
+
+    schema = spark.read.parquet(stage).schema
+    src = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stage)
+
+    root = os.path.join(tempfile.gettempdir(), f"upsert_{uuid.uuid4().hex[:8]}")
+    ckpt = root + "_ckpt"
+    versions: list[str] = []
+
+    def argmax(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("last_event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = argmax(
+            batch_df.where(F.col("event_type") == "purchase").select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                "ts",
+                F.round("value", 4).alias("value"),
+            )
+        )
+        if versions:
+            prev = batch_df.sparkSession.read.parquet(versions[-1])
+            delta = argmax(prev.unionByName(delta))
+        out = os.path.join(root, f"v{batch_id}")
+        delta.write.mode("overwrite").parquet(out)
+        versions.append(out)
+
+    q = (
+        src.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q, 180)
+    assert len(versions) >= 4, f"expected >=4 micro-batches, got {len(versions)}"
+    return (
+        spark.read.parquet(versions[-1])
+        .select("user_id", "last_event_id", "value")
+        .orderBy("user_id")
+    )
