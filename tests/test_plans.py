@@ -272,3 +272,48 @@ def test_d01_csv_source_no_inference_scan(spark):
     plan = _plan(spark, "d01_csv_source")
     assert "Scan csv" in plan
     assert "n_comment" not in plan  # projection pruned before the plan
+
+
+def test_d31_pii_redact_map_only(spark):
+    """PII redaction is pure per-row regexp work until the presentation
+    sort: exactly one Exchange (the final orderBy) may appear."""
+    plan = _plan(spark, "d31_pii_redact")
+    assert plan.count("Exchange") <= 1
+    # all three outputs are regexp expressions over the pruned 2-col scan
+    assert "regexp_extract_all" in plan and "ReadSchema: struct<doc_id" in plan
+
+
+def test_d31_repetition_partial_aggregation(spark):
+    """The (doc_id, term) word-count aggregate must map-side-combine: a
+    partial+final HashAggregate pair per groupBy level."""
+    plan = _plan(spark, "d31_repetition")
+    assert plan.count("HashAggregate") >= 4  # two groupBys x partial+final
+
+
+def test_d34_sequence_pack_single_window_shuffle(spark):
+    """Packing shuffles once on (split, shard) for the cumulative sum; the
+    token count and bucket assignment are map-side."""
+    plan = _plan(spark, "d34_sequence_pack")
+    assert "Window" in plan
+    # window exchange + presentation sort exchange, nothing else
+    assert plan.count("Exchange") <= 2
+
+
+def test_d13_percent_rank_filter_pushed(spark):
+    plan = _plan(spark, "d13_percent_rank")
+    assert "PushedFilters" in plan and "o_orderkey" in plan
+
+
+def test_d35_snapshot_time_predicate_pushed(spark):
+    """The AS-OF time cutoff must reach the scan (partition pruning on a
+    date-partitioned log at scale)."""
+    plan = _plan(spark, "d35_snapshot_at")
+    assert "PushedFilters" in plan and "ts" in plan
+
+
+def test_d31_unigram_vocab_join_shape(spark):
+    """tf joins vocab on term as a real shuffle join (both sides corpus-
+    sized at scale); the corpus-total scalar must broadcast."""
+    plan = _plan(spark, "d31_unigram_logprob")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("HashAggregate") >= 4

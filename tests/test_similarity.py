@@ -110,3 +110,25 @@ def test_pq_codes_shape(spark, emb):
         and all(0 <= c < similarity.PQ_K for c in r.codes)
         for r in codes
     )
+
+
+def test_ann_recall_holds_at_largest_local_sf(spark):
+    """Stretch check (VERDICT r2 item 8): the documented bucketing
+    parameters must hold off the toy corpus — recall@10 at sf0.1 (2000
+    vectors, 4x the oracle sf) for both LSH and IVF, vs exact."""
+    sf = "/root/testdata/sf0.1"
+    qs = queries()
+    exact_sets = {}
+    for r in qs["d30_knn_exact"](spark, sf).collect():
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    assert exact_sets, "exact kNN returned nothing at sf0.1"
+    for name, floor in [("d30_lsh_ann", 0.4), ("d30_ivf_ann", 0.25)]:
+        ann_sets = {}
+        for r in qs[name](spark, sf).collect():
+            ann_sets.setdefault(r.qid, set()).add(r.vec_id)
+        recalls = [
+            len(exact_sets[q] & ann_sets.get(q, set())) / len(exact_sets[q])
+            for q in exact_sets
+        ]
+        avg = sum(recalls) / len(recalls)
+        assert avg >= floor, f"{name} avg recall@10 at sf0.1: {avg:.2f}"
