@@ -1472,3 +1472,68 @@ def d14_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med7"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# D16 extension — EXCEPT ALL (multiset difference with multiplicity)
+# --------------------------------------------------------------------------
+@register(
+    "d16_except_all",
+    oracle="""
+    SELECT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderkey < 4000
+      EXCEPT ALL
+      SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderkey < 4000 AND o_orderstatus = 'F'
+    ) ORDER BY custkey
+    """,
+)
+def d16_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference that preserves multiplicity (a customer
+    with 3 orders, 1 of them 'F', survives twice). Spark plans this as one
+    count-per-key aggregate + generate, not an anti join: one shuffle on
+    the value, multiplicities subtracted per key — the multiset semantics
+    DISTINCT-based EXCEPT throws away."""
+    o = Catalog(spark, sf_dir).orders
+    a = o.where(F.col("o_orderkey") < 4000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.where(
+        (F.col("o_orderkey") < 4000) & (F.col("o_orderstatus") == "F")
+    ).select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b).orderBy("custkey")
+
+
+# --------------------------------------------------------------------------
+# D17 extension — edit distance (the fuzzy-match scalar primitive)
+# --------------------------------------------------------------------------
+@register(
+    "d17_levenshtein",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, p_type) AS INT)  AS d_name_type,
+           CAST(levenshtein(lower(p_brand), lower(p_type)) AS INT)
+             AS d_brand_type
+    FROM part WHERE p_partkey < 400
+    ORDER BY p_partkey
+    """,
+)
+def d17_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance between part attribute strings — the
+    scalar behind fuzzy key matching and typo-tolerant dedup blocking.
+    Spark and DuckDB implement the identical unit-cost edit distance, so
+    values hash-match. Per-row JVM scalar work on a pruned, pushed-down
+    scan; O(len^2) per pair is the cost model to remember before putting
+    it in an all-pairs join at scale (block first, then score)."""
+    p = Catalog(spark, sf_dir).part
+    return (
+        p.where(F.col("p_partkey") < 400)
+        .select(
+            "p_partkey",
+            F.levenshtein("p_name", "p_type").alias("d_name_type"),
+            F.levenshtein(F.lower("p_brand"), F.lower("p_type")).alias(
+                "d_brand_type"
+            ),
+        )
+        .orderBy("p_partkey")
+    )
