@@ -56,6 +56,14 @@ HEADLINE = [
     "d34_llm_dataprep",
     "d35_upsert_cdc",
     "d25_parquet_sink",
+    # round-3 flagships
+    "d31_repetition",
+    "d31_unigram_logprob",
+    "d31_bm25",
+    "d34_sequence_pack",
+    "d30_pq_ann",
+    "d25_stream_upsert",
+    "d32_image_decode",
 ]
 
 

@@ -209,3 +209,106 @@ def d29_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") > 1)
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D29 extension — PageRank (fixed 2 unrolled iterations, oracle-checked):
+# the authority score used to pick the canonical document per dup cluster
+# and to weight crawl sources
+# --------------------------------------------------------------------------
+PR_DAMP = 0.85
+
+
+@register(
+    "d29_pagerank_2iter",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey + 1000000 AS src, l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey < 2000
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    pr0 AS (
+      SELECT node, 1.0 / n.n_nodes AS pr FROM nodes CROSS JOIN n
+    ),
+    pr1 AS (
+      SELECT nodes.node,
+             (1 - {PR_DAMP}) / n.n_nodes
+             + {PR_DAMP} * COALESCE(SUM(pr0.pr / outdeg.deg), 0) AS pr
+      FROM nodes CROSS JOIN n
+      LEFT JOIN edges ON edges.dst = nodes.node
+      LEFT JOIN outdeg ON outdeg.src = edges.src
+      LEFT JOIN pr0 ON pr0.node = edges.src
+      GROUP BY nodes.node, n.n_nodes
+    ),
+    pr2 AS (
+      SELECT nodes.node,
+             (1 - {PR_DAMP}) / n.n_nodes
+             + {PR_DAMP} * COALESCE(SUM(pr1.pr / outdeg.deg), 0) AS pr
+      FROM nodes CROSS JOIN n
+      LEFT JOIN edges ON edges.dst = nodes.node
+      LEFT JOIN outdeg ON outdeg.src = edges.src
+      LEFT JOIN pr1 ON pr1.node = edges.src
+      GROUP BY nodes.node, n.n_nodes
+    )
+    SELECT node, ROUND(pr, 4) AS pr FROM pr2 ORDER BY node
+    """,
+)
+def d29_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer->supplier purchase graph, exactly two
+    unrolled power iterations (damping 0.85) so the result is a closed-form
+    oracle-checkable query rather than an engine-defined fixpoint. (The
+    production form iterates this same step to convergence with
+    localCheckpoint lineage cuts, exactly like connected_components above.)
+
+    Customer nodes are offset by 1e6 so the two key spaces stay
+    disjoint (bipartite graph, no accidental id collisions).
+
+    Scale shape per iteration: contributions = edges ⋈ ranks ⋈ outdeg on
+    src (one shuffle keyed by src, outdeg is per-node — broadcastable when
+    the node set is dimension-sized), then one groupBy dst. Rank state is
+    (node, double) pairs only; edge payloads never widen. Dangling nodes
+    contribute nothing here (bounded subgraph), matching the oracle's
+    LEFT-JOIN-with-COALESCE formulation."""
+    t = Catalog(spark, sf_dir)
+    edges = (
+        t.orders.where(F.col("o_orderkey") < 2000)
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select((F.col("o_custkey") + 1000000).alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    )
+    for _ in range(2):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    (1 - PR_DAMP) / F.col("n_nodes")
+                    + PR_DAMP * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return ranks.select("node", F.round("pr", 4).alias("pr")).orderBy("node")

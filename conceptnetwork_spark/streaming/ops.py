@@ -745,3 +745,62 @@ def d25_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "last_event_id", "value")
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D27 extension — cohort retention (the day-N retention matrix every event
+# analytics stack computes from the sessionized stream)
+# --------------------------------------------------------------------------
+@register(
+    "d27_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+      GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset,
+           COUNT(*) AS n_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def d27_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N cohort retention: users grouped by first-seen day, counted as
+    retained on each later day they were active (distinct user-day pairs,
+    offsets 0-7). Three shuffles, all on user_id or the small (cohort, day)
+    key: the first-seen aggregate, the activity join (first-seen table is
+    per-user — broadcast at dim scale, sort-merge at event scale), and the
+    matrix rollup. The distinct collapses before the rollup so the final
+    agg sees one row per (user, day) — the standard dedup-then-count
+    retention plan."""
+    ev = Catalog(spark, sf_dir).events
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .where(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
