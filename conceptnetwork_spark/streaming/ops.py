@@ -692,10 +692,14 @@ def d25_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not os.path.exists(stage):
         ev = Catalog(spark, sf_dir).events
-        ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(
-            stage + ".tmp"
-        )
-        os.rename(stage + ".tmp", stage)
+        tmp = f"{stage}.{uuid.uuid4().hex[:8]}.tmp"
+        ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, stage)
+        except OSError:  # concurrent stager won the rename — use theirs
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
 
     schema = spark.read.parquet(stage).schema
     src = spark.readStream.schema(schema).option(

@@ -317,3 +317,19 @@ def test_d31_unigram_vocab_join_shape(spark):
     plan = _plan(spark, "d31_unigram_logprob")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_d27_retention_partial_finals(spark):
+    """Both aggregates (first-seen, matrix rollup) must map-side-combine;
+    no cartesian anywhere in the join chain."""
+    plan = _plan(spark, "d27_retention")
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_d29_pagerank_broadcast_scalars(spark):
+    """The node-count scalar must ride as a broadcast, never a cartesian;
+    rank state joins shuffle on the key."""
+    plan = _plan(spark, "d29_pagerank_2iter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
