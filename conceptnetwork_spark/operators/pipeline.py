@@ -449,3 +449,53 @@ def d35_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D35e — incremental materialized-view maintenance (merge partial aggregates
+# from a delta batch into an existing aggregate instead of recomputing)
+# --------------------------------------------------------------------------
+MV_CUTOVER = "2024-01-20 00:00:00"
+
+
+@register(
+    "d35_mv_merge",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def d35_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the pre-cutover aggregate
+    (the 'existing MV') is merged with the delta batch's aggregate by
+    summing partial states per key — COUNT and SUM are decomposable, so
+    merge(agg(A), agg(B)) == agg(A ∪ B), and the oracle IS the full
+    recompute. This is the pattern that turns a daily 100 TB rollup into a
+    per-partition delta job: the base MV is never rescanned, only the delta
+    aggregates (map-side combined) and one merge join/agg on the MV key.
+    Non-decomposable aggs (exact distinct, median) need sketch states
+    instead — documented boundary, not hidden."""
+    ev = Catalog(spark, sf_dir).events
+    cut = F.lit(MV_CUTOVER).cast("timestamp")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+
+    base = agg(ev.where(F.col("ts") < cut))       # the existing MV
+    delta = agg(ev.where(F.col("ts") >= cut))     # the new partition's agg
+    merged = (
+        base.unionByName(delta)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("sum_value"), 4).alias("sum_value"),
+        )
+    )
+    return merged.orderBy("user_id", "event_type")

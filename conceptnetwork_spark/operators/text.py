@@ -622,3 +622,67 @@ def d31_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D31k — per-language top-bigram profile (the n-gram signature behind
+# corpus drift monitoring and cheap language-model fingerprinting)
+# --------------------------------------------------------------------------
+NGRAM_TOPK = 5
+
+
+@register(
+    "d31_ngram_profile",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+               AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT lang, t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ),
+    counts AS (
+      SELECT lang, bigram, COUNT(*) AS cnt FROM grams GROUP BY lang, bigram
+    ),
+    ranked AS (
+      SELECT lang, bigram, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, bigram) AS rk
+      FROM counts
+    )
+    SELECT lang, rk, bigram, cnt FROM ranked
+    WHERE rk <= {NGRAM_TOPK}
+    ORDER BY lang, rk
+    """,
+)
+def d31_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language — the n-gram signature
+    used for corpus drift monitoring and contamination spot-checks.
+
+    Scale shape: bigram generation is a map-side zip of each token array
+    with its own tail (no self-join); the (lang, bigram) count map-side-
+    combines; the top-k is a window over the per-language count table —
+    already reduced to unique bigrams — with a full-key tiebreak so rank
+    is total. Same plan at 100 TB with lang replaced by any profile key."""
+    d = Catalog(spark, sf_dir).documents
+    toks = _toks(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    counts = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= NGRAM_TOPK)
+        .select("lang", "rk", "bigram", "cnt")
+        .orderBy("lang", "rk")
+    )
