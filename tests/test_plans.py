@@ -333,3 +333,20 @@ def test_d29_pagerank_broadcast_scalars(spark):
     plan = _plan(spark, "d29_pagerank_2iter")
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_d35_mv_merge_partial_states(spark):
+    """Base, delta, and merge aggregates must all map-side-combine (three
+    partial+final pairs); the merge never rescans raw events."""
+    plan = _plan(spark, "d35_mv_merge")
+    assert plan.count("HashAggregate") >= 6
+    assert "CartesianProduct" not in plan
+
+
+def test_d31_ngram_profile_no_self_join(spark):
+    """Bigrams come from a map-side array zip — the plan must contain no
+    join at all before the top-k window."""
+    plan = _plan(spark, "d31_ngram_profile")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 2
