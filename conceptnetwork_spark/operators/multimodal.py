@@ -3,8 +3,9 @@
 
 Design: image/audio/video payloads are opaque ``BinaryType`` columns with a
 typed metadata struct alongside. Image decode/resize are REAL kernels for
-the netpbm family (P6/P5), implemented dependency-free in numpy —
-JPEG/PNG/audio/video would use the identical mapInPandas shape with
+the netpbm family (P6/P5) and audio decode is a REAL RIFF/WAVE PCM16
+codec (chunk walk + LE sample decode), both dependency-free —
+JPEG/PNG/compressed-audio/video would use the identical mapInPandas shape with
 PIL/librosa/ffmpeg on a production cluster (not installable here), and the
 deterministic fake featurizer/frame-sampler below pin that batch shape. At
 100 TB: payloads are read via ``binaryFile`` datasource (one row per
@@ -370,3 +371,149 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
             F.col("content").alias("payload"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D32 extension — REAL audio decode: RIFF/WAVE PCM16 codec, dependency-free
+# (the audio twin of the netpbm image kernels above)
+# --------------------------------------------------------------------------
+WAV_SR = 8000  # synth sample rate
+
+
+def encode_wav(samples, sample_rate: int = WAV_SR) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM16 mono, little-endian — the real
+    container format, built with struct only."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav_bytes(payload: bytes):
+    """Parse a RIFF/WAVE container: validate magic, walk the chunk list to
+    'fmt ' and 'data' (robust to extra chunks), decode PCM16 LE samples.
+    Returns (sample_rate, samples ndarray)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sr, bits, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack("<4sI", payload[pos : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt, ch, sr, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise ValueError(f"unsupported wav: fmt={fmt} ch={ch} bits={bits}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return sr, np.frombuffer(data, dtype="<i2")
+
+
+def synth_wav_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> deterministic WAV payload: n = doc_id%50+10 samples,
+    sample[i] = ((doc_id*7 + i*13) % 201) - 100. Every audio statistic has
+    a closed form the oracle recomputes from doc_id alone."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 50 + 10
+                i = np.arange(n, dtype=np.int64)
+                payloads.append(encode_wav((d * 7 + i * 13) % 201 - 100))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Real WAV decode as a map-only kernel: Python touches only the byte
+    parsing; the samples come back as an array column so every statistic
+    stays a JVM higher-order function downstream."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "sample_rate": [], "samples": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sr, samples = decode_wav_bytes(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(sr)
+                out["samples"].append(samples.astype("int32"))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        gen, schema="doc_id long, sample_rate int, samples array<int>"
+    )
+
+
+@register(
+    "d32_audio_decode",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 50 + 10 AS n FROM documents
+    ),
+    samples AS (
+      SELECT doc_id, n, ((doc_id * 7 + i * 13) % 201) - 100 AS s
+      FROM dims, unnest(range(0, n)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST({WAV_SR} AS INT)                  AS sample_rate,
+           CAST(MAX(n) AS INT)                    AS n_samples,
+           ROUND(MAX(n) * 1000.0 / {WAV_SR}, 4)   AS duration_ms,
+           CAST(MAX(ABS(s)) AS INT)               AS peak,
+           ROUND(AVG(s), 4)                       AS mean_amp,
+           ROUND(SQRT(AVG(CAST(s AS DOUBLE) * s)), 4) AS rms
+    FROM samples GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def d32_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over binary payloads: synthesize a PCM16 WAV per
+    document (deterministic samples from doc_id), parse the RIFF container
+    back (chunk walk, format validation, LE sample decode), then compute
+    duration/peak/mean/RMS as JVM higher-order functions over the decoded
+    array. The oracle recomputes every statistic in closed form from
+    doc_id — a decoder that misreads the chunk layout, byte order, or
+    sample width breaks the hash. Map-only end to end (no shuffle before
+    the presentation sort); at 100 TB the payloads arrive via the
+    binaryFile source and this exact kernel shape."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    dec = decode_audio(synth_wav_payloads(docs))
+    n = F.size("samples")
+    sq = F.aggregate(
+        "samples",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    total = F.aggregate(
+        "samples", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return dec.select(
+        "doc_id",
+        "sample_rate",
+        n.cast("int").alias("n_samples"),
+        F.round(n * 1000.0 / F.col("sample_rate"), 4).alias("duration_ms"),
+        F.array_max(F.transform("samples", lambda x: F.abs(x))).cast("int").alias(
+            "peak"
+        ),
+        F.round(total / n, 4).alias("mean_amp"),
+        F.round(F.sqrt(sq / n), 4).alias("rms"),
+    ).orderBy("doc_id")

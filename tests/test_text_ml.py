@@ -198,3 +198,59 @@ def test_mlp_deterministic_and_better_than_majority(spark):
     b = queries()["d33_mlp_accuracy"](spark, SF_SMOKE).collect()[0].accuracy
     assert a == b, "seeded MLP fit must be deterministic"
     assert a > 0.5, f"MLP must beat the majority class (got {a})"
+
+
+def test_wav_codec_round_trip():
+    import numpy as np
+
+    from conceptnetwork_spark.operators.multimodal import (
+        decode_wav_bytes,
+        encode_wav,
+    )
+
+    samples = np.array([0, 100, -100, 32767, -32768, 7], dtype=np.int64)
+    payload = encode_wav(samples, sample_rate=44100)
+    sr, back = decode_wav_bytes(payload)
+    assert sr == 44100
+    assert back.tolist() == samples.tolist()
+
+
+def test_wav_decode_walks_extra_chunks():
+    """A LIST/INFO chunk between fmt and data (common in real files) must
+    not break the chunk walk; odd-length chunks are word-aligned."""
+    import struct
+
+    import numpy as np
+
+    from conceptnetwork_spark.operators.multimodal import (
+        decode_wav_bytes,
+        encode_wav,
+    )
+
+    base = encode_wav(np.array([1, 2, 3], dtype=np.int64))
+    fmt_chunk = base[12:36]          # 'fmt ' + 16-byte body
+    data_chunk = base[36:]
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # odd, padded
+    payload = base[:12] + fmt_chunk + extra + data_chunk
+    sr, back = decode_wav_bytes(payload)
+    assert sr == 8000 and back.tolist() == [1, 2, 3]
+
+
+def test_wav_decode_rejects_malformed():
+    import pytest
+
+    from conceptnetwork_spark.operators.multimodal import decode_wav_bytes
+
+    with pytest.raises(ValueError):
+        decode_wav_bytes(b"JUNKJUNKJUNKJUNK")
+    with pytest.raises(ValueError):
+        # stereo flagged in fmt -> unsupported, must raise not mis-decode
+        import struct
+
+        hdr = struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 40, b"WAVE",
+            b"fmt ", 16, 1, 2, 8000, 32000, 4, 16,
+            b"data", 4,
+        )
+        decode_wav_bytes(hdr + b"\x00\x00\x00\x00")
