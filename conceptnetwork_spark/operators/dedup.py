@@ -356,3 +356,83 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     return cand.withColumn(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     ).where(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+
+
+# --------------------------------------------------------------------------
+# D29g — benchmark decontamination (n-gram overlap vs a held-out set)
+# --------------------------------------------------------------------------
+# The pretraining-hygiene pass: before training, every candidate document is
+# scored for n-gram overlap against the evaluation/benchmark corpus, and
+# high-overlap documents are dropped so the benchmark is not leaked into the
+# training set. Here the "benchmark" is the deterministic doc_id % 17 == 0
+# slice of the corpus; the contamination signal is the fraction of a
+# document's DISTINCT word 5-grams that appear anywhere in the benchmark.
+DECON_MOD = 17
+DECON_N = 5
+DECON_THRESHOLD = 0.2
+
+
+@register(
+    "d29_decontaminate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(trim(
+               regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + {DECON_N - 1}), ' ') AS g
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - {DECON_N - 1})) AS i
+            FROM tok)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {DECON_MOD} = 0),
+    cand AS (SELECT doc_id, g FROM grams WHERE doc_id % {DECON_MOD} <> 0)
+    SELECT c.doc_id,
+           COUNT(*)                                               AS n_grams,
+           CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           ROUND(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4)                   AS contamination,
+           (SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE)) >= {DECON_THRESHOLD}      AS contaminated
+    FROM cand c LEFT JOIN bench b ON c.g = b.g
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def d29_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction of its
+    distinct word 5-grams that occur in the held-out benchmark slice
+    (doc_id % DECON_MOD == 0), with a >= DECON_THRESHOLD contamination flag.
+
+    Scale shape (100 TB): the benchmark n-gram set is tiny relative to the
+    corpus (eval suites are MBs, training data is TBs), so it is distincted
+    and BROADCAST; the candidate side streams map-side through the hash
+    join — the corpus never shuffles — and the per-doc groupBy partially
+    aggregates (count, hit-count) before the only real shuffle, which
+    carries 3 numbers per document. No all-pairs stage anywhere."""
+    d = Catalog(spark, sf_dir).documents
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), DECON_N))).alias("g")
+    )
+    bench = (
+        grams.where(F.col("doc_id") % DECON_MOD == 0)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand = grams.where(F.col("doc_id") % DECON_MOD != 0)
+    hits = cand.join(F.broadcast(bench), "g", "left")
+    contamination = F.sum("hit") / F.count(F.lit(1)).cast("double")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(F.coalesce(contamination, F.lit(0.0)), 4).alias("contamination"),
+            (F.coalesce(contamination, F.lit(0.0)) >= DECON_THRESHOLD).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("doc_id")
+    )

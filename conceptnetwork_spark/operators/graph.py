@@ -312,3 +312,86 @@ def d29_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.round("pr", 4).alias("pr")).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# Triangle counting (graph clustering signal) over a co-occurrence graph
+# --------------------------------------------------------------------------
+TRI_MIN_QTY = 45
+
+
+@register(
+    "d29_triangle_count",
+    oracle=f"""
+    WITH bulk AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem WHERE l_quantity >= {TRI_MIN_QTY}
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM bulk a JOIN bulk b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    nodes AS (
+      SELECT COUNT(DISTINCT s) AS n_nodes FROM (
+        SELECT src AS s FROM edges UNION SELECT dst FROM edges
+      )
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.dst = e2.src
+      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT n_nodes, (SELECT COUNT(*) FROM edges) AS n_edges, n_triangles
+    FROM nodes, tri
+    """,
+)
+def d29_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the bulk-order co-supplier graph: suppliers are
+    connected when they both ship a >= TRI_MIN_QTY line in the same order
+    (the quantity floor keeps the co-occurrence graph sparse — the standard
+    hot-item cut in co-occurrence mining). Triangles are counted once each
+    via the ordered orientation src < dst: e1=(a,b), e2=(b,c), e3=(a,c).
+
+    Scale shape (100 TB): pair generation is an equi-join on the
+    co-occurrence key (order), never all-pairs; the edge set after DISTINCT
+    is orders of magnitude smaller than the fact table, and the triangle
+    join fans out along ordered edges only, which bounds each wedge by the
+    out-degree under the orientation. The production refinement at extreme
+    skew — orienting edges low-degree -> high-degree instead of by id,
+    which provably minimizes wedge fan-out (Cohen's MapReduce triangle
+    algorithm) — preserves the count; id-orientation is used here so the
+    oracle is expressible in one SQL statement."""
+    li = Catalog(spark, sf_dir).lineitem
+    bulk = (
+        li.where(F.col("l_quantity") >= TRI_MIN_QTY)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = bulk.alias("a"), bulk.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("s"))
+        .union(edges.select(F.col("dst").alias("s")))
+        .agg(F.countDistinct("s").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nodes.crossJoin(n_edges).crossJoin(tri)

@@ -499,3 +499,87 @@ def d35_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.orderBy("user_id", "event_type")
+
+
+# --------------------------------------------------------------------------
+# D35f — snapshot diff / changelog derivation (CDC between two AS-OF states)
+# --------------------------------------------------------------------------
+DIFF_T1 = "2024-01-10 00:00:00"
+DIFF_T2 = "2024-01-20 00:00:00"
+
+
+@register(
+    "d35_snapshot_diff",
+    oracle=f"""
+    WITH state1 AS (
+      SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE event_type = 'purchase' AND ts <= TIMESTAMP '{DIFF_T1}'
+      ) WHERE rn = 1
+    ),
+    state2 AS (
+      SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE event_type = 'purchase' AND ts <= TIMESTAMP '{DIFF_T2}'
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(s2.user_id, s1.user_id) AS user_id,
+           CASE WHEN s1.user_id IS NULL THEN 'insert' ELSE 'update' END AS op,
+           s1.event_id AS old_event_id,
+           s2.event_id AS new_event_id,
+           ROUND(s1.value, 4) AS old_value,
+           ROUND(s2.value, 4) AS new_value
+    FROM state2 s2 LEFT JOIN state1 s1 ON s2.user_id = s1.user_id
+    WHERE s1.user_id IS NULL OR s1.event_id <> s2.event_id
+    ORDER BY user_id
+    """,
+)
+def d35_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog between two point-in-time states of the keyed table derived
+    from the event log: rows whose latest-purchase state changed between
+    DIFF_T1 and DIFF_T2, classified 'insert' (key absent at T1) or 'update'
+    (latest event advanced). An append-only purchase log cannot delete keys,
+    so no 'delete' branch exists here; with a tombstone event type it would
+    be the symmetric right-join arm of the same plan.
+
+    Scale shape: BOTH snapshots come from ONE scan of the log (ts <= T2 is
+    the only scan predicate, pushed to parquet) and ONE partially-aggregated
+    groupBy — each arg-max is a ``max_by(payload, struct(ts, event_id))``
+    (struct ordering keys compare lexicographically, event_id breaks ties,
+    and ``max_by`` skips rows whose ordering key is NULL, which is how the
+    conditional restricts the T1 state to ts <= T1 rows). No window, no
+    join, no sort: max_by aggregates hash-based (ObjectHashAggregate), the
+    shuffle carries two small structs per key — strictly less than either
+    snapshot table — and map-side combine reduces history before it moves."""
+    ev = Catalog(spark, sf_dir).events
+    base = ev.where(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") <= F.lit(DIFF_T2).cast("timestamp"))
+    ).select("user_id", "event_id", "ts", "value")
+    in_t1 = F.col("ts") <= F.lit(DIFF_T1).cast("timestamp")
+    payload = F.struct("event_id", "value")
+    order_key = F.struct("ts", "event_id")
+    agg = base.groupBy("user_id").agg(
+        F.max_by(payload, order_key).alias("s2"),
+        F.max_by(F.when(in_t1, payload), F.when(in_t1, order_key)).alias("s1"),
+    )
+    return (
+        agg.where(
+            F.col("s1").isNull() | (F.col("s1.event_id") != F.col("s2.event_id"))
+        )
+        .select(
+            "user_id",
+            F.when(F.col("s1").isNull(), "insert").otherwise("update").alias("op"),
+            F.col("s1.event_id").alias("old_event_id"),
+            F.col("s2.event_id").alias("new_event_id"),
+            F.round(F.col("s1.value"), 4).alias("old_value"),
+            F.round(F.col("s2.value"), 4).alias("new_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -1537,3 +1537,54 @@ def d17_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# D14e — per-key z-score outlier detection (anomaly flagging)
+# --------------------------------------------------------------------------
+ZSCORE_CUTOFF = 2.5
+
+
+@register(
+    "d14_zscore_outliers",
+    oracle=f"""
+    WITH stats AS (
+      SELECT user_id, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, ROUND(e.value, 4) AS value,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    WHERE e.event_type = 'purchase' AND s.sigma > 0
+      AND ABS((e.value - s.mu) / s.sigma) > {ZSCORE_CUTOFF}
+    ORDER BY e.event_id
+    """,
+)
+def d14_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly detection over purchase values: flag events
+    more than ZSCORE_CUTOFF sample standard deviations from the user's mean.
+
+    Scale shape: per-key (mu, sigma) is one partially-aggregated groupBy
+    producing a tiny table that is BROADCAST back onto the event stream —
+    the events themselves never shuffle (the window-function formulation
+    would shuffle the full fact table on user_id and hold each user's rows
+    in one task). Same plan at 100 TB for any key of bounded cardinality;
+    for unbounded keys the broadcast degrades to a shuffled join, which is
+    what the optimizer picks automatically when the agg exceeds the
+    broadcast threshold."""
+    ev = Catalog(spark, sf_dir).events.where(F.col("event_type") == "purchase")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .where((F.col("sigma") > 0) & (F.abs(z) > ZSCORE_CUTOFF))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )

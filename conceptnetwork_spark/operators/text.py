@@ -686,3 +686,129 @@ def d31_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "rk", "bigram", "cnt")
         .orderBy("lang", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# D31l — vocabulary building (top-k terms with term + document frequency)
+# --------------------------------------------------------------------------
+VOCAB_TOPK = 100
+
+
+@register(
+    "d31_vocab_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(trim(
+               regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT term,
+             COUNT(*)                 AS term_freq,
+             COUNT(DISTINCT doc_id)   AS doc_freq
+      FROM tok GROUP BY term
+    ),
+    ranked AS (
+      SELECT term, term_freq, doc_freq,
+             ROW_NUMBER() OVER (ORDER BY term_freq DESC, term) AS rk
+      FROM counts
+    )
+    SELECT rk, term, term_freq, doc_freq
+    FROM ranked WHERE rk <= {VOCAB_TOPK}
+    ORDER BY rk
+    """,
+)
+def d31_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-k terms by term frequency with document
+    frequency — the vocab-building pass before tokenizer training.
+
+    Scale shape: explode is map-side; the (term) groupBy map-side-combines
+    (term_freq as count, doc_freq via count_distinct with partial
+    aggregation); the top-k is a TakeOrderedAndProject over the already-
+    reduced unique-term table, never the token stream. At 100 TB the only
+    shuffle carries unique (term, partial-count) pairs — the Zipf head
+    compresses heavily under partial aggregation."""
+    d = Catalog(spark, sf_dir).documents
+    tok = d.select("doc_id", F.explode(_toks(F.col("text"))).alias("term"))
+    counts = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    w = Window.orderBy(F.desc("term_freq"), F.asc("term"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= VOCAB_TOPK)
+        .select("rk", "term", "term_freq", "doc_freq")
+        .orderBy("rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# D31m — sliding-window document chunking (RAG / pretraining chunker)
+# --------------------------------------------------------------------------
+CHUNK_SIZE = 40  # tokens per chunk
+CHUNK_STRIDE = 32  # tokens between chunk starts (CHUNK_SIZE-CHUNK_STRIDE overlap)
+
+
+@register(
+    "d31_chunk_text",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(trim(
+               regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+      FROM documents
+    ),
+    fanout AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0,
+               CAST(CEIL(GREATEST(len(w) - {CHUNK_SIZE}, 0)
+                         / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT))) AS i
+      FROM tok
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS chunk_id,
+             CAST(1 + i * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+             list_slice(w, 1 + i * {CHUNK_STRIDE},
+                        LEAST(({CHUNK_SIZE} + i * {CHUNK_STRIDE}), len(w))) AS cw
+      FROM fanout
+    )
+    SELECT doc_id, chunk_id, start_tok,
+           CAST(len(cw) AS BIGINT) AS n_tokens,
+           md5(array_to_string(cw, ' ')) AS chunk_hash
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def d31_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows
+    (size CHUNK_SIZE, stride CHUNK_STRIDE) — the chunking pass feeding
+    retrieval indexes and long-context packing. Emits (doc_id, chunk_id,
+    start_tok, n_tokens, chunk_hash); the hash stands in for the chunk
+    payload so the oracle compares content without shipping text.
+
+    Scale shape: pure map-side — tokenization, the per-doc chunk-index
+    sequence, and the slice all happen inside one projection; posexplode
+    fans out rows with no shuffle. At 100 TB this is embarrassingly
+    parallel and the output is written straight back out partitioned by
+    whatever the sink needs."""
+    d = Catalog(spark, sf_dir).documents
+    toks = _toks(F.col("text"))
+    n_chunks = F.ceil(
+        F.greatest(F.size(toks) - CHUNK_SIZE, F.lit(0)) / float(CHUNK_STRIDE)
+    ).cast("long")
+    chunk_ws = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks),
+        lambda i: F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_SIZE),
+    )
+    return (
+        d.select("doc_id", F.posexplode(chunk_ws).alias("chunk_id", "cw"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("chunk_id").cast("long") * CHUNK_STRIDE + 1).alias("start_tok"),
+            F.size("cw").cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.col("cw")).cast("binary")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

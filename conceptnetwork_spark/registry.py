@@ -127,7 +127,9 @@ CERT_FIRST: tuple[str, ...] = (
 )
 # Round-3 additions NOT in this round's 50-slot window (pytest-oracle-green
 # now, scheduled for the round-4 rotation): d31_pii_redact, d35_snapshot_at,
-# d02_domain_mix, d13_percent_rank, d14_rolling_median.
+# d02_domain_mix, d13_percent_rank, d14_rolling_median, d31_vocab_topk,
+# d31_chunk_text, d29_decontaminate, d14_zscore_outliers, d35_snapshot_diff,
+# d29_triangle_count.
 
 
 def _load_all() -> None:

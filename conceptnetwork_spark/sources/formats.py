@@ -190,3 +190,108 @@ def d01_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# ORC source (columnar-format coverage beyond parquet)
+# --------------------------------------------------------------------------
+def stage_supplier_orc(sf_dir: str) -> str:
+    """Write supplier as ONE deterministic ORC file via pyarrow (no Spark
+    needed, same staging discipline as the csv/json fixtures)."""
+    import pyarrow.compute as pc
+    import pyarrow.orc as po
+    import pyarrow.parquet as pq
+
+    path = _stage_dir(sf_dir, "orc")
+    out = os.path.join(path, "supplier.orc")
+    if not os.path.exists(out):
+        t = pq.read_table(os.path.join(sf_dir, "supplier.parquet"))
+        if t.num_rows > _STAGE_ROW_CEILING:
+            raise ValueError(
+                f"refusing to stage {t.num_rows} rows to a single local orc "
+                f"(ceiling {_STAGE_ROW_CEILING}); staging is for bounded "
+                "oracle fixtures only — read big tables in place"
+            )
+        t = t.take(pc.sort_indices(t, sort_keys=[("s_suppkey", "ascending")]))
+        os.makedirs(path, exist_ok=True)
+        tmp = out + ".tmp"
+        po.write_table(t, tmp)
+        os.replace(tmp, out)
+    return out
+
+
+@register(
+    "d01_orc_source",
+    # DuckDB has no ORC reader; the staged ORC is a deterministic copy of
+    # the supplier parquet, so the oracle reads the SAME rows from parquet —
+    # any ORC write/read corruption (types, nulls, encoding) breaks the
+    # value hash.
+    oracle="""
+    SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS acctbal
+    FROM supplier
+    WHERE s_acctbal > 0
+    ORDER BY s_suppkey
+    """,
+)
+def d01_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector end to end: stage supplier to ORC (pyarrow writer),
+    read back through Spark's native vectorized ORC reader with predicate
+    pushdown, project + filter. ORC is splittable by stripe — at 100 TB an
+    ORC scan parallelizes like parquet, with the same pushdown/pruning
+    machinery (asserted in the plan test)."""
+    path = stage_supplier_orc(sf_dir)
+    df = spark.read.orc(path)
+    return (
+        df.where(F.col("s_acctbal") > 0)
+        .select("s_suppkey", "s_nationkey", F.round("s_acctbal", 4).alias("acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Partitioned parquet sink (hive-style layout + partition-pruned read-back)
+# --------------------------------------------------------------------------
+def stage_orders_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders partitioned by o_orderpriority (hive layout, 5 dirs) —
+    the standard lakehouse sink shape. Idempotent per sf_dir via a _DONE
+    marker; written ONCE by Spark itself (this is a sink test, so the sink
+    must be Spark's)."""
+    path = _stage_dir(sf_dir, "part_orders")
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        (
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .repartition("o_orderpriority")
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(path)
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+@register(
+    "d01_partitioned_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    ORDER BY o_orderkey
+    """,
+)
+def d01_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-sink round trip: write orders hive-partitioned by
+    priority, read back with a partition predicate. The filter is satisfied
+    by PRUNING — the scan lists only the 1-URGENT directory (PartitionFilters
+    in the plan, asserted in tests) and reads none of the other four. At
+    100 TB partition layout is the first line of defense before row-group
+    pushdown; the repartition before the write keeps one file per partition
+    value instead of files x tasks small-file spray."""
+    path = stage_orders_partitioned(spark, sf_dir)
+    df = spark.read.parquet(path)
+    return (
+        df.where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("price"))
+        .orderBy("o_orderkey")
+    )

@@ -350,3 +350,57 @@ def test_d31_ngram_profile_no_self_join(spark):
     assert "Join" not in plan
     assert "Window" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_d31_vocab_topk_partial_agg_and_topk(spark):
+    """Term counting must map-side-combine over the exploded token stream;
+    the top-k runs over the reduced unique-term table, never raw tokens."""
+    plan = _plan(spark, "d31_vocab_topk")
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate" in plan  # explode stays in the scan stage
+    assert "Window" in plan
+
+
+def test_d31_chunk_text_map_only(spark):
+    """Chunking is embarrassingly parallel: no join, no aggregate, no
+    exchange before the presentation sort."""
+    plan = _plan(spark, "d31_chunk_text")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "Generate" in plan
+
+
+def test_d29_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark n-gram set must ride as a broadcast; the candidate
+    (corpus) side must NOT shuffle before the hash join."""
+    plan = _plan(spark, "d29_decontaminate")
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_d14_zscore_broadcasts_stats(spark):
+    """Per-key (mu, sigma) is a tiny agg broadcast back onto the stream —
+    the events themselves must not shuffle for the join."""
+    plan = _plan(spark, "d14_zscore_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final stats agg
+
+
+def test_d35_snapshot_diff_single_scan_no_join(spark):
+    """Both AS-OF states come from ONE scan and ONE partial+final agg
+    (conditional max(struct) per snapshot) — no window, no self-join."""
+    plan = _plan(spark, "d35_snapshot_diff")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    # struct-keyed max_by aggregates as SortAggregate (struct buffers are
+    # not hash-aggregable) — the load-bearing property is partial+final
+    # combine, i.e. exactly two aggregate nodes around one exchange
+    assert plan.count("Aggregate") == 2
+    assert "ts" in plan and "PushedFilters" in plan  # T2 cutoff at the scan
+
+
+def test_d29_triangle_count_no_cartesian(spark):
+    """Pair generation and the triangle closure are equi-joins only."""
+    plan = _plan(spark, "d29_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or plan.count("BroadcastNestedLoopJoin") <= 2  # 1-row agg crossJoins only
