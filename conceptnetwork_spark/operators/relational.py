@@ -1588,3 +1588,48 @@ def d14_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D09p — per-group mode (most frequent value, deterministic tiebreak)
+# --------------------------------------------------------------------------
+@register(
+    "d09_group_mode",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+      SELECT user_id, event_type, cnt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_type, cnt AS mode_cnt
+    FROM r WHERE rk = 1
+    ORDER BY user_id
+    """,
+)
+def d09_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (ties broken lexicographically) — the
+    categorical `mode()` aggregate, built as two stacked aggregations:
+    count per (key, value), then `min_by` over struct(-cnt, value) per key.
+    Both aggregations map-side-combine; the second input is already unique
+    (key, value) pairs — orders of magnitude smaller than the events — and
+    no window/sort is needed (min_by is a single-pass arg-min). Same plan at
+    100 TB for any bounded value domain."""
+    ev = Catalog(spark, sf_dir).events
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # arg-min of (-cnt, value): max count first, then smallest value
+    key = F.struct((-F.col("cnt")).alias("neg"), F.col("event_type").alias("v"))
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            F.min_by("event_type", key).alias("mode_type"),
+            F.min_by("cnt", key).alias("mode_cnt"),
+        )
+        .orderBy("user_id")
+    )

@@ -283,3 +283,64 @@ def d24_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.select("p_partkey", F.explode_outer(words).alias("word"))
         .orderBy("p_partkey", F.asc_nulls_first("word"))
     )
+
+
+# --------------------------------------------------------------------------
+# D24d — mapInArrow (Arrow-native batch transform, zero pandas conversion)
+# --------------------------------------------------------------------------
+@register(
+    "d24_mapinarrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      * 1000000, 0) AS BIGINT) AS charge_micro
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def d24_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the lowest-overhead Python crossing — RecordBatches
+    flow to the worker and back with NO pandas materialization (no index
+    building, no object boxing; pyarrow.compute runs the vectorized kernel
+    directly on Arrow buffers). The charge formula deliberately matches the
+    pandas-UDF variants elsewhere so the three crossings are comparable;
+    it is emitted in MICROS as an exact integer (three 2-decimal factors
+    multiply to an exact 6-decimal value, so nearest-integer is unambiguous
+    in both engines, where ROUND(x, 4) on the raw double straddles ties).
+    Filter and projection still happen JVM-side before the crossing — the
+    batch carries exactly the 5 needed columns."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def charge_batches(batches):
+        # raw product only — the final ROUND happens JVM-side so both
+        # engines share one rounding implementation (arrow's default
+        # half-to-even would diverge from SQL ROUND on .5 boundaries)
+        for b in batches:
+            charge = pc.multiply(
+                pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                ),
+                pc.add(pa.scalar(1.0), b.column("l_tax")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), charge],
+                names=["l_orderkey", "l_linenumber", "charge"],
+            )
+
+    li = Catalog(spark, sf_dir).lineitem
+    src = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return (
+        src.mapInArrow(
+            charge_batches, "l_orderkey long, l_linenumber int, charge double"
+        )
+        .withColumn(
+            "charge_micro", F.round(F.col("charge") * 1000000, 0).cast("long")
+        )
+        .drop("charge")
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -129,7 +129,8 @@ CERT_FIRST: tuple[str, ...] = (
 # now, scheduled for the round-4 rotation): d31_pii_redact, d35_snapshot_at,
 # d02_domain_mix, d13_percent_rank, d14_rolling_median, d31_vocab_topk,
 # d31_chunk_text, d29_decontaminate, d14_zscore_outliers, d35_snapshot_diff,
-# d29_triangle_count.
+# d29_triangle_count, d01_orc_source, d01_partitioned_read, d24_mapinarrow,
+# d09_group_mode.
 
 
 def _load_all() -> None:

@@ -404,3 +404,36 @@ def test_d29_triangle_count_no_cartesian(spark):
     plan = _plan(spark, "d29_triangle_count")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan or plan.count("BroadcastNestedLoopJoin") <= 2  # 1-row agg crossJoins only
+
+
+def test_d01_orc_pushdown(spark):
+    """The ORC scan must carry the acctbal predicate as a pushed filter and
+    prune to the 3 projected columns."""
+    plan = _plan(spark, "d01_orc_source")
+    assert "Scan orc" in plan
+    assert "PushedFilters" in plan and "s_acctbal" in plan
+
+
+def test_d01_partitioned_read_prunes(spark):
+    """The partition predicate must become a PartitionFilter (directory
+    pruning), NOT a row-level PushedFilter over all partitions."""
+    plan = _plan(spark, "d01_partitioned_read")
+    assert "PartitionFilters" in plan
+    assert "1-URGENT" in plan
+
+
+def test_d09_group_mode_two_stacked_partial_aggs(spark):
+    """Both aggregations (count per pair, arg-min per key) must map-side-
+    combine; no window/sort in the plan."""
+    plan = _plan(spark, "d09_group_mode")
+    assert plan.count("Aggregate") >= 4  # two partial+final pairs
+    assert "Window" not in plan
+
+
+def test_d24_mapinarrow_jvm_prefilter(spark):
+    """The returnflag filter and 5-column projection must run BEFORE the
+    Python crossing (pushed to the scan), and the crossing must be the
+    Arrow-native operator."""
+    plan = _plan(spark, "d24_mapinarrow")
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan
+    assert "PushedFilters" in plan and "l_returnflag" in plan
