@@ -64,6 +64,16 @@ HEADLINE = [
     "d30_pq_ann",
     "d25_stream_upsert",
     "d32_image_decode",
+    # round-3 second wave
+    "d29_decontaminate",
+    "d31_vocab_topk",
+    "d31_chunk_text",
+    "d14_zscore_outliers",
+    "d35_snapshot_diff",
+    "d29_triangle_count",
+    "d24_mapinarrow",
+    "d01_partitioned_read",
+    "d26_append_finalize",
 ]
 
 

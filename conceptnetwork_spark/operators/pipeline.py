@@ -583,3 +583,129 @@ def d35_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D35g — small-file compaction (lakehouse table maintenance)
+# --------------------------------------------------------------------------
+COMPACT_TARGET_FILES = 4
+
+
+def compact_dir(spark: SparkSession, src: str, dst: str, n_files: int) -> None:
+    """Rewrite a many-small-files dataset into n_files range-clustered files
+    — the OPTIMIZE/compaction pass every streaming-ingested table needs.
+    ``repartitionByRange`` (not round-robin ``repartition``) so each output
+    file covers a contiguous key range: compaction doubles as clustering
+    and later range predicates skip whole files via parquet min/max."""
+    (
+        spark.read.parquet(src)
+        .repartitionByRange(n_files, "event_id")
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+
+
+@register(
+    "d35_compact_files",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value, 4) AS value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def d35_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction round trip: fragment events into 32 small files (the
+    state a micro-batch ingest leaves behind), compact to
+    COMPACT_TARGET_FILES range-clustered files, read the compacted table
+    back. The oracle pins CONTENT preservation (bit-identical rows); the
+    pytest side pins the LAYOUT (file count collapses to the target, and
+    each file's event_id range is disjoint). At 100 TB this runs per
+    partition-of-the-table, and the same range clustering is what makes
+    post-compaction scans prune by file min/max."""
+    import os as _os
+    import tempfile as _tempfile
+
+    base = _os.path.join(
+        _tempfile.gettempdir(),
+        f"cn_spark_compact_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    frag, packed = _os.path.join(base, "frag"), _os.path.join(base, "packed")
+    marker = _os.path.join(base, "_DONE")
+    if not _os.path.exists(marker):
+        ev = Catalog(spark, sf_dir).events
+        ev.repartition(32).write.mode("overwrite").parquet(frag)
+        compact_dir(spark, frag, packed, COMPACT_TARGET_FILES)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return (
+        spark.read.parquet(packed)
+        .select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# D35h — Z-order (Morton) clustering key (multi-dimensional data skipping)
+# --------------------------------------------------------------------------
+ZORDER_BITS = 8
+
+
+def _morton_sql(xe: str, ye: str, bits: int = ZORDER_BITS) -> str:
+    """ANSI-SQL bit interleave: z = sum_k ((x>>k)&1)<<2k | ((y>>k)&1)<<2k+1.
+    Written as an explicit sum so DuckDB and Spark evaluate the identical
+    integer expression."""
+    terms = []
+    for k in range(bits):
+        terms.append(f"(({xe} // {1 << k}) % 2) * {1 << (2 * k)}")
+        terms.append(f"(({ye} // {1 << k}) % 2) * {1 << (2 * k + 1)}")
+    return " + ".join(terms)
+
+
+def morton_col(x, y, bits: int = ZORDER_BITS):
+    """The same interleave as a JVM column expression (shiftright/bitwise,
+    codegen'd — no UDF)."""
+    z = F.lit(0).cast("long")
+    for k in range(bits):
+        zx = F.shiftright(x, k).bitwiseAND(F.lit(1)).cast("long") * (1 << (2 * k))
+        zy = F.shiftright(y, k).bitwiseAND(F.lit(1)).cast("long") * (1 << (2 * k + 1))
+        z = z + zx + zy
+    return z
+
+
+@register(
+    "d35_zorder_key",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_id,
+             CAST(FLOOR(CAST(epoch(ts) - epoch(TIMESTAMP '2024-01-01') AS DOUBLE)
+                  / (30 * 86400) * 255) AS BIGINT) AS xq,
+             CAST(FLOOR(LEAST(GREATEST(value, 0), 100) / 100 * 255) AS BIGINT) AS yq
+      FROM events
+    )
+    SELECT event_id, xq, yq,
+           CAST({_morton_sql('xq', 'yq')} AS BIGINT) AS zorder
+    FROM q
+    ORDER BY event_id
+    """,
+)
+def d35_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (event time, value): quantize
+    both dimensions to 8 bits, interleave the bits JVM-side. Sorting a
+    table by this key before writing gives MULTI-dimensional data skipping
+    — parquet min/max on z-ranges prunes files for predicates on EITHER
+    dimension, where a plain sort only skips on its leading column. The
+    interleave is pure integer codegen (no UDF, no shuffle); the write-side
+    usage is ``repartitionByRange(N, zorder).sortWithinPartitions(zorder)``
+    exactly like d35_compact_files' range clustering."""
+    ev = Catalog(spark, sf_dir).events
+    xq = F.floor(
+        (F.col("ts").cast("double") - F.lit("2024-01-01").cast("timestamp").cast("double"))
+        / (30 * 86400) * 255
+    ).cast("long")
+    yq = F.floor(
+        F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(100.0)) / 100 * 255
+    ).cast("long")
+    q = ev.select("event_id", xq.alias("xq"), yq.alias("yq"))
+    return q.select(
+        "event_id", "xq", "yq", morton_col(F.col("xq"), F.col("yq")).alias("zorder")
+    ).orderBy("event_id")

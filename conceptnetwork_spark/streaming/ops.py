@@ -808,3 +808,118 @@ def d27_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# D26c — watermark late-data DROP semantics (the one behavior only a real
+# multi-batch stream can exhibit)
+# --------------------------------------------------------------------------
+LATE_SPLIT = "2024-01-15 00:00:00"
+LATE_DELAY = "2 days"
+
+
+def _stage_late_arrival(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as TWO single parquet files in arrival order: the NEWER
+    half (ts >= LATE_SPLIT) first, the OLDER half second — so the second
+    micro-batch is entirely late data, far below the watermark the first
+    batch advanced. File order is pinned via mtime (the file source
+    processes oldest-modified first)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"cn_spark_late_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(stage):
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        split = pc.strptime(LATE_SPLIT, format="%Y-%m-%d %H:%M:%S", unit="ns")
+        tmp = f"{stage}.{uuid.uuid4().hex[:8]}.tmp"
+        os.makedirs(tmp)
+        pq.write_table(t.filter(pc.field("ts") >= split), os.path.join(tmp, "b0_new.parquet"))
+        pq.write_table(t.filter(pc.field("ts") < split), os.path.join(tmp, "b1_late.parquet"))
+        now = os.path.getmtime(os.path.join(tmp, "b0_new.parquet"))
+        os.utime(os.path.join(tmp, "b0_new.parquet"), (now - 60, now - 60))
+        os.utime(os.path.join(tmp, "b1_late.parquet"), (now, now))
+        try:
+            os.rename(tmp, stage)
+        except OSError:  # concurrent stager won
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return stage
+
+
+@register(
+    "d26_append_finalize",
+    # Closed-form oracle for the streaming run below. Two real micro-batches
+    # (on-time half first, older half second). Emission in append mode
+    # happens at state EVICTION, one batch after the watermark passes a
+    # window's end: batch 1 evicts-and-emits every window whose end <=
+    # W1 = max(on-time ts) - delay — that is all on-time windows up to W1
+    # plus ALL of the older half's windows (Spark 4.1 does NOT pre-filter
+    # late aggregation input: measured numRowsDroppedByWatermark == 0, the
+    # late rows build fresh state and emit at the same eviction). Windows
+    # after W1 are still open when the bounded stream ends and are WITHHELD
+    # — the append-mode finalization contract this query pins.
+    oracle=f"""
+    WITH wm AS (
+      SELECT max(ts) - INTERVAL {LATE_DELAY} AS w FROM events
+      WHERE ts >= TIMESTAMP '{LATE_SPLIT}'
+    )
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events, wm
+    GROUP BY date_trunc('hour', ts), wm.w
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+    ORDER BY window_start
+    """,
+)
+def d26_append_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode watermark finalization end to end, across two genuine
+    micro-batches (maxFilesPerTrigger=1): the first batch advances the
+    watermark; the second arrives entirely below it. The sink must hold
+    exactly the windows the watermark finalized — the open tail past
+    max(ts) - delay is withheld — and the cross-batch watermark propagation
+    is load-bearing: with a single batch nothing would be evicted and the
+    sink would be EMPTY (eviction uses the watermark committed by the
+    PREVIOUS batch).
+
+    Scale shape: one row of state per open window; the watermark bounds
+    state size — the eviction this query observes is exactly the mechanism
+    that keeps a 100 TB out-of-order stream's state finite."""
+    stage = _stage_late_arrival(spark, sf_dir)
+    schema = spark.read.parquet(stage).schema
+    stream = fix_nanos(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        "events",
+    )
+    agg = (
+        stream.withWatermark("ts", LATE_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    name = f"late_drop_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q, 120)
+    return (
+        spark.table(name)
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )

@@ -437,3 +437,41 @@ def test_d24_mapinarrow_jvm_prefilter(spark):
     plan = _plan(spark, "d24_mapinarrow")
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan
     assert "PushedFilters" in plan and "l_returnflag" in plan
+
+
+def test_d35_compact_layout(spark, tmp_path):
+    """Compaction must produce <= target files with disjoint event_id ranges
+    (range clustering, so post-compaction scans prune by file min/max)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from conceptnetwork_spark.operators.pipeline import (
+        COMPACT_TARGET_FILES,
+        compact_dir,
+    )
+
+    frag = str(tmp_path / "frag")
+    packed = str(tmp_path / "packed")
+    spark.read.parquet(f"{SF_ORACLE}/events.parquet").repartition(32).write.parquet(frag)
+    assert len(glob.glob(os.path.join(frag, "*.parquet"))) == 32
+    compact_dir(spark, frag, packed, COMPACT_TARGET_FILES)
+    files = sorted(glob.glob(os.path.join(packed, "*.parquet")))
+    assert 1 <= len(files) <= COMPACT_TARGET_FILES
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["event_id"])
+        ids = t.column("event_id").to_pylist()
+        ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+def test_d35_zorder_pure_codegen(spark):
+    """The Morton interleave must stay inside WholeStageCodegen — no UDF, no
+    exchange before the presentation sort."""
+    plan = _plan(spark, "d35_zorder_key")
+    assert "Python" not in plan
+    assert "HashAggregate" not in plan and "Join" not in plan

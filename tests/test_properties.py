@@ -210,3 +210,85 @@ def test_variant_extraction_parity(spark, rows):
         pdf,
         ["k"],
     )
+
+
+def test_chunk_text_invariants(spark):
+    """Structural invariants of the sliding-window chunker on real docs:
+    stride-spaced starts, full-size interior chunks, complete coverage of
+    the token stream (last chunk ends at len(tokens))."""
+    from pyspark.sql import functions as F
+
+    from conceptnetwork_spark.operators.text import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        d31_chunk_text,
+    )
+    from tests.conftest import SF_SMOKE
+
+    chunks = d31_chunk_text(spark, SF_SMOKE)
+    toks = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id",
+        F.size(
+            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+        ).alias("n_toks"),
+    )
+    j = chunks.join(toks, "doc_id")
+    bad_start = j.where(
+        F.col("start_tok") != F.col("chunk_id") * CHUNK_STRIDE + 1
+    ).count()
+    assert bad_start == 0
+    # interior chunks are full-size; only the per-doc last chunk may be short
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id")
+    short_interior = (
+        j.withColumn("max_chunk", F.max("chunk_id").over(w))
+        .where(
+            (F.col("chunk_id") < F.col("max_chunk"))
+            & (F.col("n_tokens") != CHUNK_SIZE)
+        )
+        .count()
+    )
+    assert short_interior == 0
+    # coverage: the last chunk reaches exactly the end of the token stream
+    uncovered = (
+        j.withColumn("max_chunk", F.max("chunk_id").over(w))
+        .where(F.col("chunk_id") == F.col("max_chunk"))
+        .where(F.col("start_tok") + F.col("n_tokens") - 1 != F.col("n_toks"))
+        .count()
+    )
+    assert uncovered == 0
+
+
+def test_decontaminate_benchmark_copies_flagged(spark):
+    """A candidate doc that is an EXACT copy of a benchmark-slice doc must
+    score contamination == 1.0 (all its 5-grams are in the benchmark set) —
+    checked against the exact-dup clusters that straddle the %17 split."""
+    import duckdb
+
+    from conceptnetwork_spark.operators.dedup import DECON_MOD, d29_decontaminate
+
+    con = duckdb.connect()
+    # the sf0.1 corpus plants an exact-dup pair straddling the %17 split
+    # (smaller sfs don't) — use it so this invariant actually executes
+    sf = "/root/testdata/sf0.1"
+    straddlers = con.execute(
+        f"""
+        WITH h AS (SELECT doc_id, md5(text) AS hh
+                   FROM '{sf}/documents.parquet')
+        SELECT a.doc_id FROM h a JOIN h b ON a.hh = b.hh
+        WHERE a.doc_id % {DECON_MOD} != 0 AND b.doc_id % {DECON_MOD} = 0
+        """
+    ).fetchall()
+    ids = [r[0] for r in straddlers]
+    if not ids:  # corpus regenerated without a straddling dup
+        import pytest
+
+        pytest.skip("no exact-dup pair straddles the benchmark split")
+    got = {
+        r.doc_id: r.contamination
+        for r in d29_decontaminate(spark, sf)
+        .where(F.col("doc_id").isin(ids))
+        .collect()
+    }
+    assert got and all(v == 1.0 for v in got.values()), got
