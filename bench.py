@@ -74,6 +74,7 @@ HEADLINE = [
     "d24_mapinarrow",
     "d01_partitioned_read",
     "d26_append_finalize",
+    "d30_semantic_dedup",
 ]
 
 

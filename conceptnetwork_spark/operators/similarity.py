@@ -505,3 +505,69 @@ def d30_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "vec_id", "sim")
         .orderBy("qid", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# D30g — semantic dedup (SemDeDup-style: cluster, then prune within cells)
+# --------------------------------------------------------------------------
+SEMDEDUP_K = 16
+SEMDEDUP_TAU = 0.95
+
+
+@register("d30_semantic_dedup", oracle=None)
+def d30_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
+    cluster the embedding space with seeded KMeans, compare vectors only
+    WITHIN their cluster, and drop every vector whose cosine to a
+    lower-id cluster-mate exceeds SEMDEDUP_TAU (keep the min vec_id as
+    canonical). Returns every vector with its cluster, keep/drop decision
+    and the canonical it duplicates.
+
+    Scale shape: clustering is the whole trick — the quadratic verify is
+    confined to one cell, so with k grown proportionally to n the
+    per-cell work is constant and the job is embarrassingly parallel
+    across cells (at 100 TB: one applyInPandas-free equi-self-join per
+    cell, physically bucketed by cell id). Non-oracle (KMeans assignment
+    is engine-defined); the pytest plants exact-duplicate embeddings and
+    asserts they always land in one cell and the higher ids are dropped,
+    plus determinism across runs via the fixed seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = Catalog(spark, sf_dir).embeddings
+    vecs = e.withColumn(
+        "fv", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    km = KMeans(
+        k=SEMDEDUP_K, seed=42, maxIter=8, featuresCol="fv", predictionCol="cell"
+    )
+    assigned = (
+        km.fit(vecs).transform(vecs).select("vec_id", "embedding", "cell")
+    )
+    a = assigned.alias("a")
+    b = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("other_id"),
+        F.col("embedding").alias("other_emb"),
+    ).alias("b")
+    # within-cell, lower-id mates only: the candidate set is the SemDeDup
+    # quadratic, bounded by cell size
+    pairs = a.join(b, "cell").where(F.col("other_id") < F.col("vec_id"))
+    sims = pairs.withColumn(
+        "sim", _cosine_batch(F.col("embedding"), F.col("other_emb"))
+    )
+    dup_of = (
+        sims.where(F.col("sim") >= SEMDEDUP_TAU)
+        .groupBy("vec_id")
+        .agg(F.min("other_id").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup_of, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+        .orderBy("vec_id")
+    )

@@ -131,6 +131,7 @@ CERT_FIRST: tuple[str, ...] = (
 # d31_chunk_text, d29_decontaminate, d14_zscore_outliers, d35_snapshot_diff,
 # d29_triangle_count, d01_orc_source, d01_partitioned_read, d24_mapinarrow,
 # d09_group_mode, d26_append_finalize, d35_compact_files, d35_zorder_key.
+# Non-oracle round-3 additions (pytest-verified): d30_semantic_dedup.
 
 
 def _load_all() -> None:

@@ -132,3 +132,39 @@ def test_ann_recall_holds_at_largest_local_sf(spark):
         ]
         avg = sum(recalls) / len(recalls)
         assert avg >= floor, f"{name} avg recall@10 at sf0.1: {avg:.2f}"
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark, tmp_path):
+    """SemDeDup invariants on planted exact duplicates: identical vectors
+    land in one cell, the higher id is dropped with dup_of pointing at a
+    strictly lower id, and the run is deterministic under the fixed seed."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from conceptnetwork_spark.operators.similarity import d30_semantic_dedup
+
+    src = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    planted_ids = [0, 1, 2, 3, 4]
+    dup = src.filter(
+        pa.compute.is_in(src.column("vec_id"), value_set=pa.array(planted_ids))
+    )
+    dup = dup.set_column(
+        dup.schema.get_field_index("vec_id"),
+        "vec_id",
+        pa.compute.add(dup.column("vec_id"), 100000),
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.concat_tables([src, dup]), str(sf / "embeddings.parquet"))
+
+    out = d30_semantic_dedup(spark, str(sf)).collect()
+    rows = {r.vec_id: r for r in out}
+    for pid in planted_ids:
+        clone = rows[pid + 100000]
+        assert clone.keep is False, clone
+        assert clone.dup_of is not None and clone.dup_of < clone.vec_id
+        # the exact copy shares a cell with its original
+        assert clone.cell == rows[pid].cell
+    # seeded determinism: a second run returns the identical decision set
+    again = d30_semantic_dedup(spark, str(sf)).collect()
+    assert out == again
