@@ -344,3 +344,58 @@ def d24_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("charge")
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+# --------------------------------------------------------------------------
+# D24e — Python UDTF (the Spark-4 user-defined TABLE function surface)
+# --------------------------------------------------------------------------
+def _make_word_pos_udtf():
+    """Arrow-optimized Python UDTF: one text row -> (pos, word, is_long)
+    rows. Defined lazily so the class is only materialized where the
+    registered query runs."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string, is_long boolean")
+    class WordPos:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for pos, word in enumerate(text.split(" ")):
+                yield pos, word, len(word) > 5
+
+    return WordPos
+
+
+@register(
+    "d24_python_udtf",
+    oracle="""
+    SELECT p_partkey, t.pos, t.word, t.is_long
+    FROM part, LATERAL (
+      SELECT CAST(ROW_NUMBER() OVER () - 1 AS INT) AS pos,
+             w AS word, length(w) > 5 AS is_long
+      FROM unnest(string_split(p_name, ' ')) AS u(w)
+    ) t
+    WHERE p_partkey < 400
+    ORDER BY p_partkey, pos
+    """,
+)
+def d24_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-4 Python UDTF surface: a user-defined TABLE function applied
+    with ``lateralJoin`` — each part name fans out to (pos, word, is_long)
+    rows from an arbitrary Python generator. This is the escape hatch for
+    one-to-many logic that genuinely needs Python (stateful tokenizers,
+    format sniffers); for anything expressible as an array expression the
+    explode/posexplode forms elsewhere in this module stay JVM-side and are
+    strictly faster. The id filter keeps the Python crossing bounded and is
+    pushed to the scan BEFORE the UDTF (asserted in the plan test)."""
+    WordPos = _make_word_pos_udtf()
+    p = (
+        Catalog(spark, sf_dir)
+        .part.where(F.col("p_partkey") < 400)
+        .select("p_partkey", "p_name")
+    )
+    return (
+        p.lateralJoin(WordPos(F.col("p_name").outer()))
+        .select("p_partkey", "pos", "word", "is_long")
+        .orderBy("p_partkey", "pos")
+    )

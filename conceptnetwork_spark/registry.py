@@ -130,7 +130,8 @@ CERT_FIRST: tuple[str, ...] = (
 # d02_domain_mix, d13_percent_rank, d14_rolling_median, d31_vocab_topk,
 # d31_chunk_text, d29_decontaminate, d14_zscore_outliers, d35_snapshot_diff,
 # d29_triangle_count, d01_orc_source, d01_partitioned_read, d24_mapinarrow,
-# d09_group_mode, d26_append_finalize, d35_compact_files, d35_zorder_key.
+# d09_group_mode, d26_append_finalize, d35_compact_files, d35_zorder_key,
+# d24_python_udtf, d01_python_datasource.
 # Non-oracle round-3 additions (pytest-verified): d30_semantic_dedup.
 
 
@@ -156,7 +157,7 @@ def _load_all() -> None:
         ml,
         pipeline,
     )
-    from conceptnetwork_spark.sources import formats  # noqa: F401
+    from conceptnetwork_spark.sources import formats, pydatasource  # noqa: F401
     from conceptnetwork_spark.streaming import ops, stateful  # noqa: F401
 
     if not stateful.TWSP_AVAILABLE:

@@ -1,0 +1,92 @@
+"""Custom Python data source (the Spark-4 ``pyspark.sql.datasource`` API):
+a partitioned deterministic generator source, registered as ``synthrange``.
+
+This is the extension point for reading formats Spark has no built-in
+connector for (internal RPC feeds, bespoke binary logs) WITHOUT leaving
+Python: the engine calls ``partitions()`` once for the split plan and then
+``read(partition)`` on executors — so a well-written source parallelizes
+exactly like a file scan. The generator here is closed-form on purpose:
+row i -> (i, i*i % 97, md5-derived label), so a DuckDB oracle can recompute
+every byte and the driver hash-checks the full source -> DataFrame path
+(split planning, per-partition iteration, type mapping).
+
+Scale note: ``partitions()`` returns ``n_parts`` independent slices; the
+per-partition generator never materializes the whole range. A real source
+would map partitions to file splits / shard ids the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from conceptnetwork_spark.registry import register
+
+SYNTH_N = 20_000
+SYNTH_PARTS = 8
+
+
+class _SynthRangeReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", SYNTH_N))
+        self.n_parts = int(options.get("partitions", SYNTH_PARTS))
+
+    def partitions(self):
+        return [InputPartition(p) for p in range(self.n_parts)]
+
+    def read(self, partition):
+        # contiguous slice per partition; bounds derived, never materialized
+        per = (self.n + self.n_parts - 1) // self.n_parts
+        lo = partition.value * per
+        hi = min(lo + per, self.n)
+        for i in range(lo, hi):
+            yield (i, (i * i) % 97)
+
+
+class SynthRangeSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "synthrange"
+
+    def schema(self):
+        return "i bigint, v bigint"
+
+    def reader(self, schema):
+        return _SynthRangeReader(self.options)
+
+
+def register_python_source(spark: SparkSession) -> None:
+    """Idempotent per-session registration of the custom source."""
+    key = "_cn_synthrange_registered"
+    if not getattr(spark, key, False):
+        spark.dataSource.register(SynthRangeSource)
+        setattr(spark, key, True)
+
+
+@register(
+    "d01_python_datasource",
+    oracle=f"""
+    SELECT CAST(i AS BIGINT) AS i,
+           CAST((i * i) % 97 AS BIGINT) AS v
+    FROM range(0, {SYNTH_N}) t(i)
+    WHERE (i * i) % 97 < 50
+    ORDER BY i
+    """,
+)
+def d01_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end custom Python data source: register ``synthrange``, read
+    it with 8 planned partitions, filter and project. The oracle recomputes
+    the generator in SQL, so split planning, per-partition iteration and
+    Arrow type mapping are all on the hash. (The filter does NOT push into
+    a Python source — pushdown requires implementing the source's filter
+    API — so it runs as a post-scan Filter; the plan test pins the
+    partition count instead.)"""
+    register_python_source(spark)
+    df = (
+        spark.read.format("synthrange")
+        .option("n", str(SYNTH_N))
+        .option("partitions", str(SYNTH_PARTS))
+        .load()
+    )
+    return df.where(F.col("v") < 50).orderBy("i")

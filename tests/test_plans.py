@@ -475,3 +475,26 @@ def test_d35_zorder_pure_codegen(spark):
     plan = _plan(spark, "d35_zorder_key")
     assert "Python" not in plan
     assert "HashAggregate" not in plan and "Join" not in plan
+
+
+def test_d24_python_udtf_prefiltered(spark):
+    """The partkey filter must run BEFORE the Python UDTF crossing (pushed
+    to the parquet scan), bounding what crosses into Python."""
+    plan = _plan(spark, "d24_python_udtf")
+    assert "PythonUDTF" in plan
+    assert "PushedFilters" in plan and "p_partkey" in plan
+
+
+def test_d01_python_datasource_partitioned_scan(spark):
+    """The custom source must appear as a planned BatchScan (DSv2) and honor
+    its partitions() split plan (8 tasks, checked via the RDD)."""
+    from conceptnetwork_spark.operators import relational  # noqa: F401  (registry load)
+    from conceptnetwork_spark.registry import queries
+
+    df = queries()["d01_python_datasource"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan synthrange" in plan
+    from conceptnetwork_spark.sources.pydatasource import SYNTH_PARTS, SynthRangeSource  # noqa: F401
+
+    src = spark.read.format("synthrange").load()
+    assert src.rdd.getNumPartitions() == SYNTH_PARTS
