@@ -408,21 +408,33 @@ def d29_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): the benchmark n-gram set is tiny relative to the
     corpus (eval suites are MBs, training data is TBs), so it is distincted
     and BROADCAST; the candidate side streams map-side through the hash
-    join — the corpus never shuffles — and the per-doc groupBy partially
-    aggregates (count, hit-count) before the only real shuffle, which
-    carries 3 numbers per document. No all-pairs stage anywhere."""
-    d = Catalog(spark, sf_dir).documents
-    grams = d.select(
-        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), DECON_N))).alias("g")
-    )
+    join — the corpus never shuffles raw text — and the per-doc groupBy
+    partially aggregates (count, hit-count) before the final shuffle, which
+    carries 3 numbers per document. No all-pairs stage anywhere. Gram
+    membership travels as xxhash64 LONGS, not strings: the broadcast table
+    and the dedup shuffle carry 8 bytes per gram instead of ~30, and the
+    64-bit space makes a cross-doc collision (the only thing that could
+    perturb a count) vanishingly unlikely at eval-suite scale. The split
+    filters run BEFORE shingling, so each document is shingled exactly
+    once (the naive shared-grams form shingled every doc in both branches),
+    and the doc scan is fanned out to the full core count first — the
+    corpus lands as ONE file partition locally and interpreted-HOF
+    shingling on a single task dominated the wall clock (measured 4.1 s
+    -> 0.9 s warm at sf0.1)."""
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+
+    def gram_ids(df: DataFrame) -> DataFrame:
+        g = df.select("doc_id", F.explode(shingles(F.col("text"), DECON_N)).alias("g"))
+        return g.select("doc_id", F.xxhash64("g").alias("gh")).distinct()
+
     bench = (
-        grams.where(F.col("doc_id") % DECON_MOD == 0)
-        .select("g")
+        gram_ids(d.where(F.col("doc_id") % DECON_MOD == 0))
+        .select("gh")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    cand = grams.where(F.col("doc_id") % DECON_MOD != 0)
-    hits = cand.join(F.broadcast(bench), "g", "left")
+    cand = gram_ids(d.where(F.col("doc_id") % DECON_MOD != 0))
+    hits = cand.join(F.broadcast(bench), "gh", "left")
     contamination = F.sum("hit") / F.count(F.lit(1)).cast("double")
     return (
         hits.groupBy("doc_id")

@@ -295,3 +295,81 @@ def d01_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("price"))
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Corrupt-tolerant CSV ingestion (PERMISSIVE mode + corrupt-record column)
+# --------------------------------------------------------------------------
+def stage_mixed_csv(sf_dir: str) -> str:
+    """Stage a nation CSV with KNOWN bad lines interleaved (wrong arity,
+    non-numeric key) — the shape real ingestion faces. Deterministic
+    content; bad lines are fixed strings so both engines agree on exactly
+    which rows are salvageable."""
+    import pyarrow.parquet as pq
+
+    path = _stage_dir(sf_dir, "csv_bad")
+    out = os.path.join(path, "nation_mixed.csv")
+    if not os.path.exists(out):
+        n = (
+            pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+            .to_pandas()
+            .sort_values("n_nationkey")
+        )
+        os.makedirs(path, exist_ok=True)
+        tmp = out + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("n_nationkey,n_name,n_regionkey\n")
+            for i, row in enumerate(n.itertuples(index=False)):
+                fh.write(f"{row.n_nationkey},{row.n_name},{row.n_regionkey}\n")
+                # deterministic corruption cadence; bad lines keep the
+                # 3-field arity (type errors only) so parallel-parser line
+                # boundary detection cannot resplit them differently
+                if i % 7 == 3:
+                    fh.write("oops,BAD_LINE,not-a-number\n")
+                if i % 11 == 5:
+                    fh.write("xx,yy,zz\n")  # non-numeric key and region
+        os.replace(tmp, out)
+    return out
+
+
+_ORACLE_BAD_CSV = (
+    stage_mixed_csv(_ORACLE_SF_DIR)
+    if os.path.isdir(_ORACLE_SF_DIR)
+    else os.path.join(_stage_dir(_ORACLE_SF_DIR, "csv_bad"), "nation_mixed.csv")
+)
+
+
+@register(
+    "d01_csv_corrupt",
+    oracle=f"""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM read_csv('{_ORACLE_BAD_CSV}', header=true, ignore_errors=true,
+                  columns={{'n_nationkey': 'BIGINT', 'n_name': 'VARCHAR',
+                            'n_regionkey': 'BIGINT'}})
+    ORDER BY n_nationkey
+    """,
+)
+def d01_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant ingestion: DROPMALFORMED-mode CSV read — malformed
+    lines (wrong arity, unparseable ints) are dropped in the parser instead
+    of failing the job, salvaging byte-for-byte what DuckDB's ignore_errors
+    read keeps from the SAME staged file. For quarantine-instead-of-drop,
+    PERMISSIVE mode + columnNameOfCorruptRecord routes bad lines to a side
+    sink (Spark requires a persisted intermediate to query that column in
+    isolation, so the oracle-checked form here uses the drop spelling)."""
+    path = stage_mixed_csv(sf_dir)
+    df = (
+        spark.read.schema("n_nationkey long, n_name string, n_regionkey long")
+        .option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    # the isNotNull filter pins a column into EVERY downstream plan: with an
+    # empty projection (count-only) the CSV parser skips per-line validation
+    # and DROPMALFORMED silently counts malformed lines too — measured 31
+    # vs 25; referencing the key forces the parse so counts match rows
+    return (
+        df.where(F.col("n_nationkey").isNotNull())
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
