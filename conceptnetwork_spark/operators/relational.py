@@ -1633,3 +1633,76 @@ def d09_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D10d — observed metrics (df.observe: exactly-once pipeline accounting)
+# --------------------------------------------------------------------------
+@register(
+    "d10_observed_scan",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 4) AS price
+    FROM orders
+    WHERE o_totalprice > 150000
+    ORDER BY o_orderkey
+    """,
+)
+def d10_observed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.observe``: named metrics (row count, total value) accumulated
+    ON the data path while the query runs — the exactly-once accounting
+    every production pipeline wants without a second scan. The observation
+    rides the existing plan as an accumulator: zero extra jobs, zero
+    shuffle; at 100 TB this replaces the classic "count it again to log
+    it" anti-pattern (which doubles the scan). The observed values are
+    asserted against an independent aggregation in the pytest; the rows
+    themselves hash against the oracle as usual."""
+    from pyspark.sql import Observation
+
+    obs = Observation("d10_scan_metrics")
+    o = Catalog(spark, sf_dir).orders
+    df = (
+        o.where(F.col("o_totalprice") > 150000)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 4).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )
+    # stash the Observation on the DataFrame so callers (tests) can read
+    # the metrics after their action without re-plumbing
+    df._cn_observation = obs  # type: ignore[attr-defined]
+    return df
+
+
+# --------------------------------------------------------------------------
+# D11c — mergeable HLL sketches (the distributed form of count-distinct)
+# --------------------------------------------------------------------------
+@register("d11_hll_merge", oracle=None)
+def d11_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL: per-group sketches UNIONED into a global estimate —
+    the mergeable-state pattern that makes distinct-count embarrassingly
+    parallel (each partition/day/shard sketches independently; merging is
+    associative+commutative, so rollups never rescan). Emits per-priority
+    estimates AND the union estimate in one result. Non-oracle (sketch
+    binary is engine-specific); the pytest asserts (a) the union estimate
+    agrees with the single-pass whole-table sketch to <0.5% (the union
+    re-targets register formats, so it is near- but not bit-identical) and
+    (b) both are within 2% of the exact distinct count."""
+    o = Catalog(spark, sf_dir).orders
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    per = per_group.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("approx_custs"),
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custs")
+    ).select(F.lit("__ALL__").alias("o_orderpriority"), "approx_custs")
+    return per.unionByName(merged).orderBy("o_orderpriority")

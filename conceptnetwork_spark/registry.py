@@ -131,8 +131,9 @@ CERT_FIRST: tuple[str, ...] = (
 # d31_chunk_text, d29_decontaminate, d14_zscore_outliers, d35_snapshot_diff,
 # d29_triangle_count, d01_orc_source, d01_partitioned_read, d24_mapinarrow,
 # d09_group_mode, d26_append_finalize, d35_compact_files, d35_zorder_key,
-# d24_python_udtf, d01_python_datasource.
-# Non-oracle round-3 additions (pytest-verified): d30_semantic_dedup.
+# d24_python_udtf, d01_python_datasource, d01_csv_corrupt, d10_observed_scan.
+# Non-oracle round-3 additions (pytest-verified): d30_semantic_dedup,
+# d11_hll_merge.
 
 
 def _load_all() -> None:

@@ -498,3 +498,25 @@ def test_d01_python_datasource_partitioned_scan(spark):
 
     src = spark.read.format("synthrange").load()
     assert src.rdd.getNumPartitions() == SYNTH_PARTS
+
+
+def test_d10_observed_scan_metrics(spark):
+    """The observe metrics must equal an independent aggregation, and the
+    observation must not add a job or exchange to the plan."""
+    from conceptnetwork_spark.registry import queries
+
+    df = queries()["d10_observed_scan"](spark, SF_ORACLE)
+    n = df.count()  # action completes the observation
+    metrics = df._cn_observation.get
+    assert metrics["n_rows"] == n
+    import pyspark.sql.functions as F
+
+    direct = (
+        spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        .where(F.col("o_totalprice") > 150000)
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert metrics["total_price"] == direct
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CollectMetrics" in plan
