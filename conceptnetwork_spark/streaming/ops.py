@@ -923,3 +923,167 @@ def d26_append_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# --------------------------------------------------------------------------
+# D25 extension — stream-stream LEFT OUTER join (watermark-driven null
+# emission, the statefully hard half of streaming joins)
+# --------------------------------------------------------------------------
+OUTER_SPLIT = "2024-01-20 00:00:00"  # early window: both sides < SPLIT
+OUTER_ADV = "2024-01-29 00:00:00"  # watermark advancer: purchases >= ADV
+OUTER_DELAY = "2 hours"
+OUTER_INTERVAL = "1 hour"
+
+
+def _stage_outer_join(spark: SparkSession, sf_dir: str) -> str:
+    """Two-batch staging for outer-join state flush: batch 0 carries the
+    full early window (ts < OUTER_SPLIT, views and purchases); batch 1 is
+    a PURCHASES-ONLY advancer (ts >= OUTER_ADV) whose only job is to move
+    the watermark past the early views' join expiry — purchases are the
+    right side of the left-outer join, so the advancer itself can never
+    add outer rows, and the >=9-day gap guarantees it matches nothing."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"cn_spark_ojoin_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(stage):
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        split = pc.strptime(OUTER_SPLIT, format="%Y-%m-%d %H:%M:%S", unit="ns")
+        adv = pc.strptime(OUTER_ADV, format="%Y-%m-%d %H:%M:%S", unit="ns")
+        tmp = f"{stage}.{uuid.uuid4().hex[:8]}.tmp"
+        os.makedirs(tmp)
+        pq.write_table(
+            t.filter(pc.field("ts") < split), os.path.join(tmp, "b0_early.parquet")
+        )
+        pq.write_table(
+            t.filter(
+                (pc.field("ts") >= adv) & (pc.field("event_type") == "purchase")
+            ),
+            os.path.join(tmp, "b1_advance.parquet"),
+        )
+        now = os.path.getmtime(os.path.join(tmp, "b0_early.parquet"))
+        os.utime(os.path.join(tmp, "b0_early.parquet"), (now - 60, now - 60))
+        os.utime(os.path.join(tmp, "b1_advance.parquet"), (now, now))
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return stage
+
+
+@register(
+    "d25_stream_outer_join",
+    # Emission model (measured, Spark 4.1): inner matches emit in the batch
+    # where both sides are present (batch 0); outer nulls emit during batch
+    # 1 via state eviction, which uses the watermark committed at the END
+    # of batch 0 — W1 = max(early ts) - delay. A left row is evictable when
+    # its whole join window has passed: v_ts + interval < W1. Views in the
+    # last (delay + interval) before the early cutoff stay in state when
+    # the bounded stream ends and are withheld — the oracle excludes them
+    # with the same closed-form bound.
+    oracle=f"""
+    WITH v AS (
+      SELECT event_id AS view_id, user_id, ts FROM events
+      WHERE event_type = 'view' AND ts < TIMESTAMP '{OUTER_SPLIT}'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '{OUTER_SPLIT}'
+    ),
+    w1 AS (
+      SELECT max(ts) - INTERVAL {OUTER_DELAY} AS w FROM (
+        SELECT ts FROM events WHERE ts < TIMESTAMP '{OUTER_SPLIT}'
+      )
+    ),
+    matched AS (
+      SELECT v.view_id, p.purchase_id, v.user_id, v.ts AS vts
+      FROM v JOIN p ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL {OUTER_INTERVAL}
+    )
+    SELECT view_id, purchase_id, user_id,
+           strftime(vts, '%Y-%m-%d %H:%M:%S') AS view_ts
+    FROM matched
+    UNION ALL
+    SELECT v.view_id, CAST(NULL AS BIGINT), v.user_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S')
+    FROM v, w1
+    WHERE v.view_id NOT IN (SELECT view_id FROM matched)
+      AND v.ts + INTERVAL {OUTER_INTERVAL} < w1.w
+    ORDER BY view_id, purchase_id
+    """,
+)
+def d25_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream LEFT OUTER join: the inner half emits matches as
+    they meet; the outer half must WAIT until the watermark proves a view
+    can never match (state eviction) — which only happens in a LATER batch,
+    so the staging ships a purchases-only watermark advancer as batch 1.
+    Unmatched views whose join window survives the last eviction are
+    withheld, exactly as on an unbounded stream. The oracle recomputes
+    both halves in closed form (max-ts -> W1 -> eviction bound).
+
+    Scale shape: state per key is bounded by delay + interval on both
+    sides — the interval condition is what makes a 100 TB stream-stream
+    join feasible at all, and the outer emission latency IS the watermark
+    delay (the price of correct null semantics under out-of-order data)."""
+    stage = _stage_outer_join(spark, sf_dir)
+    schema = spark.read.parquet(stage).schema
+
+    def src():
+        return fix_nanos(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage),
+            "events",
+        )
+
+    views = (
+        src()
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", OUTER_DELAY)
+    )
+    purchases = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", OUTER_DELAY)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr(f"INTERVAL {OUTER_INTERVAL}")),
+        "leftOuter",
+    )
+    name = f"ojoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q, 120)
+    return (
+        spark.table(name)
+        .select(
+            "view_id",
+            "purchase_id",
+            "user_id",
+            F.date_format("v_ts", _TS_FMT).alias("view_ts"),
+        )
+        .orderBy("view_id", "purchase_id")
+    )
