@@ -75,6 +75,11 @@ HEADLINE = [
     "d01_partitioned_read",
     "d26_append_finalize",
     "d30_semantic_dedup",
+    # round-4 additions
+    "d02_weighted_sample",
+    "d10_skew_report",
+    "d27_funnel",
+    "d34_global_shuffle",
 ]
 
 

@@ -55,12 +55,18 @@ def d29_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shingles(col, n: int = 5):
     """Word n-gram shingle array from raw text (lower, whitespace-split)."""
     toks = F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " ")
-    # sliding n-grams via transform over index range; drop ragged tail
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    # sliding n-grams via transform over index range; drop ragged tail.
+    # Docs shorter than n tokens yield an EMPTY array: with k=0,
+    # F.sequence(0, k-1) would count DOWN to -1 and slice() would throw
+    # INVALID_PARAMETER_VALUE.START, killing the whole job on one short doc.
+    k = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signatures(

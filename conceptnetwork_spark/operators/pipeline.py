@@ -143,7 +143,7 @@ def d34_llm_dataprep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN {_bucket_sql('doc_id')} < 90 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(tokens) AS total_tokens,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens,
            ROUND(AVG(chars), 4) AS avg_chars
     FROM dedup GROUP BY split ORDER BY split
     """,
@@ -394,6 +394,62 @@ def d34_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / PACK_CTX).cast("long").alias("pack_id"),
         (start % PACK_CTX).cast("long").alias("pack_offset"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# D34d — deterministic global shuffle + sharding (training-order assignment)
+# --------------------------------------------------------------------------
+SHUF_SHARDS = 8
+
+
+@register(
+    "d34_global_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {_bucket_sql('doc_id', SHUF_SHARDS)} AS shard,
+             md5('shuf' || CAST(doc_id AS VARCHAR)) AS ok
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ok, doc_id)
+                AS BIGINT) AS pos
+    FROM keyed ORDER BY doc_id
+    """,
+)
+def d34_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a shard
+    (md5 bucket) and a position within its shard (rank by a SECOND, salted
+    md5 key — decorrelated from shard assignment). This is the 'shuffle
+    the corpus before writing training shards' step, with the property a
+    seeded ``orderBy(rand())`` can never give: the permutation is a pure
+    function of content, identical on every engine/partitioning/rerun, so
+    resumed or re-run dataprep emits byte-identical shard files.
+
+    Scale shape: one shuffle on the shard key, then a per-shard sort —
+    parallelism = SHUF_SHARDS (raise it to match the cluster; semantics
+    unchanged). The write-path spelling of the same plan is
+    ``repartition(SHUF_SHARDS, shard).sortWithinPartitions(ok)`` — no
+    global sort, no single-task ordering bottleneck."""
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).documents
+    keyed = d.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), SHUF_SHARDS).alias("shard"),
+        F.md5(F.concat(F.lit("shuf"), F.col("doc_id").cast("string"))).alias(
+            "ok"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("ok", "doc_id")
+    return (
+        keyed.select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -677,8 +733,9 @@ def morton_col(x, y, bits: int = ZORDER_BITS):
     oracle=f"""
     WITH q AS (
       SELECT event_id,
-             CAST(FLOOR(CAST(epoch(ts) - epoch(TIMESTAMP '2024-01-01') AS DOUBLE)
-                  / (30 * 86400) * 255) AS BIGINT) AS xq,
+             LEAST(GREATEST(CAST(FLOOR(
+                  CAST(epoch(ts) - epoch(TIMESTAMP '2024-01-01') AS DOUBLE)
+                  / (30 * 86400) * 255) AS BIGINT), 0), 255) AS xq,
              CAST(FLOOR(LEAST(GREATEST(value, 0), 100) / 100 * 255) AS BIGINT) AS yq
       FROM events
     )
@@ -698,10 +755,22 @@ def d35_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     usage is ``repartitionByRange(N, zorder).sortWithinPartitions(zorder)``
     exactly like d35_compact_files' range clustering."""
     ev = Catalog(spark, sf_dir).events
-    xq = F.floor(
-        (F.col("ts").cast("double") - F.lit("2024-01-01").cast("timestamp").cast("double"))
-        / (30 * 86400) * 255
-    ).cast("long")
+    # clamp BOTH quantized dims: an out-of-domain ts would go negative,
+    # where DuckDB's floor-division //-semantics and Spark's shiftright
+    # diverge — the clamp keeps the interleave identical on both engines
+    xq = F.least(
+        F.greatest(
+            F.floor(
+                (
+                    F.col("ts").cast("double")
+                    - F.lit("2024-01-01").cast("timestamp").cast("double")
+                )
+                / (30 * 86400) * 255
+            ).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(255),
+    )
     yq = F.floor(
         F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(100.0)) / 100 * 255
     ).cast("long")

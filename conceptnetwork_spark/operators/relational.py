@@ -1323,6 +1323,67 @@ def d10_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# D10d — join-key skew report (heavy-hitter detector)
+# --------------------------------------------------------------------------
+SKEW_TOP = 20
+
+
+@register(
+    "d10_skew_report",
+    oracle=f"""
+    WITH counts AS (
+      SELECT l_suppkey AS key, COUNT(*) AS n_rows FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM counts
+    ), top AS (
+      SELECT key, n_rows FROM counts
+      ORDER BY n_rows DESC, key LIMIT {SKEW_TOP}
+    )
+    SELECT t.key, t.n_rows,
+           ROUND(t.n_rows * 100.0 / tot.total, 4) AS share_pct,
+           ROUND(t.n_rows * tot.n_keys / CAST(tot.total AS DOUBLE), 4)
+             AS x_mean
+    FROM top t, tot
+    ORDER BY key
+    """,
+)
+def d10_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report: the top heavy-hitter keys on the fact table's
+    join column with their row share and multiple-of-mean — the diagnostic
+    you run BEFORE a 100 TB shuffle to decide whether a join needs salting
+    (d03_salted_skew_join) or an AQE skew split. One partial+final count
+    agg (map-side combine collapses each key per partition), a 2-scalar
+    broadcast total, and a TakeOrderedAndProject top-k — the full corpus is
+    never sorted and only (key, count) pairs ever shuffle."""
+    li = Catalog(spark, sf_dir).lineitem
+    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    tot = counts.agg(
+        F.sum("n_rows").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(SKEW_TOP)
+    return (
+        top.join(F.broadcast(tot))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") * 100.0 / F.col("total"), 4).alias(
+                "share_pct"
+            ),
+            F.round(
+                F.col("n_rows") * F.col("n_keys") / F.col("total").cast("double"),
+                4,
+            ).alias("x_mean"),
+        )
+        .orderBy("key")
+    )
+
+
+# --------------------------------------------------------------------------
 # D13b — ntile bucketing (per-segment deciles; the quantile-bucket assigner
 # behind stratified quality tiers in a training-data pipeline)
 # --------------------------------------------------------------------------

@@ -131,6 +131,64 @@ def d02_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# D2 extension — deterministic WEIGHTED sampling (Efraimidis–Spirakis)
+# --------------------------------------------------------------------------
+WEIGHTED_K = 100  # sample size
+
+
+@register(
+    "d02_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, length(text) AS n_chars,
+             POW((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) + 0.5) / 4294967296.0,
+                 1.0 / length(text)) AS es_key
+      FROM documents
+      WHERE length(text) > 0
+    )
+    , top AS (
+      SELECT * FROM scored ORDER BY es_key DESC, doc_id LIMIT {WEIGHTED_K}
+    )
+    SELECT doc_id, n_chars, ROUND(es_key, 4) AS es_key
+    FROM top ORDER BY doc_id
+    """,
+)
+def d02_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    key u^(1/w) — here weight = document length, the quality/size-weighted
+    selection step of a curated training mix. u is derived from md5(doc_id)
+    (not a seeded RNG), so the drawn sample is a pure function of content:
+    identical on every engine, partitioning, and rerun, and the oracle
+    re-derives it exactly.
+
+    Scale shape: scoring is a map-only projection; selection is a single
+    TakeOrderedAndProject top-k (per-partition heaps + driver merge of K
+    rows), NOT a global sort — the same plan shape as d15_topk, so a 100 TB
+    corpus never shuffles more than num_partitions * K score rows."""
+    d = Catalog(spark, sf_dir).documents
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    scored = (
+        d.where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.pow(u, 1.0 / F.length("text")).alias("es_key_raw"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("es_key_raw"), F.asc("doc_id"))
+        .limit(WEIGHTED_K)
+        .select("doc_id", "n_chars", F.round("es_key_raw", 4).alias("es_key"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # D31 extension — percentile-thresholded corpus filter
 # --------------------------------------------------------------------------
 @register(

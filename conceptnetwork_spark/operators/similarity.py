@@ -375,7 +375,11 @@ def d30_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 PQ_M, PQ_K = 8, 16  # 8 subspaces x 16 centroids -> 8 bytes per vector
 PQ_TRAIN_CAP = 2048  # codebook training sample ceiling (see docstring)
-PQ_RERANK = 50  # ADC candidates re-ranked exactly per query
+PQ_RERANK = 50  # floor of ADC candidates re-ranked exactly per query
+PQ_RERANK_FRAC = 0.05  # rerank budget as a corpus fraction (recall knob)
+PQ_RERANK_CAP = 1000  # hydration-join ceiling: beyond this, recall comes
+#   from finer codes (raise PQ_M/PQ_K) or IVF cell confinement, never from
+#   an unbounded exact re-rank
 
 
 def _pq_train_codebooks(emb: DataFrame, seed: int = 42) -> np.ndarray:
@@ -455,12 +459,17 @@ def d30_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample, (2) one distributed encode pass, (3) the ADC scan — which reads
     ONLY (vec_id, 8 int codes), never the vectors; the per-batch score is a
     table lookup-sum against the query's (M x K) distance table. Exact
-    re-rank hydrates vectors for just PQ_RERANK x |queries| rows via an
-    equi-join. Non-oracle (codebook assignment is engine/seed-defined);
+    re-rank hydrates vectors for just rerank-budget x |queries| rows via an
+    equi-join (budget corpus-proportional, floor PQ_RERANK, hard cap
+    PQ_RERANK_CAP). Non-oracle (codebook assignment is engine/seed-defined);
     pytest checks recall@10 vs d30_knn_exact after re-rank."""
     e = Catalog(spark, sf_dir).embeddings
     books = _pq_train_codebooks(e)
     codes = pq_encode(e, books)
+    # rerank budget scales with the corpus (fixed-50 was 10% of the sf0.01
+    # corpus but 2.5% at sf0.1 and recall@10 measurably sagged 0.5 -> 0.36);
+    # the cap bounds the exact-rerank hydration join at real scale
+    rerank = min(PQ_RERANK_CAP, max(PQ_RERANK, int(e.count() * PQ_RERANK_FRAC)))
 
     queries = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
@@ -491,7 +500,7 @@ def d30_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         scored.withColumn("adc", adc_dist("qvec", "codes"))
         .withColumn("crank", F.row_number().over(w))
-        .where(F.col("crank") <= PQ_RERANK)
+        .where(F.col("crank") <= rerank)
         .select("qid", "qvec", "vec_id")
     )
     # exact re-rank: hydrate candidate vectors (PQ_RERANK x |queries| rows)

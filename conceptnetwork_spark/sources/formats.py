@@ -34,10 +34,17 @@ from conceptnetwork_spark.registry import register
 # via spark.read, it never stages.
 _STAGE_ROW_CEILING = 100_000
 
-# the sf the ORACLE runs at (driver + pytest evaluate oracles at sf0.01);
-# staged eagerly below so an oracle evaluated standalone — without the Spark
-# query having run first — still reads the identical bytes
-_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+def _oracle_sf_dir() -> str:
+    """SINGLE source of truth for the sf dir the ORACLE runs at: the
+    dedicated override wins, else the pytest harness's test-sf override,
+    else the driver default. Resolved lazily at oracle-request time so a
+    test that only sets SPARK_GRAFT_TEST_SF cannot diverge from the path
+    embedded in the oracle SQL."""
+    return (
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+        or os.environ.get("SPARK_GRAFT_TEST_SF")
+        or "/root/testdata/sf0.01"
+    )
 
 
 def _stage_dir(sf_dir: str, fmt: str) -> str:
@@ -111,33 +118,31 @@ def stage_orders_json(sf_dir: str) -> str:
     return out
 
 
-def _stage_oracle_fixtures() -> tuple[str, str]:
-    """Stage the oracle-sf fixtures at import (= registration) time so the
-    static oracle SQL strings below always point at existing, current bytes
-    regardless of which engine runs first or on which host. If the oracle
-    testdata dir is absent (e.g. unit tests on a bare host), fall back to
-    the deterministic paths — the query-side staging call fills them in."""
+def _try_stage(stage_fn, fmt: str, fname: str) -> str:
+    """Stage via ``stage_fn`` at the oracle sf dir; on a bare host (no
+    testdata) fall back to the deterministic path — the Spark query's own
+    staging call fills it in before any oracle runs."""
+    sf = _oracle_sf_dir()
     try:
-        return stage_nation_csv(_ORACLE_SF_DIR), stage_orders_json(_ORACLE_SF_DIR)
+        return stage_fn(sf)
     except (FileNotFoundError, OSError):
-        return (
-            os.path.join(_stage_dir(_ORACLE_SF_DIR, "csv"), "nation.csv"),
-            os.path.join(_stage_dir(_ORACLE_SF_DIR, "json"), "orders.json"),
-        )
+        return os.path.join(_stage_dir(sf, fmt), fname)
 
 
-_ORACLE_CSV, _ORACLE_JSON = _stage_oracle_fixtures()
-
-
-@register(
-    "d01_csv_source",
-    oracle=f"""
+def _csv_oracle() -> str:
+    """LAZY oracle: stage the fixture (idempotent) when the oracle SQL is
+    requested — no import-time /tmp writes, and the embedded path is staged
+    by the same function the Spark side calls (one source of truth)."""
+    path = _try_stage(stage_nation_csv, "csv", "nation.csv")
+    return f"""
     SELECT n_nationkey, upper(n_name) AS name_u, n_regionkey
-    FROM read_csv('{_ORACLE_CSV}', header=true)
+    FROM read_csv('{path}', header=true)
     WHERE n_regionkey >= 2
     ORDER BY n_nationkey
-    """,
-)
+    """
+
+
+@register("d01_csv_source", oracle=_csv_oracle)
 def d01_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV connector end to end: stage nation to csv, read it back with an
     explicit schema (no inference job), filter + project. Both engines parse
@@ -159,16 +164,18 @@ def d01_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "d01_json_source",
-    oracle=f"""
+def _json_oracle() -> str:
+    path = _try_stage(stage_orders_json, "json", "orders.json")
+    return f"""
     SELECT o_orderkey, o_orderstatus,
            ROUND(o_totalprice, 4) AS price
-    FROM read_json('{_ORACLE_JSON}', format='newline_delimited')
+    FROM read_json('{path}', format='newline_delimited')
     WHERE o_orderpriority = '1-URGENT'
     ORDER BY o_orderkey
-    """,
-)
+    """
+
+
+@register("d01_json_source", oracle=_json_oracle)
 def d01_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines connector end to end: stage an orders extract as NDJSON,
     read with explicit schema, filter + project. JSON parsing prunes to the
@@ -332,23 +339,18 @@ def stage_mixed_csv(sf_dir: str) -> str:
     return out
 
 
-_ORACLE_BAD_CSV = (
-    stage_mixed_csv(_ORACLE_SF_DIR)
-    if os.path.isdir(_ORACLE_SF_DIR)
-    else os.path.join(_stage_dir(_ORACLE_SF_DIR, "csv_bad"), "nation_mixed.csv")
-)
-
-
-@register(
-    "d01_csv_corrupt",
-    oracle=f"""
+def _corrupt_csv_oracle() -> str:
+    path = _try_stage(stage_mixed_csv, "csv_bad", "nation_mixed.csv")
+    return f"""
     SELECT n_nationkey, n_name, n_regionkey
-    FROM read_csv('{_ORACLE_BAD_CSV}', header=true, ignore_errors=true,
+    FROM read_csv('{path}', header=true, ignore_errors=true,
                   columns={{'n_nationkey': 'BIGINT', 'n_name': 'VARCHAR',
                             'n_regionkey': 'BIGINT'}})
     ORDER BY n_nationkey
-    """,
-)
+    """
+
+
+@register("d01_csv_corrupt", oracle=_corrupt_csv_oracle)
 def d01_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corrupt-tolerant ingestion: DROPMALFORMED-mode CSV read — malformed
     lines (wrong arity, unparseable ints) are dropped in the parser instead

@@ -654,6 +654,92 @@ def d27_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# D27c — funnel analysis: ordered view -> click -> purchase progression
+# --------------------------------------------------------------------------
+@register(
+    "d27_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS v_ts
+      FROM events GROUP BY user_id
+    ), s2 AS (
+      SELECT s1.user_id, s1.v_ts,
+             MIN(e.ts) FILTER (WHERE e.event_type = 'click'
+                               AND e.ts >= s1.v_ts) AS c_ts
+      FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+      GROUP BY s1.user_id, s1.v_ts
+    ), s3 AS (
+      SELECT s2.user_id, s2.v_ts, s2.c_ts,
+             MIN(e.ts) FILTER (WHERE e.event_type = 'purchase'
+                               AND e.ts >= s2.c_ts) AS p_ts
+      FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
+      GROUP BY s2.user_id, s2.v_ts, s2.c_ts
+    )
+    SELECT stage, n_users FROM (
+      SELECT '1_view' AS stage, CAST(COUNT(v_ts) AS BIGINT) AS n_users FROM s3
+      UNION ALL
+      SELECT '2_click', CAST(COUNT(c_ts) AS BIGINT) FROM s3
+      UNION ALL
+      SELECT '3_purchase', CAST(COUNT(p_ts) AS BIGINT) FROM s3
+    ) ORDER BY stage
+    """,
+)
+def d27_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel over the event log: users who viewed, then clicked at
+    or after their first view, then purchased at or after that first
+    qualifying click — the conversion readout of every product-analytics
+    stack (strictly stronger than per-type counts: the ORDER of events
+    gates each stage).
+
+    Scale shape: three user_id-keyed aggregations with an events re-join
+    between stages; every shuffle is on the same user_id key so the
+    exchanges reuse one co-partitioning, the per-user state is 3
+    timestamps, and conditional MIN aggregates do partial map-side
+    combine — no window over the full log, no per-user event collection."""
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_type", "ts")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v_ts")
+    )
+    s2 = (
+        s1.join(ev, "user_id", "left")
+        .groupBy("user_id", "v_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("v_ts")),
+                    F.col("ts"),
+                )
+            ).alias("c_ts")
+        )
+    )
+    s3 = (
+        s2.join(ev, "user_id", "left")
+        .groupBy("user_id", "v_ts", "c_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).alias("p_ts")
+        )
+    )
+    counts = s3.agg(
+        F.count("v_ts").cast("long").alias("c1"),
+        F.count("c_ts").cast("long").alias("c2"),
+        F.count("p_ts").cast("long").alias("c3"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, '1_view', c1, '2_click', c2, '3_purchase', c3) "
+            "AS (stage, n_users)"
+        )
+    ).orderBy("stage")
+
+
+# --------------------------------------------------------------------------
 # D25 extension — incremental CDC apply: multi-batch streaming MERGE into a
 # keyed state table (the lakehouse "apply changes" sink)
 # --------------------------------------------------------------------------
@@ -981,11 +1067,13 @@ def _stage_outer_join(spark: SparkSession, sf_dir: str) -> str:
     # Emission model (measured, Spark 4.1): inner matches emit in the batch
     # where both sides are present (batch 0); outer nulls emit during batch
     # 1 via state eviction, which uses the watermark committed at the END
-    # of batch 0 — W1 = max(early ts) - delay. A left row is evictable when
-    # its whole join window has passed: v_ts + interval < W1. Views in the
-    # last (delay + interval) before the early cutoff stay in state when
-    # the bounded stream ends and are withheld — the oracle excludes them
-    # with the same closed-form bound.
+    # of batch 0 — and the GLOBAL watermark is the MIN of the two
+    # per-stream watermarks, each advanced by its own filtered stream's
+    # max ts: W1 = least(max view ts, max purchase ts) - delay. A left row
+    # is evictable when its whole join window has passed:
+    # v_ts + interval < W1. Views in the last (delay + interval) before
+    # the early cutoff stay in state when the bounded stream ends and are
+    # withheld — the oracle excludes them with the same closed-form bound.
     oracle=f"""
     WITH v AS (
       SELECT event_id AS view_id, user_id, ts FROM events
@@ -996,9 +1084,10 @@ def _stage_outer_join(spark: SparkSession, sf_dir: str) -> str:
       WHERE event_type = 'purchase' AND ts < TIMESTAMP '{OUTER_SPLIT}'
     ),
     w1 AS (
-      SELECT max(ts) - INTERVAL {OUTER_DELAY} AS w FROM (
-        SELECT ts FROM events WHERE ts < TIMESTAMP '{OUTER_SPLIT}'
-      )
+      -- Spark's GLOBAL watermark is min over the per-stream watermarks;
+      -- each filtered stream (views / purchases) advances by its own max ts.
+      SELECT LEAST((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+             - INTERVAL {OUTER_DELAY} AS w
     ),
     matched AS (
       SELECT v.view_id, p.purchase_id, v.user_id, v.ts AS vts

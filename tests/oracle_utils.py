@@ -4,18 +4,30 @@ row-count + schema-width + order-insensitive value comparison."""
 from __future__ import annotations
 
 import math
+from decimal import Decimal
+
+import numpy as np
 
 
 def _norm_cell(v):
+    """Type-STRICT normalization mirroring the driver's stringified hash:
+    an int-valued float (DuckDB HUGEINT/DOUBLE -> pandas float64) must NOT
+    compare equal to a Spark LONG — the driver hashes "3153.0" != "3153".
+    Each numeric family carries a type tag so a type-level oracle bug can
+    never pass pytest yet fail the driver hash."""
     if v is None:
         return None
-    if isinstance(v, bool):
-        return bool(v)
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
-            return "NaN"
+            return ("f", "NaN")
         # cells are pre-rounded by the queries; normalize -0.0 and fp dust
-        return round(v, 6)
+        return ("f", round(float(v) + 0.0, 6))
+    if isinstance(v, Decimal):
+        return ("f", round(float(v) + 0.0, 6))
     return v
 
 

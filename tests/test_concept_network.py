@@ -152,3 +152,44 @@ def test_network_feature_vectors_and_tfrecord_write(spark, tmp_path):
     )
     got = sorted((r.origin_candidate_id, r.origin_gender) for r in back.collect())
     assert got == [(1.0, 0.0), (2.0, 1.0)]
+
+
+def test_runner_e2e_chain(spark, tmp_path, capsys):
+    """Reference-faithful E2E chain (examples/trainer/runner.py:52-114,
+    test -> dataprep -> train) through ONE runner invocation: raw lines ->
+    MinimalConcept dataprep -> R2-named parquet -> D33 OLS fit. Second run
+    without --force-dataprep must hit the cache (the reference's
+    --dfnetwork output-reuse semantics, runner.py:62-66)."""
+    import os
+
+    from conceptnetwork_spark import runner
+
+    inp = tmp_path / "lines.txt"
+    # blank + malformed lines are dropped by the parse phase; 'x' -> NA
+    inp.write_text("1,m\n2,f\n\n3,x\nbad\n")
+    out_root = str(tmp_path / "run")
+
+    rc = runner.main(
+        ["--input", str(inp), "--output", out_root, "--notest", "--train"]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    out_dir = os.path.join(out_root, "Network10minconmincon")
+    assert f"dataprep output: {out_dir}" in printed
+    assert "train mse:" in printed
+    mse = float(printed.rsplit("train mse:", 1)[1].strip())
+    assert mse < 1e-6  # y == x: OLS must fit exactly
+
+    enc = spark.read.parquet(out_dir)
+    got = sorted(
+        (r.origin.candidate_id, r.origin.gender) for r in enc.collect()
+    )
+    assert got == [(1.0, 0.0), (2.0, 1.0), (3.0, -1.0)]
+
+    # cache-hit: rerun must NOT rewrite the output (mtime fingerprint)
+    before = os.path.getmtime(os.path.join(out_dir, "_SUCCESS"))
+    rc2 = runner.main(
+        ["--input", str(inp), "--output", out_root, "--notest"]
+    )
+    assert rc2 == 0
+    assert os.path.getmtime(os.path.join(out_dir, "_SUCCESS")) == before

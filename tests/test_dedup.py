@@ -37,6 +37,26 @@ def true_pairs(spark, docs):
     return {(r.doc_a, r.doc_b) for r in pairs.collect()}
 
 
+def test_shingles_short_doc_is_empty_not_error(spark):
+    """Docs with fewer than n tokens must yield an EMPTY shingle array —
+    before the guard, k=0 made F.sequence(0, -1) count DOWN and slice()
+    threw INVALID_PARAMETER_VALUE.START, killing the whole job on one
+    short/empty doc (a corpus-hygiene pass over real text always has some)."""
+    rows = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "a b c d e"), (5, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.sh
+        for r in rows.select(
+            "doc_id", dedup.shingles(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["a b c d e"]
+    assert got[5] == ["a b c d e", "b c d e f"]
+
+
 def test_minhash_lsh_recall(spark, docs, true_pairs):
     sigs = dedup.minhash_signatures(docs)
     cands = dedup.lsh_candidate_pairs(sigs)
@@ -82,6 +102,46 @@ def test_simhash_fast_matches_reference(spark, docs):
         dedup.simhash64_fast(F.col("text")).alias("b"),
     )
     assert cmp.where(F.col("a") != F.col("b")).count() == 0
+
+
+def test_minhash_pair_recall_at_largest_local_sf(spark):
+    """VERDICT r3 item 6: the banded-LSH parameters must hold off the toy
+    corpus. Ground truth at sf0.1 (5000 docs) is EXACT shingle-Jaccard
+    computed scalably — inverted-index equi-join on shingle for the
+    intersection count, then J = c / (|A| + |B| - c); pairs sharing zero
+    shingles have J = 0 and can never clear the 0.5 threshold, so the join
+    is exhaustive over qualifying pairs without an all-pairs product
+    (the same candidate-confinement shape the engine itself uses)."""
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    sets = docs.select(
+        "doc_id", F.array_distinct(dedup.shingles(F.col("text"))).alias("sh")
+    ).where(F.size("sh") > 0)
+    sizes = sets.select("doc_id", F.size("sh").alias("n"))
+    inv = sets.select("doc_id", F.explode("sh").alias("g"))
+    a = inv.select(F.col("doc_id").alias("doc_a"), "g")
+    b = inv.select(F.col("doc_id").alias("doc_b"), "g")
+    common = (
+        a.join(b, "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .where(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")) >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    true_pairs = {(r.doc_a, r.doc_b) for r in truth.collect()}
+    assert true_pairs, "sf0.1 should contain planted near-dups"
+
+    sigs = dedup.minhash_signatures(docs)
+    cands = dedup.lsh_candidate_pairs(sigs)
+    found = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    recall = len(true_pairs & found) / len(true_pairs)
+    assert recall >= 0.8, (
+        f"LSH pair recall {recall:.2f} over {len(true_pairs)} true pairs at sf0.1"
+    )
 
 
 def test_connected_components_topologies(spark):

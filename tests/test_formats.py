@@ -24,14 +24,29 @@ def test_stage_ceiling_rejects_fact_table(monkeypatch, tmp_path):
         formats.stage_orders_json(SF_ORACLE)
 
 
-def test_oracle_fixture_staged_at_import():
-    # importing the module (registration time) must leave the oracle files
-    # on disk — an oracle evaluated standalone reads current bytes
-    assert os.path.exists(formats._ORACLE_CSV)
-    assert os.path.exists(formats._ORACLE_JSON)
+def test_oracle_resolution_stages_fixture_lazily():
+    # resolving the oracle SQL (NOT importing the module) stages the file
+    # and embeds its path — no import-time /tmp side effects
+    sql = formats._csv_oracle()
+    path = formats.stage_nation_csv(formats._oracle_sf_dir())
+    assert path in sql and os.path.exists(path)
+    sql_j = formats._json_oracle()
+    path_j = formats.stage_orders_json(formats._oracle_sf_dir())
+    assert path_j in sql_j and os.path.exists(path_j)
+
+
+def test_oracle_sf_dir_single_source_of_truth(monkeypatch, tmp_path):
+    # a test that overrides only SPARK_GRAFT_TEST_SF must steer the oracle
+    # staging too (the r3 divergence: oracle keyed off its own env var)
+    monkeypatch.delenv("SPARK_GRAFT_ORACLE_SF_DIR", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_TEST_SF", str(tmp_path))
+    assert formats._oracle_sf_dir() == str(tmp_path)
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", "/elsewhere")
+    assert formats._oracle_sf_dir() == "/elsewhere"
 
 
 def test_staging_is_idempotent_and_spark_free():
     p1 = formats.stage_nation_csv(SF_ORACLE)
     p2 = formats.stage_nation_csv(SF_ORACLE)
-    assert p1 == p2 == formats._ORACLE_CSV
+    assert p1 == p2
+    assert p1 in formats._csv_oracle()

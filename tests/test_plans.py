@@ -520,3 +520,44 @@ def test_d10_observed_scan_metrics(spark):
     assert metrics["total_price"] == direct
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CollectMetrics" in plan
+
+
+def test_d02_weighted_sample_topk_heap(spark):
+    """Efraimidis–Spirakis selection must be a TakeOrderedAndProject (per-
+    partition heaps + driver merge of K rows), never a global sort of the
+    scored corpus; the scoring itself is pure codegen (no Python)."""
+    plan = _plan(spark, "d02_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+    assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_d10_skew_report_topk_and_broadcast_total(spark):
+    """Heavy-hitter selection is a top-k over the reduced (key, count)
+    table; the 2-scalar total rides as a broadcast; the count agg
+    map-side-combines."""
+    plan = _plan(spark, "d10_skew_report")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d27_funnel_cokeyed_aggs(spark):
+    """All three stage aggregations key on user_id (exchange reuse across
+    stages); conditional MINs map-side-combine; no cartesian, no window
+    over the raw log."""
+    plan = _plan(spark, "d27_funnel")
+    assert plan.count("partial_min") >= 2
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_d34_global_shuffle_single_shard_exchange(spark):
+    """The permutation must cost ONE hash exchange on the shard key plus
+    the presentation sort — no global sort of the corpus by the shuffle
+    key, no Python."""
+    plan = _plan(spark, "d34_global_shuffle")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
+    assert "Window" in plan

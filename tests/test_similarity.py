@@ -122,7 +122,11 @@ def test_ann_recall_holds_at_largest_local_sf(spark):
     for r in qs["d30_knn_exact"](spark, sf).collect():
         exact_sets.setdefault(r.qid, set()).add(r.vec_id)
     assert exact_sets, "exact kNN returned nothing at sf0.1"
-    for name, floor in [("d30_lsh_ann", 0.4), ("d30_ivf_ann", 0.25)]:
+    for name, floor in [
+        ("d30_lsh_ann", 0.4),
+        ("d30_ivf_ann", 0.25),
+        ("d30_pq_ann", 0.4),
+    ]:
         ann_sets = {}
         for r in qs[name](spark, sf).collect():
             ann_sets.setdefault(r.qid, set()).add(r.vec_id)
