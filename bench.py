@@ -80,6 +80,16 @@ HEADLINE = [
     "d10_skew_report",
     "d27_funnel",
     "d34_global_shuffle",
+    # round-4 second wave
+    "d02_group_sample",
+    "d31_hash_features",
+    "d35_schema_evolution",
+    "d23_cogrouped_map",
+    # d25_stream_semi_join is NOT here for the same reason the other
+    # stream-stream joins aren't: a timed min-of-3 would re-run the full
+    # 2-micro-batch state machinery three times (~8 s of checkpoint/state
+    # commits, not query work). The sweep times it cold; the driver
+    # correctness gate hash-checks it.
 ]
 
 

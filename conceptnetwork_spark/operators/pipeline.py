@@ -778,3 +778,96 @@ def d35_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "event_id", "xq", "yq", morton_col(F.col("xq"), F.col("yq")).alias("zorder")
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# D35i — schema evolution on read (mergeSchema across file generations)
+# --------------------------------------------------------------------------
+def stage_evolved_events(sf_dir: str) -> str:
+    """Stage TWO parquet generations of the same logical table: gen-1 has
+    (event_id, user_id, value); gen-2 ADDS a derived `channel` column — the
+    additive schema change every long-lived lakehouse table accumulates.
+    Deterministic extracts via pyarrow (same staging discipline as
+    sources/formats.py: bounded, content-addressed per sf, no Spark
+    needed so the oracle can stage independently)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"cn_spark_evolve_{base}")
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "value"],
+        )
+        os.makedirs(path, exist_ok=True)
+        g1 = t.filter(pc.field("event_id") < 1000)
+        g2 = t.filter(
+            (pc.field("event_id") >= 1000) & (pc.field("event_id") < 2000)
+        )
+        g2 = g2.append_column(
+            "channel",
+            pc.if_else(
+                pc.equal(pc.bit_wise_and(g2.column("event_id"), 1), 1),
+                pa.scalar("web"),
+                pa.scalar("app"),
+            ),
+        )
+        pq.write_table(g1, os.path.join(path, "gen1.parquet"))
+        pq.write_table(g2, os.path.join(path, "gen2.parquet"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+def _evolve_oracle() -> str:
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR") or os.environ.get(
+        "SPARK_GRAFT_TEST_SF"
+    ) or "/root/testdata/sf0.01"
+    try:
+        path = stage_evolved_events(sf)
+    except (FileNotFoundError, OSError):
+        import tempfile
+
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"cn_spark_evolve_{os.path.basename(sf.rstrip('/'))}",
+        )
+    return f"""
+    SELECT event_id, user_id, ROUND(value, 4) AS value, channel
+    FROM read_parquet('{path}/gen*.parquet', union_by_name=true)
+    ORDER BY event_id
+    """
+
+
+@register("d35_schema_evolution", oracle=_evolve_oracle)
+def d35_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet generations with different
+    schemas scanned as ONE table via mergeSchema — gen-1 rows surface the
+    added `channel` column as NULL, matching DuckDB's union_by_name read
+    of the same files.
+
+    Scale shape: mergeSchema pays one footer-reconciliation pass at
+    planning (bounded by file count, not data size); the scan itself stays
+    fully parallel with pushdown/pruning intact. The at-scale discipline
+    this query pins down: schema changes must be ADDITIVE (new nullable
+    columns), so readers never rewrite old files — the evolution cost is
+    metadata-only."""
+    path = stage_evolved_events(sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        df.select(
+            "event_id",
+            "user_id",
+            F.round("value", 4).alias("value"),
+            "channel",
+        )
+        .orderBy("event_id")
+    )

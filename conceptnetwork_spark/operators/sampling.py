@@ -189,6 +189,55 @@ def d02_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# D2 extension — per-group cap (deterministic reservoir per stratum)
+# --------------------------------------------------------------------------
+GROUP_CAP = 10  # max docs kept per source domain
+
+
+@register(
+    "d02_group_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {GROUP_CAP}
+    ORDER BY doc_id
+    """,
+)
+def d02_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: keep at most GROUP_CAP documents per source, chosen
+    by a salted md5 order — the 'no domain may dominate the mixture' rule
+    of corpus curation. Selection is content-addressed (a deterministic
+    per-stratum reservoir), so the kept set is stable across engines,
+    partitionings and re-ingestion — growing a domain never evicts
+    previously kept docs ONLY via hash order, not arrival order.
+
+    Scale shape: one shuffle on source + per-group sort; with many domains
+    the window parallelizes across them. For few huge domains the rank-k
+    form degrades to a per-domain sort — the production escape hatch is a
+    two-phase top-k (per-partition heap then merge, the TakeOrdered shape),
+    declared here in window form because it is oracle-comparable."""
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).documents
+    ok = F.md5(F.concat(F.lit("cap"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(ok, F.col("doc_id"))
+    return (
+        d.select(
+            "doc_id", "source", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .where(F.col("rk") <= GROUP_CAP)
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # D31 extension — percentile-thresholded corpus filter
 # --------------------------------------------------------------------------
 @register(

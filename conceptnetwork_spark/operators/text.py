@@ -812,3 +812,54 @@ def d31_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D31n — hashing-trick featurization (fixed-width sparse features, no vocab)
+# --------------------------------------------------------------------------
+HASH_DIM = 64  # feature-space width (2^k in production; small here so the
+#   oracle output stays enumerable)
+
+
+@register(
+    "d31_hash_features",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(
+               regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(term AS VARCHAR)), 1, 8)) AS BIGINT)
+             % {HASH_DIM} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok
+    GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket
+    """,
+)
+def d31_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: every token maps straight to one of
+    HASH_DIM buckets via md5 — fixed-width sparse count features with NO
+    vocabulary pass, the classic trick (Weinberger et al. 2009) for
+    featurizing an unbounded token space in one map-side step. Because the
+    hash is content-addressed (not a seeded murmur per-JVM), the feature
+    matrix is engine-portable and the oracle re-derives it exactly.
+
+    Scale shape: explode + bucket assignment are map-side; the only
+    shuffle is the (doc_id, bucket) count groupBy, which map-side-combines
+    to <= HASH_DIM rows per doc per partition. No vocabulary state, no
+    driver-side dictionary — the property that makes the trick the
+    at-scale default."""
+    from conceptnetwork_spark.operators.sampling import hash_bucket
+
+    d = Catalog(spark, sf_dir).documents
+    tok = d.select("doc_id", F.explode(_toks(F.col("text"))).alias("term"))
+    return (
+        tok.groupBy(
+            "doc_id", hash_bucket(F.col("term"), HASH_DIM).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("doc_id", "bucket")
+    )

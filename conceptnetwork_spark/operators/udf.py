@@ -229,6 +229,90 @@ def d23_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# D23d — COGROUPED map (two keyed streams into one Python function)
+# --------------------------------------------------------------------------
+@register(
+    "d23_cogrouped_map",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_views
+      FROM events WHERE event_type = 'view'
+        AND CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 100 < 20
+      GROUP BY user_id
+    ), p AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+      FROM events WHERE event_type = 'purchase'
+        AND CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 100 < 20
+      GROUP BY user_id
+    )
+    SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+           COALESCE(v.n_views, 0) AS n_views,
+           COALESCE(p.n_purchases, 0) AS n_purchases,
+           ROUND(COALESCE(p.n_purchases, 0)
+                 / CAST(GREATEST(COALESCE(v.n_views, 0), 1) AS DOUBLE), 4)
+             AS conv_ratio
+    FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
+    ORDER BY user_id
+    """,
+)
+def d23_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED pandas map: each user's view events and purchase events
+    arrive as TWO aligned pandas frames in one Python call — the two-input
+    generalization of d23_grouped_map (``groupby().cogroup().
+    applyInPandas``), for per-key logic that needs both sides at once
+    (sessionized attribution, per-key reconciliation, feature joins with
+    custom merge rules). Keys present on either side fire the function
+    (the other frame arrives empty), matching the full-outer oracle.
+
+    Scale shape: both inputs shuffle ONCE on the cogroup key and stream
+    through Arrow per key-group; per-group state is that key's rows only.
+    The aggregate itself is oracle-trivial ON PURPOSE — the surface under
+    test is the cogrouped crossing, checked against a full-outer join of
+    two plain aggregates. The md5-bucket key sample (20%) bounds the
+    per-key Python-call count the declared query pays (applyInPandas fires
+    once per key): the crossing under test is unchanged, and the sampled
+    key set is engine-portable, so the oracle re-derives it exactly."""
+    from conceptnetwork_spark.operators.sampling import hash_bucket
+
+    ev = Catalog(spark, sf_dir).events.where(
+        hash_bucket(F.col("user_id")) < 20
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "event_id")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id"
+    )
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        nv, np_ = len(left), len(right)
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_views": [nv],
+                "n_purchases": [np_],
+                "conv_ratio_raw": [np_ / max(nv, 1)],
+            }
+        )
+
+    out = (
+        views.groupby("user_id")
+        .cogroup(purchases.groupby("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_views long, n_purchases long, conv_ratio_raw double",
+        )
+    )
+    # rounding JVM-side AFTER the UDF (HALF_UP, matching the oracle)
+    return out.select(
+        "user_id",
+        "n_views",
+        "n_purchases",
+        F.round("conv_ratio_raw", 4).alias("conv_ratio"),
+    ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
 # D24b — one→many through mapInPandas (the faithful P1 escape hatch)
 # --------------------------------------------------------------------------
 @register(

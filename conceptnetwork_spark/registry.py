@@ -140,6 +140,15 @@ CERT_FIRST: tuple[str, ...] = (
     "d30_knn_exact",
     "d33_ols_mse",
 )
+# Round-4 SECOND-wave additions NOT in this round's 50-slot window
+# (pytest-oracle-green now, the declared round-5 rotation):
+# d02_group_sample (per-domain cap), d31_hash_features (hashing-trick
+# featurization), d35_schema_evolution (mergeSchema read),
+# d23_cogrouped_map (two-stream cogroup applyInPandas),
+# d25_stream_semi_join (stream-stream LEFT SEMI — completes the stream
+# join matrix: inner / left outer / left semi),
+# d28_dedup_within_watermark (TTL-scoped dedup state, 3 micro-batches,
+# measured end-of-batch eviction semantics).
 
 
 def _load_all() -> None:

