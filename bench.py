@@ -85,11 +85,20 @@ HEADLINE = [
     "d31_hash_features",
     "d35_schema_evolution",
     "d23_cogrouped_map",
-    # d25_stream_semi_join is NOT here for the same reason the other
-    # stream-stream joins aren't: a timed min-of-3 would re-run the full
-    # 2-micro-batch state machinery three times (~8 s of checkpoint/state
-    # commits, not query work). The sweep times it cold; the driver
-    # correctness gate hash-checks it.
+    # round-4 third wave
+    "d01_text_source",
+    "d01_binary_source",
+    "d14_linear_interpolate",
+    "d27_attribution",
+    "d34_token_budget",
+    "d30_filtered_knn",
+    "d31_block_dedup",
+    "d10_corr_matrix",
+    # d25_stream_semi_join and d26_update_mode are NOT here for the same
+    # reason the other stream-stream/multi-batch queries aren't: a timed
+    # min-of-3 would re-run the full 2-micro-batch state machinery three
+    # times (~8 s of checkpoint/state commits, not query work). The sweep
+    # times them cold; the driver correctness gate hash-checks them.
 ]
 
 

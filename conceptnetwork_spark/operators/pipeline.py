@@ -871,3 +871,57 @@ def d35_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D34e — per-domain token-budget curation (data-mixture enforcement)
+# --------------------------------------------------------------------------
+TOKEN_BUDGET = 2000  # tokens admitted per source domain
+
+
+@register(
+    "d34_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT)
+               AS tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, tokens,
+             CAST(SUM(tokens) OVER (PARTITION BY source
+                                    ORDER BY tokens DESC, doc_id)
+                  AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, tokens, cum_tokens
+    FROM c WHERE cum_tokens - tokens < {TOKEN_BUDGET}
+    ORDER BY doc_id
+    """,
+)
+def d34_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: admit documents per source domain, best
+    (longest) first, until the domain's token budget is spent — the
+    mixture-enforcement step of a pretraining run ("this much web, this
+    much code, this much books"). Greedy-until-exceed: the doc that crosses
+    the budget line is kept, everything ranked after it is cut, so the
+    admitted set is a deterministic pure function of content.
+
+    Scale shape: one shuffle on the source key, then a per-domain running
+    sum — parallelism = number of domains × AQE coalescing; no collect, no
+    driver-side loop. At 100 TB with few giant domains, pre-bucket by
+    (source, md5 shard) and allocate each shard budget/shards tokens — the
+    same plan, one more key column (the d34_sequence_pack sharding trick)."""
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).documents
+    t = d.select(
+        "doc_id",
+        "source",
+        F.regexp_count("text", F.lit(TOKEN_PATTERN)).cast("long").alias("tokens"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tokens"), "doc_id")
+    c = t.withColumn("cum_tokens", F.sum("tokens").over(w).cast("long"))
+    return c.where(
+        F.col("cum_tokens") - F.col("tokens") < TOKEN_BUDGET
+    ).orderBy("doc_id")

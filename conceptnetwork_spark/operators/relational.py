@@ -1767,3 +1767,159 @@ def d11_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custs")
     ).select(F.lit("__ALL__").alias("o_orderpriority"), "approx_custs")
     return per.unionByName(merged).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# D14 extension — linear interpolation of missing time-series values
+# --------------------------------------------------------------------------
+@register(
+    "d14_linear_interpolate",
+    # a deterministic subset of readings is "missing" (event_id % 5 in
+    # (2,3) — 40% of rows, including RUNS of consecutive gaps); linear
+    # interpolation in epoch time between the nearest non-missing
+    # neighbors, forward/backward-filled at series edges.
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 5 IN (2, 3) THEN NULL ELSE value END AS v
+      FROM events WHERE event_type = 'click'
+    ), n AS (
+      SELECT event_id, user_id, ts, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pts,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nts
+      FROM t
+    )
+    SELECT event_id, user_id,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (epoch(ts) - epoch(pts))
+                              / (epoch(nts) - epoch(pts))
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv END, 4) AS v_interp
+    FROM n ORDER BY event_id
+    """,
+)
+def d14_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing sensor readings: each gap is filled
+    on the straight line between its nearest non-missing neighbors,
+    weighted by actual elapsed time (not row count), with forward/backward
+    fill at the series edges — the standard time-series repair pass before
+    feature extraction, and strictly stronger than d18_gap_fill's
+    step-fill.
+
+    Scale shape: one shuffle on user_id, four IGNORE-NULLS window carries
+    down each user's timeline in a single WindowExec (same partitioning +
+    ordering -> Catalyst evaluates all four in one pass); per-row state is
+    two (value, ts) pairs regardless of gap-run length. No join against the
+    non-null subset, no self-join — the naive spelling at 100 TB."""
+    ev = Catalog(spark, sf_dir).events.where(F.col("event_type") == "click")
+    t = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when((F.col("event_id") % 5).isin(2, 3), F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    vts = F.when(F.col("v").isNotNull(), F.col("ts"))
+    n = t.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(vts, ignorenulls=True).over(back).alias("pts"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(vts, ignorenulls=True).over(fwd).alias("nts"),
+    )
+    frac = (F.col("ts").cast("double") - F.col("pts").cast("double")) / (
+        F.col("nts").cast("double") - F.col("pts").cast("double")
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return n.select(
+        "event_id", "user_id", F.round(interp, 4).alias("v_interp")
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# D10 extension — correlation-matrix profile (numeric-column dependence
+# readout of the data-profiling family)
+# --------------------------------------------------------------------------
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "d10_corr_matrix",
+    oracle=f"""
+    WITH a AS (
+      SELECT {", ".join(
+          f"corr({x}, {y}) AS c_{x}_{y}"
+          for i, x in enumerate(_CORR_COLS)
+          for y in _CORR_COLS[i + 1:]
+      )}
+      FROM lineitem
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{x}' AS col_a, '{y}' AS col_b, ROUND(c_{x}_{y}, 4) AS corr FROM a"
+        for i, x in enumerate(_CORR_COLS)
+        for y in _CORR_COLS[i + 1:]
+    )}
+    ORDER BY col_a, col_b
+    """,
+)
+def d10_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the fact table's numeric columns,
+    unpivoted to the (col_a, col_b, corr) triangle — the dependence readout
+    of a profiling pass (redundant-feature detection before training,
+    sanity-checking synthetic data).
+
+    Scale shape: ONE aggregate pass computes all C(n,2) correlations —
+    each is three running moments, all partial+final combinable, so the
+    shuffle carries one row of state per partition regardless of data
+    size. The unpivot runs on the single result row. The naive per-pair
+    loop would scan the fact table 6 times; this scans once."""
+    li = Catalog(spark, sf_dir).lineitem
+    pairs = [
+        (x, y)
+        for i, x in enumerate(_CORR_COLS)
+        for y in _CORR_COLS[i + 1 :]
+    ]
+    a = li.agg(
+        *[F.round(F.corr(x, y), 4).alias(f"c_{x}_{y}") for x, y in pairs]
+    )
+    stack = F.expr(
+        "stack({n}, {args}) AS (col_a, col_b, corr)".format(
+            n=len(pairs),
+            args=", ".join(f"'{x}', '{y}', c_{x}_{y}" for x, y in pairs),
+        )
+    )
+    return a.select(stack).orderBy("col_a", "col_b")

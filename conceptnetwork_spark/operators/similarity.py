@@ -580,3 +580,75 @@ def d30_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Metadata-FILTERED exact kNN (pre-filter semantics — the vector-search
+# feature most engines get wrong by post-filtering a fixed candidate list)
+# --------------------------------------------------------------------------
+@register(
+    "d30_filtered_knn",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             ROUND(
+               list_sum(list_transform(list_zip(q.qvec, e.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qvec,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+      FROM q JOIN embeddings e
+        ON e.vec_id <> q.qid AND e.label = q.qlabel
+    )
+    SELECT qid, rank, vec_id, sim FROM (
+      SELECT qid, vec_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, vec_id) AS INTEGER)
+               AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY qid, rank
+    """,
+)
+def d30_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact kNN: top-10 cosine neighbors restricted to
+    the query's OWN label class — PRE-filter semantics (the predicate
+    shrinks the scored set, so every query still gets k results from its
+    class) rather than post-filtering a fixed candidate list (which
+    silently returns <k when the filter is selective). The shape behind
+    'nearest duplicates in the same language/domain' in corpus curation.
+
+    Scale shape: identical to d30_knn_exact — queries broadcast, corpus
+    never shuffles — plus the label equi-condition folds into the join, so
+    the scorer touches only the matching class partitions. With a
+    selective filter at 100 TB, pre-filter beats post-filter both ways:
+    fewer rows scored AND no recall loss."""
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = emb.join(
+        F.broadcast(queries),
+        (F.col("qid") != F.col("vec_id")) & (F.col("label") == F.col("qlabel")),
+    ).withColumn(
+        "sim",
+        F.round(
+            _dot(F.col("qvec"), F.col("embedding"))
+            / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
+            4,
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("qid", "rank", "vec_id", "sim")
+        .orderBy("qid", "rank")
+    )

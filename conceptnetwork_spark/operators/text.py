@@ -863,3 +863,104 @@ def d31_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .orderBy("doc_id", "bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Repeated-block removal across documents (C4/RefinedWeb-style span dedup,
+# one granularity below d29's whole-document dedup)
+# --------------------------------------------------------------------------
+BLOCK_W = 12  # words per non-overlapping block
+
+
+@register(
+    "d31_block_dedup",
+    # a FULL block (exactly BLOCK_W words) is kept iff its doc owns it
+    # (min doc_id over identical blocks); the ragged tail block is always
+    # kept. Pure function of content -> both engines derive the same set.
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             array_to_string(toks[(i * {BLOCK_W} + 1):(i * {BLOCK_W} + {BLOCK_W})],
+                             ' ') AS block,
+             len(toks) - i * {BLOCK_W} >= {BLOCK_W} AS full_block
+      FROM w, LATERAL unnest(generate_series(0,
+             CAST(ceil(len(toks) / {BLOCK_W}.0) - 1 AS BIGINT))) AS t(i)
+    ), owned AS (
+      SELECT doc_id, full_block,
+             CASE WHEN full_block THEN
+               doc_id = MIN(doc_id) OVER (PARTITION BY block)
+             ELSE TRUE END AS kept
+      FROM b
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_blocks,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN full_block AND NOT kept THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM owned GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def d31_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-block removal: the corpus is cut into non-overlapping
+    12-word blocks and any FULL block that also appears in an earlier
+    document is dropped (the earliest doc keeps its copy; ragged tails are
+    never dedup targets). The C4 / RefinedWeb repeated-span pass, one
+    granularity below whole-document dedup — boilerplate, licence blocks
+    and copied passages die here while the containing docs survive.
+    Readout is the per-doc audit (blocks / kept / dropped) a curation run
+    reports.
+
+    Scale shape: map-side block construction (one transform over the token
+    array, no self-join) -> ONE shuffle on the block key for the ownership
+    window -> count back per doc. At 100 TB swap the raw block string for
+    xxhash64(block) so the exchange carries 8-byte keys (the
+    d29_decontaminate trick); collision risk 2^-64 per pair is below
+    corpus noise."""
+    d = Catalog(spark, sf_dir).documents
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+    )
+    nblocks = F.ceil(F.size(F.col("toks")) / F.lit(float(BLOCK_W))).cast("int")
+    b = (
+        d.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), nblocks - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("i") * BLOCK_W + 1, BLOCK_W)
+            ).alias("block"),
+            (
+                F.size("toks") - F.col("i") * BLOCK_W >= BLOCK_W
+            ).alias("full_block"),
+        )
+    )
+    w = Window.partitionBy("block")
+    owned = b.select(
+        "doc_id",
+        "full_block",
+        F.when(
+            F.col("full_block"), F.col("doc_id") == F.min("doc_id").over(w)
+        )
+        .otherwise(F.lit(True))
+        .alias("kept"),
+    )
+    return (
+        owned.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum((F.col("full_block") & ~F.col("kept")).cast("long")).alias(
+                "n_dropped"
+            ),
+        )
+        .orderBy("doc_id")
+    )

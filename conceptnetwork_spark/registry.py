@@ -140,7 +140,7 @@ CERT_FIRST: tuple[str, ...] = (
     "d30_knn_exact",
     "d33_ols_mse",
 )
-# Round-4 SECOND-wave additions NOT in this round's 50-slot window
+# Round-4 SECOND/THIRD-wave additions NOT in this round's 50-slot window
 # (pytest-oracle-green now, the declared round-5 rotation):
 # d02_group_sample (per-domain cap), d31_hash_features (hashing-trick
 # featurization), d35_schema_evolution (mergeSchema read),
@@ -148,7 +148,16 @@ CERT_FIRST: tuple[str, ...] = (
 # d25_stream_semi_join (stream-stream LEFT SEMI — completes the stream
 # join matrix: inner / left outer / left semi),
 # d28_dedup_within_watermark (TTL-scoped dedup state, 3 micro-batches,
-# measured end-of-batch eviction semantics).
+# measured end-of-batch eviction semantics),
+# d01_text_source (spark.read.text vs DuckDB read_text, same staged files),
+# d01_binary_source (binaryFile whole-file ingest vs read_blob/read_text),
+# d14_linear_interpolate (time-weighted gap repair, one WindowExec),
+# d26_update_mode (UPDATE output mode, parity-split multi-batch state),
+# d27_attribution (join-free last-touch credit assignment),
+# d34_token_budget (per-domain greedy-until-exceed mixture enforcement),
+# d30_filtered_knn (pre-filter metadata kNN, equi-key broadcast),
+# d31_block_dedup (repeated 12-word-block removal, ownership window),
+# d10_corr_matrix (C(n,2) Pearson correlations in one aggregate pass).
 
 
 def _load_all() -> None:

@@ -375,3 +375,167 @@ def d01_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Plain-text source (spark.read.text) — the reference's native input shape
+# --------------------------------------------------------------------------
+def stage_doc_text(sf_dir: str) -> str:
+    """Stage a bounded documents extract as TWO plain .txt files (one line
+    per doc, newline-sanitized) — multi-file so the Spark read exercises
+    file-parallel listing, deterministic content so both engines parse the
+    same bytes. The reference ingests exactly this shape: newline-delimited
+    raw text (``examples/trainer/networks/preprocess.py:52-53``)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    path = _stage_dir(sf_dir, "txt")
+    done = os.path.join(path, "_STAGED")
+    if not os.path.exists(done):
+        t = (
+            pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"],
+                filters=pc.field("doc_id") < 120,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        if len(t) > _STAGE_ROW_CEILING:
+            raise ValueError(
+                f"refusing to stage {len(t)} rows as local text fixtures "
+                f"(ceiling {_STAGE_ROW_CEILING})"
+            )
+        os.makedirs(path, exist_ok=True)
+        half = len(t) // 2
+        for i, chunk in enumerate((t.iloc[:half], t.iloc[half:])):
+            lines = [
+                ln.replace("\r", " ").replace("\n", " ").strip()
+                for ln in chunk["text"].tolist()
+            ]
+            tmp = os.path.join(path, f"part{i}.txt.tmp")
+            with open(tmp, "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+            os.replace(tmp, os.path.join(path, f"part{i}.txt"))
+        open(done, "w").close()
+    return path
+
+
+def _text_oracle() -> str:
+    path = _try_stage(stage_doc_text, "txt", "")
+    return f"""
+    WITH lines AS (
+      SELECT unnest(string_split(rtrim(content, chr(10)), chr(10))) AS line
+      FROM read_text('{path.rstrip("/")}/*.txt')
+    )
+    SELECT line, CAST(length(line) AS BIGINT) AS n_chars
+    FROM lines WHERE length(line) > 0
+    ORDER BY line
+    """
+
+
+@register("d01_text_source", oracle=_text_oracle)
+def d01_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text connector (``spark.read.text``): the rawest input
+    format — one string column per line, schema-free. Both engines read the
+    SAME staged .txt files; line splitting, encoding and empty-line handling
+    all checked byte-for-byte.
+
+    Scale shape: text is splittable by newline at HDFS block boundaries —
+    a 100 TB corpus of line-delimited text parallelizes across executors
+    with no coordination; no inference pass, no parse beyond the line
+    scanner. This is the entry point of every LLM dataprep run (raw crawl
+    text -> d02 parse -> d31 quality -> d29 dedup)."""
+    path = stage_doc_text(sf_dir)
+    df = spark.read.text(path)
+    return (
+        df.where(F.length("value") > 0)
+        .select(
+            F.col("value").alias("line"),
+            F.length("value").cast("long").alias("n_chars"),
+        )
+        .orderBy("line")
+    )
+
+
+# --------------------------------------------------------------------------
+# binaryFile source — whole-file binary ingest (multimodal raw path)
+# --------------------------------------------------------------------------
+def stage_binary_files(sf_dir: str) -> str:
+    """Stage a handful of deterministic .dat files (ASCII payloads derived
+    from documents — DuckDB's BLOB->VARCHAR cast escapes non-ASCII bytes,
+    so ASCII content keeps md5 comparable across engines while the Spark
+    side still exercises the real binary path: content is a BinaryType
+    column either way)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    path = _stage_dir(sf_dir, "bin")
+    done = os.path.join(path, "_STAGED")
+    if not os.path.exists(done):
+        t = (
+            pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text", "source"],
+                filters=pc.field("doc_id") < 24,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        os.makedirs(path, exist_ok=True)
+        for row in t.itertuples(index=False):
+            payload = f"DOC {row.doc_id} SRC {row.source}\n{row.text}".encode(
+                "ascii", "replace"
+            )
+            tmp = os.path.join(path, f"doc_{row.doc_id:05d}.dat.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+            os.replace(tmp, os.path.join(path, f"doc_{row.doc_id:05d}.dat"))
+        open(done, "w").close()
+    return path
+
+
+def _binary_oracle() -> str:
+    # read_text, not read_blob: DuckDB's BLOB->VARCHAR cast escapes control
+    # bytes (the payload's newline becomes literal \x0A), which would poison
+    # the md5; read_text returns the raw bytes as VARCHAR unescaped, and the
+    # ASCII staging guarantees char-length == byte-length.
+    path = _try_stage(stage_binary_files, "bin", "")
+    return f"""
+    SELECT regexp_extract(filename, '([^/]+)[.]dat$', 1) AS fname,
+           CAST(length(content) AS BIGINT) AS n_bytes,
+           md5(content) AS content_md5
+    FROM read_text('{path.rstrip("/")}/*.dat')
+    ORDER BY fname
+    """
+
+
+@register("d01_binary_source", oracle=_binary_oracle)
+def d01_binary_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary connector (``spark.read.format("binaryFile")``):
+    path + length + raw bytes per file — the raw-ingest path for multimodal
+    corpora (images/audio/video land as opaque payloads, D32 decodes).
+    Checked end to end: glob filtering, file listing, length, and an md5
+    over the binary content that must match DuckDB's read_blob of the SAME
+    staged files.
+
+    Scale shape: binaryFile is NOT splittable (whole file per task) — right
+    for many-small-object multimodal ingest where the unit of work IS the
+    file; Spark parallelizes across files via the file index. For 100 TB of
+    small objects the file listing itself is the bottleneck -> point the
+    reader at a manifest-partitioned layout (d01_partitioned_read) and let
+    partition pruning bound the listing."""
+    path = stage_binary_files(sf_dir)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.dat")
+        .load(path)
+    )
+    return (
+        df.select(
+            F.regexp_extract(F.col("path"), r"([^/]+)[.]dat$", 1).alias("fname"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .orderBy("fname")
+    )

@@ -1447,3 +1447,194 @@ def d28_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id", "ts_s")
     )
+
+
+# --------------------------------------------------------------------------
+# D27 extension — last-touch attribution (single-pass window, join-free)
+# --------------------------------------------------------------------------
+ATTR_WINDOW_S = 7 * 86400  # attribution lookback: 7 days
+
+
+@register(
+    "d27_attribution",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'purchase')
+    ), a AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS lv
+      FROM e
+    )
+    SELECT event_id AS purchase_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           strftime(lv, '%Y-%m-%d %H:%M:%S') AS last_view_s,
+           CAST(CASE WHEN lv IS NOT NULL
+                      AND epoch(ts) - epoch(lv) <= {ATTR_WINDOW_S}
+                     THEN 1 ELSE 0 END AS BIGINT) AS attributed
+    FROM a WHERE event_type = 'purchase'
+    ORDER BY purchase_id
+    """,
+)
+def d27_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's most
+    recent PRECEDING view, if one happened within the 7-day lookback — the
+    marketing-analytics twin of the as-of join, spelled as a single
+    analytic window over the unioned event stream instead of a join.
+
+    Scale shape: join-free — ONE shuffle on user_id, then a running
+    MAX(view ts) carried down each user's timeline; per-row state is one
+    timestamp regardless of history length. The as-of-join spelling
+    (d08_asof_join) shuffles BOTH relations; this form shuffles the one
+    event log it already has, so at 100 TB it's strictly cheaper whenever
+    views and purchases live in the same log."""
+    from pyspark.sql import Window
+
+    ev = (
+        Catalog(spark, sf_dir)
+        .events.where(F.col("event_type").isin("view", "purchase"))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lv = F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    a = ev.withColumn("lv", lv)
+    return (
+        a.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("ts_s"),
+            F.date_format("lv", _TS_FMT).alias("last_view_s"),
+            F.when(
+                F.col("lv").isNotNull()
+                & (
+                    F.col("ts").cast("long") - F.col("lv").cast("long")
+                    <= ATTR_WINDOW_S
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("attributed"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# D26d — UPDATE output mode (per-batch changed-row emission; the third and
+# final output mode, complete/append being covered above)
+# --------------------------------------------------------------------------
+def _stage_parity_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage click events as TWO single parquet files split by event_id
+    PARITY — both batches cover the SAME time range, so hour windows
+    receive rows in both micro-batches and update mode must re-emit them
+    with accumulated state (the behavior neither append nor complete can
+    show per-batch). File order pinned via mtime."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"cn_spark_parity_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(stage):
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet")).filter(
+            pc.field("event_type") == "click"
+        )
+        even = pc.equal(pc.bit_wise_and(pc.field("event_id"), 1), 0)
+        tmp = f"{stage}.{uuid.uuid4().hex[:8]}.tmp"
+        os.makedirs(tmp)
+        pq.write_table(t.filter(even), os.path.join(tmp, "b0_even.parquet"))
+        pq.write_table(
+            t.filter(pc.invert(even)), os.path.join(tmp, "b1_odd.parquet")
+        )
+        now = os.path.getmtime(os.path.join(tmp, "b0_even.parquet"))
+        os.utime(os.path.join(tmp, "b0_even.parquet"), (now - 60, now - 60))
+        os.utime(os.path.join(tmp, "b1_odd.parquet"), (now, now))
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return stage
+
+
+@register(
+    "d26_update_mode",
+    # Update mode re-emits a window every batch its state CHANGES; the
+    # readout keeps, per window, the row with the highest count — state is
+    # append-only within a window, so that row is the final state, and it
+    # must equal the plain batch aggregate over ALL click events. A
+    # batch-local (non-stateful) engine would emit two partial rows whose
+    # max is the LARGER HALF, not the total — the oracle catches exactly
+    # that.
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE event_type = 'click'
+    GROUP BY date_trunc('hour', ts)
+    ORDER BY window_start
+    """,
+)
+def d26_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode across two genuine micro-batches that BOTH feed
+    the same hour windows (parity-split staging): every batch emits only
+    the windows whose state changed, carrying the accumulated (not
+    batch-local) aggregate. The readout folds the update log to its final
+    row per window — the MERGE a downstream keyed sink (Delta/JDBC upsert)
+    would apply — and certifies it equals the batch aggregate.
+
+    Scale shape: update mode is the low-latency middle ground — unlike
+    complete it emits O(changed windows) per batch, unlike append it does
+    not wait out the watermark; state is one row per open window, bounded
+    by the (generous here, so nothing drops) watermark delay. At 100 TB
+    the sink must be keyed-upsert-capable, exactly what the readout
+    models."""
+    stage = _stage_parity_batches(spark, sf_dir)
+    schema = spark.read.parquet(stage).schema
+    stream = fix_nanos(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        "events",
+    )
+    agg = (
+        stream.withWatermark("ts", "90 days")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    name = f"upd_mode_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q, 120)
+    log = spark.table(name)
+    # keyed-upsert fold: per window keep the update with the highest count
+    # (state is append-only within a window -> that IS the final state)
+    final = log.groupBy("w").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+    )
+    return final.select(
+        F.date_format("w.start", _TS_FMT).alias("window_start"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    ).orderBy("window_start")

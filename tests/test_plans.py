@@ -589,3 +589,74 @@ def test_d35_schema_evolution_scan_prunes(spark):
     assert "Scan parquet" in plan
     assert "props" not in plan  # never read; schema merge adds no columns
     assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_d14_interpolate_single_window_pass(spark):
+    """All four IGNORE-NULLS carries must evaluate in ONE WindowExec (same
+    partitioning+ordering), with the event_type filter at the scan and no
+    join against the non-null subset."""
+    plan = _plan(spark, "d14_linear_interpolate")
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+    assert "click" in plan  # filter reached the scan
+
+
+def test_d27_attribution_join_free(spark):
+    """Last-touch attribution must be the single-window spelling: no join,
+    one user_id exchange + the output sort, IN-filter at the scan."""
+    plan = _plan(spark, "d27_attribution")
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_d34_token_budget_single_window_shuffle(spark):
+    """Budget admission = one per-source running sum: exactly one window,
+    no join, no aggregate pass before it."""
+    plan = _plan(spark, "d34_token_budget")
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_d01_text_source_filter_at_scan(spark):
+    """The non-empty-line predicate must reach the text scan (no separate
+    filter stage over raw lines)."""
+    plan = _plan(spark, "d01_text_source")
+    assert "FileScan text" in plan
+    assert "length(value" in plan
+
+
+def test_d01_binary_source_prunes_columns(spark):
+    """binaryFile scan must prune to path/length/content — reading
+    modificationTime would widen every file's row unnecessarily."""
+    plan = _plan(spark, "d01_binary_source")
+    assert "FileScan binaryFile" in plan
+    assert "modificationTime" not in plan
+
+
+def test_d30_filtered_knn_prefilter_equi_broadcast(spark):
+    """The label predicate must fold INTO the broadcast join as an equi-key
+    (BroadcastHashJoin) — pre-filter semantics; a post-filter plan would
+    nested-loop the full corpus (BroadcastNestedLoopJoin) and filter after
+    scoring."""
+    plan = _plan(spark, "d30_filtered_knn")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d31_block_dedup_no_self_join(spark):
+    """Block ownership is a window over the exploded blocks — one shuffle
+    on the block key, never a self-join of the corpus against itself."""
+    plan = _plan(spark, "d31_block_dedup")
+    assert "Join" not in plan
+    assert "Generate" in plan  # the explode producing blocks
+
+
+def test_d10_corr_matrix_single_scan(spark):
+    """All six correlations must come from ONE pass over lineitem
+    (partial+final agg pair) — the per-pair loop would scan six times."""
+    plan = _plan(spark, "d10_corr_matrix")
+    assert plan.count("FileScan") == 1
+    assert plan.count("HashAggregate") >= 2

@@ -136,3 +136,47 @@ def test_transform_with_state_gating(spark):
         assert "d25_first_seen_tws" in oracles()
     else:
         assert "d25_first_seen_tws" not in queries()
+
+
+@pytest.mark.slow
+def test_update_mode_multi_emission(spark):
+    """Update mode must actually RE-EMIT windows across the two
+    parity-split micro-batches: the raw update log must be strictly longer
+    than the folded final state (same-window rows emitted in both batches),
+    else the staging degenerated to one batch and the oracle proves
+    nothing."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from conceptnetwork_spark.catalog import fix_nanos
+
+    stage = ops._stage_parity_batches(spark, SF_SMOKE)
+    schema = spark.read.parquet(stage).schema
+    stream = fix_nanos(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        "events",
+    )
+    agg = (
+        stream.withWatermark("ts", "90 days")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"upd_probe_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    ops.await_finished(q, 120)
+    log = spark.table(name)
+    n_log = log.count()
+    n_windows = log.select("w").distinct().count()
+    assert n_log > n_windows, (
+        f"update log {n_log} rows == {n_windows} distinct windows: "
+        "no window was re-emitted; parity staging is not multi-batch"
+    )
