@@ -94,6 +94,7 @@ HEADLINE = [
     "d30_filtered_knn",
     "d31_block_dedup",
     "d10_corr_matrix",
+    "d30_range_search",
     # d25_stream_semi_join and d26_update_mode are NOT here for the same
     # reason the other stream-stream/multi-batch queries aren't: a timed
     # min-of-3 would re-run the full 2-micro-batch state machinery three

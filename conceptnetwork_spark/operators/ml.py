@@ -237,3 +237,40 @@ def d33_mlp_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg((F.col("prediction") == F.col("label")).cast("double")).alias("a")
     ).collect()[0]["a"]
     return spark.createDataFrame([(round(float(acc), 4),)], "accuracy double")
+
+
+# --------------------------------------------------------------------------
+# D33 extension — logistic classifier on the embedding table (the linear
+# read-out probe every embedding pipeline trains)
+# --------------------------------------------------------------------------
+@register("d33_logreg_auc", oracle=None)
+def d33_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded binary logistic regression over the 64-d embedding column:
+    predict label==0 vs rest from the raw vectors — the standard 'linear
+    probe' that certifies an embedding table is trainable end to end
+    (array column -> MLlib vector -> fit -> AUC) without leaving Spark.
+    Non-oracle (LBFGS internals are engine-specific); pytest pins seed
+    determinism and an AUC floor well above chance.
+
+    Scale shape: array_to_vector is a zero-copy JVM cast (no Python);
+    LBFGS aggregates gradients tree-wise per partition — the driver holds
+    one 65-float coefficient vector, never data. The readout is a single
+    evaluator pass; nothing but the final scalar reaches the driver."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    emb = Catalog(spark, sf_dir).embeddings
+    df = emb.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+        (F.col("label") == 0).cast("double").alias("label"),
+    )
+    lr = LogisticRegression(maxIter=30, regParam=0.01, standardization=True)
+    model = lr.fit(df)
+    preds = model.transform(df)
+    auc = BinaryClassificationEvaluator(
+        rawPredictionCol="rawPrediction", metricName="areaUnderROC"
+    ).evaluate(preds)
+    return spark.createDataFrame([(round(float(auc), 4),)], "auc double")

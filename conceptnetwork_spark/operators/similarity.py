@@ -652,3 +652,62 @@ def d30_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "vec_id", "sim")
         .orderBy("qid", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Range (radius) search — all neighbors above a similarity floor, the
+# variable-cardinality dual of top-k
+# --------------------------------------------------------------------------
+RANGE_SIM_FLOOR = 0.25
+
+
+@register(
+    "d30_range_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    )
+    SELECT qid, vec_id, sim FROM (
+      SELECT q.qid, e.vec_id,
+             ROUND(
+               list_sum(list_transform(list_zip(q.qvec, e.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qvec,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    ) WHERE sim >= {RANGE_SIM_FLOOR}
+    ORDER BY qid, vec_id
+    """,
+)
+def d30_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: ALL corpus vectors within a cosine-similarity floor
+    of each query — the variable-cardinality dual of top-k (dedup and
+    recall jobs want 'everything this close', not 'the closest k'; a
+    near-dup query may legitimately return 0 or 500 neighbors). No window,
+    no rank: the floor is a plain filter on the scored stream.
+
+    Scale shape: queries broadcast, corpus never shuffles, and because
+    there is no per-query top-k there is NO window exchange at all — the
+    whole query is scan → broadcast-join → filter, strictly cheaper than
+    kNN. The LSH/IVF variants (d30_lsh_ann, d30_ivf_ann) bound the scored
+    set when the corpus is 100 TB; this is their exact-answer baseline."""
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scored = emb.join(
+        F.broadcast(queries), F.col("qid") != F.col("vec_id")
+    ).select(
+        "qid",
+        "vec_id",
+        F.round(
+            _dot(F.col("qvec"), F.col("embedding"))
+            / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
+            4,
+        ).alias("sim"),
+    )
+    return scored.where(F.col("sim") >= RANGE_SIM_FLOOR).orderBy(
+        "qid", "vec_id"
+    )

@@ -157,7 +157,10 @@ CERT_FIRST: tuple[str, ...] = (
 # d34_token_budget (per-domain greedy-until-exceed mixture enforcement),
 # d30_filtered_knn (pre-filter metadata kNN, equi-key broadcast),
 # d31_block_dedup (repeated 12-word-block removal, ownership window),
-# d10_corr_matrix (C(n,2) Pearson correlations in one aggregate pass).
+# d10_corr_matrix (C(n,2) Pearson correlations in one aggregate pass),
+# d30_range_search (similarity-floor radius search, window-free).
+# Non-oracle by design, pytest-pinned: d33_logreg_auc (seeded linear
+# probe over embeddings, determinism + AUC-floor assertions).
 
 
 def _load_all() -> None:

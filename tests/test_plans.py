@@ -660,3 +660,12 @@ def test_d10_corr_matrix_single_scan(spark):
     plan = _plan(spark, "d10_corr_matrix")
     assert plan.count("FileScan") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_d30_range_search_no_window(spark):
+    """Radius search must be scan -> broadcast-join -> filter: no per-query
+    top-k window, no corpus shuffle (the one Exchange is the output sort)."""
+    plan = _plan(spark, "d30_range_search")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

@@ -254,3 +254,17 @@ def test_wav_decode_rejects_malformed():
             b"data", 4,
         )
         decode_wav_bytes(hdr + b"\x00\x00\x00\x00")
+
+
+def test_logreg_deterministic_and_above_chance(spark):
+    """The linear probe over the embedding table must be reproducible
+    run-to-run and clearly separate class 0 from the rest (AUC floor 0.7
+    — chance is 0.5; the planted clusters make the class linearly
+    separable well above that)."""
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    a = queries()["d33_logreg_auc"](spark, SF_SMOKE).collect()[0].auc
+    b = queries()["d33_logreg_auc"](spark, SF_SMOKE).collect()[0].auc
+    assert a == b, f"non-deterministic logreg: {a} vs {b}"
+    assert a >= 0.7, f"AUC {a} below floor"
