@@ -95,6 +95,7 @@ HEADLINE = [
     "d31_block_dedup",
     "d10_corr_matrix",
     "d30_range_search",
+    "d02_temperature_mix",
     # d25_stream_semi_join and d26_update_mode are NOT here for the same
     # reason the other stream-stream/multi-batch queries aren't: a timed
     # min-of-3 would re-run the full 2-micro-batch state machinery three

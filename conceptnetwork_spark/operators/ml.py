@@ -269,6 +269,25 @@ def d33_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lr = LogisticRegression(maxIter=30, regParam=0.01, standardization=True)
     model = lr.fit(df)
+    # Round-trip the model through save/load before scoring: the freshly
+    # fitted model pins its TRAINING SUMMARY, which holds a SparkSession
+    # reference — task serialization of any downstream job then drags the
+    # session (and its non-serializable ObservationManager, populated once
+    # any df.observe query has run in the session) into the closure and
+    # throws TaskNotSerializable. A loaded model carries no summary, so
+    # scoring closures serialize cleanly regardless of session history;
+    # the round trip also certifies model persistence on this path.
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"cn_logreg_{uuid.uuid4().hex[:8]}"
+    )
+    model.write().overwrite().save(path)
+    model = LogisticRegressionModel.load(path)
     preds = model.transform(df)
     auc = BinaryClassificationEvaluator(
         rawPredictionCol="rawPrediction", metricName="areaUnderROC"

@@ -401,3 +401,73 @@ def d02_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# D2 extension — temperature-scaled domain rebalancing (rates computed FROM
+# the data, vs d02_domain_mix's fixed editorial rates)
+# --------------------------------------------------------------------------
+@register(
+    "d02_temperature_mix",
+    # alpha=0.5 temperature sampling, downsample-only normalization: keep
+    # rate r_dom = sqrt(n_min / n_dom) in basis points. Every step
+    # (divide, sqrt, multiply, floor) is IEEE-754 correctly rounded, so
+    # Spark and DuckDB derive bit-identical rates — no float-fuzz in the
+    # admission threshold.
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ), r AS (
+      SELECT lang, n_docs,
+             CAST(floor(10000 * sqrt(
+               CAST(MIN(n_docs) OVER () AS DOUBLE) / n_docs)) AS BIGINT)
+               AS bp
+      FROM c
+    ), k AS (
+      SELECT d.lang, COUNT(*) AS n_kept
+      FROM documents d JOIN r USING (lang)
+      WHERE {_bucket_sql('doc_id', 10000)} < r.bp
+      GROUP BY d.lang
+    )
+    SELECT lang, n_docs, bp, n_kept
+    FROM r JOIN k USING (lang) ORDER BY lang
+    """,
+)
+def d02_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language rebalancing (alpha = 0.5): per-language keep
+    rates are COMPUTED from the observed counts — q_dom ∝ p_dom^0.5,
+    normalized so the rarest domain keeps 100% — flattening the mixture
+    toward rare domains the way multilingual/multidomain pretraining
+    up-weights tail languages. Admission stays the permanent md5-bucket
+    predicate (10k-bucket precision), so membership is re-derivable and
+    engine-independent even though the rates themselves came from data.
+
+    Scale shape: the rate table is one tiny agg (|domains| rows) broadcast
+    back onto the scan — the corpus itself never shuffles for sampling;
+    readout is one partial+final agg. Changing alpha or refreshing counts
+    re-plans only the broadcast side at 100 TB."""
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).documents
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    r = c.withColumn(
+        "bp",
+        F.floor(
+            10000
+            * F.sqrt(
+                F.min("n_docs").over(Window.partitionBy()).cast("double")
+                / F.col("n_docs")
+            )
+        ).cast("long"),
+    )
+    kept = (
+        d.join(F.broadcast(r), "lang")
+        .where(hash_bucket(F.col("doc_id"), 10000) < F.col("bp"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        r.join(kept, "lang")
+        .select("lang", "n_docs", "bp", "n_kept")
+        .orderBy("lang")
+    )

@@ -158,7 +158,9 @@ CERT_FIRST: tuple[str, ...] = (
 # d30_filtered_knn (pre-filter metadata kNN, equi-key broadcast),
 # d31_block_dedup (repeated 12-word-block removal, ownership window),
 # d10_corr_matrix (C(n,2) Pearson correlations in one aggregate pass),
-# d30_range_search (similarity-floor radius search, window-free).
+# d30_range_search (similarity-floor radius search, window-free),
+# d02_temperature_mix (alpha=0.5 language rebalancing, data-derived
+# IEEE-exact keep rates, md5-bucket admission).
 # Non-oracle by design, pytest-pinned: d33_logreg_auc (seeded linear
 # probe over embeddings, determinism + AUC-floor assertions).
 
