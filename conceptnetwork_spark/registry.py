@@ -160,7 +160,9 @@ CERT_FIRST: tuple[str, ...] = (
 # d10_corr_matrix (C(n,2) Pearson correlations in one aggregate pass),
 # d30_range_search (similarity-floor radius search, window-free),
 # d02_temperature_mix (alpha=0.5 language rebalancing, data-derived
-# IEEE-exact keep rates, md5-bucket admission).
+# IEEE-exact keep rates, md5-bucket admission),
+# d26_chained_agg (hourly->daily chained stateful aggregation, Spark-4
+# multi-stateful-operator support, closed-form watermark oracle).
 # Non-oracle by design, pytest-pinned: d33_logreg_auc (seeded linear
 # probe over embeddings, determinism + AUC-floor assertions).
 

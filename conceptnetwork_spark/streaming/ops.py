@@ -1638,3 +1638,84 @@ def d26_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_value", 4).alias("sum_value"),
     ).orderBy("window_start")
+
+
+# --------------------------------------------------------------------------
+# D26e — CHAINED stateful aggregations (Spark-4 multiple-stateful-operator
+# support: hourly window agg -> daily rollup of the hourly windows, ONE
+# streaming query)
+# --------------------------------------------------------------------------
+@register(
+    "d26_chained_agg",
+    # Emission model (measured, Spark 4.1, two micro-batches via the
+    # _stage_late_arrival fixture): with TWO chained stateful operators the
+    # input-side late-record filter uses the MINIMUM across operator
+    # watermarks, and the downstream operator's watermark lags one batch —
+    # so batch 1's below-watermark rows are ADMITTED at the hourly stage
+    # (unlike the single-operator query d26_append_finalize, where the
+    # same rows are dropped), flow into their already-expired hourly
+    # windows, and finalize immediately. Every daily window whose end has
+    # passed the final committed watermark W = max(ts) - delay emits with
+    # its FULL (both-batch) aggregate; the open tail past W is withheld.
+    oracle=f"""
+    WITH wm AS (
+      SELECT max(ts) - INTERVAL '{LATE_DELAY}' AS w FROM events
+    )
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events, wm
+    GROUP BY date_trunc('day', ts), wm.w
+    HAVING date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
+    ORDER BY day
+    """,
+)
+def d26_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful aggregation in ONE streaming query (Spark 4's
+    multiple-stateful-operator support): hourly tumbling aggregate →
+    daily rollup over the hourly windows (``window_time`` re-windowing),
+    append mode, across two genuine micro-batches. The hourly pre-
+    aggregation is the streaming form of partial aggregation: the daily
+    operator's state holds at most 24 hourly rows per day instead of the
+    raw events — the cascade every high-volume metrics pipeline runs
+    (events → minute → hour → day) without landing intermediate tables.
+
+    Scale shape: state is bounded at BOTH levels by the same watermark
+    (hours evict after delay, days after the day closes past it); the
+    shuffle between the stages carries hourly partials, ~3 orders of
+    magnitude fewer rows than events at 100 TB."""
+    stage = _stage_late_arrival(spark, sf_dir)
+    schema = spark.read.parquet(stage).schema
+    stream = fix_nanos(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        "events",
+    )
+    hourly = (
+        stream.withWatermark("ts", LATE_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.window_time("w"), "1 day").alias("d"))
+        .agg(F.sum("n").alias("n_events"), F.sum("sv").alias("sum_value"))
+    )
+    name = f"chain_{uuid.uuid4().hex[:8]}"
+    q = (
+        daily.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q, 180)
+    return (
+        spark.table(name)
+        .select(
+            F.date_format("d.start", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+        .orderBy("day")
+    )

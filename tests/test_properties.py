@@ -320,3 +320,83 @@ def test_hll_merge_fidelity(spark):
         .count()
     )
     assert abs(out["__ALL__"] - exact) / exact < 0.02
+
+
+def test_token_budget_invariants(spark):
+    """Greedy-until-exceed admission: per domain, the admitted token sum
+    minus its LAST (largest-cum) doc must be under budget (every admitted
+    doc started below the line), and dropping any admitted doc keeps the
+    rest admitted (prefix property of the cum ordering)."""
+    from conceptnetwork_spark.operators.pipeline import TOKEN_BUDGET
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_ORACLE
+
+    rows = queries()["d34_token_budget"](spark, SF_ORACLE).collect()
+    assert rows, "no docs admitted"
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, docs in by_src.items():
+        # each admitted doc's pre-doc cumulative is under budget
+        for d in docs:
+            assert d.cum_tokens - d.tokens < TOKEN_BUDGET, (src, d.doc_id)
+        # budget binds: total admitted stays under budget + one doc
+        total = sum(d.tokens for d in docs)
+        biggest = max(d.tokens for d in docs)
+        assert total < TOKEN_BUDGET + biggest, src
+
+
+def test_block_dedup_invariants(spark):
+    """Per-doc audit must be self-consistent (kept + dropped <= blocks,
+    non-negative) and globally some duplicate blocks must actually drop
+    (the corpus plants exact duplicates)."""
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_ORACLE
+
+    rows = queries()["d31_block_dedup"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dropped <= r.n_blocks
+        assert r.n_kept + r.n_dropped == r.n_blocks
+        assert r.n_kept <= r.n_blocks
+    assert sum(r.n_dropped for r in rows) > 0, "no duplicate blocks dropped"
+
+
+def test_temperature_mix_flattens(spark):
+    """Alpha<1 rebalancing must (a) keep the rarest language in full,
+    (b) never upsample, and (c) strictly shrink the spread between the
+    most- and least-common language's share."""
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_ORACLE
+
+    rows = queries()["d02_temperature_mix"](spark, SF_ORACLE).collect()
+    assert rows
+    rarest = min(rows, key=lambda r: r.n_docs)
+    assert rarest.bp == 10000, "rarest language must keep 100%"
+    for r in rows:
+        assert r.bp <= 10000 and r.n_kept <= r.n_docs
+    before = max(r.n_docs for r in rows) / min(r.n_docs for r in rows)
+    after = max(r.n_kept for r in rows) / min(r.n_kept for r in rows)
+    assert after < before, f"mixture not flattened: {after} !< {before}"
+
+
+def test_interpolate_bounds(spark):
+    """Interpolated values must lie within [min(pv, nv), max(pv, nv)] —
+    linear interpolation never overshoots its endpoints; observed values
+    pass through unchanged."""
+    from pyspark.sql import functions as F
+
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_ORACLE
+
+    df = queries()["d14_linear_interpolate"](spark, SF_ORACLE)
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet").where(
+        F.col("event_type") == "click"
+    )
+    joined = df.join(ev.select("event_id", "value"), "event_id")
+    # observed rows (event_id % 5 not in (2,3)) must be unchanged
+    observed = joined.where(~(F.col("event_id") % 5).isin(2, 3))
+    bad = observed.where(
+        F.abs(F.col("v_interp") - F.round(F.col("value"), 4)) > 1e-9
+    ).count()
+    assert bad == 0, f"{bad} observed values altered by interpolation"
