@@ -162,7 +162,9 @@ CERT_FIRST: tuple[str, ...] = (
 # d02_temperature_mix (alpha=0.5 language rebalancing, data-derived
 # IEEE-exact keep rates, md5-bucket admission),
 # d26_chained_agg (hourly->daily chained stateful aggregation, Spark-4
-# multi-stateful-operator support, closed-form watermark oracle).
+# multi-stateful-operator support, closed-form watermark oracle),
+# d25_stream_full_outer (stream-stream FULL OUTER — completes the join
+# matrix; per-side eviction bounds measured at two SFs).
 # Non-oracle by design, pytest-pinned: d33_logreg_auc (seeded linear
 # probe over embeddings, determinism + AUC-floor assertions).
 

@@ -1084,10 +1084,13 @@ def _stage_outer_join(spark: SparkSession, sf_dir: str) -> str:
       WHERE event_type = 'purchase' AND ts < TIMESTAMP '{OUTER_SPLIT}'
     ),
     w1 AS (
-      -- Spark's GLOBAL watermark is min over the per-stream watermarks;
-      -- each filtered stream (views / purchases) advances by its own max ts.
-      SELECT LEAST((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
-             - INTERVAL {OUTER_DELAY} AS w
+      -- The eviction watermark is the one committed at the END of batch 1:
+      -- min over per-stream watermarks, where the purchases-only advancer
+      -- has pushed the purchase side far ahead -> W = max view ts - delay.
+      -- (Discriminated from least(maxv, maxp) by the full-outer twin's
+      -- purchase-null count at sf0.001; for the left-outer's view-null
+      -- bound both spellings agree on the fixtures.)
+      SELECT (SELECT max(ts) FROM v) - INTERVAL {OUTER_DELAY} AS w
     ),
     matched AS (
       SELECT v.view_id, p.purchase_id, v.user_id, v.ts AS vts
@@ -1718,4 +1721,126 @@ def d26_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sum_value", 4).alias("sum_value"),
         )
         .orderBy("day")
+    )
+
+
+@register(
+    "d25_stream_full_outer",
+    # Emission model (measured at sf0.01 AND sf0.001, Spark 4.1, same
+    # two-batch staging as the left-outer): matches emit in batch 0; null
+    # rows emit via state eviction against the watermark committed at the
+    # END of batch 1 — W = min over streams of (max ts seen) - delay,
+    # and because the batch-1 advancer raises only the PURCHASE side far
+    # ahead, W = max(early view ts) - delay. (A least(maxv, maxp) over
+    # the early window alone matches at sf0.01 only by coincidence —
+    # maxv < maxp there; sf0.001 has maxv > maxp and discriminates:
+    # 137 purchase-nulls = p < Wv, not 135 = p < least.) Eviction bounds
+    # differ per side because the join window is asymmetric
+    # (p in [v, v + interval)): a VIEW is evictable when its whole window
+    # passed (v_ts + interval < W), a PURCHASE when no earlier view can
+    # still arrive (p_ts < W). The advancer purchases stay in state and
+    # are withheld, as on an unbounded stream.
+    oracle=f"""
+    WITH v AS (
+      SELECT event_id AS view_id, user_id, ts FROM events
+      WHERE event_type = 'view' AND ts < TIMESTAMP '{OUTER_SPLIT}'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '{OUTER_SPLIT}'
+    ),
+    w1 AS (
+      SELECT (SELECT max(ts) FROM v) - INTERVAL {OUTER_DELAY} AS w
+    ),
+    matched AS (
+      SELECT v.view_id, p.purchase_id, v.user_id AS vu, p.user_id AS pu
+      FROM v JOIN p ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL {OUTER_INTERVAL}
+    )
+    SELECT view_id, purchase_id, vu AS user_id FROM matched
+    UNION ALL
+    SELECT v.view_id, CAST(NULL AS BIGINT), v.user_id
+    FROM v, w1
+    WHERE v.view_id NOT IN (SELECT view_id FROM matched)
+      AND v.ts + INTERVAL {OUTER_INTERVAL} < w1.w
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), p.purchase_id, p.user_id
+    FROM p, w1
+    WHERE p.purchase_id NOT IN (SELECT purchase_id FROM matched)
+      AND p.ts < w1.w
+    ORDER BY view_id NULLS LAST, purchase_id NULLS LAST
+    """,
+)
+def d25_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream FULL OUTER join — completes the stream-join
+    matrix (inner / left outer / left semi / full outer). Both sides'
+    unmatched rows must wait for watermark-driven state eviction, and the
+    eviction bound is DIFFERENT per side because the interval condition is
+    asymmetric: a view's join window closes interval-after it, a
+    purchase's closes at its own timestamp (no older view can arrive once
+    the watermark passes it). The oracle recomputes both eviction sets in
+    closed form from the committed watermark.
+
+    Scale shape: identical to the left-outer — per-key state bounded by
+    delay + interval on both sides; full-outer adds no state, only the
+    second null-emission scan at eviction time. user_id is carried from
+    whichever side is present (COALESCE in the readout)."""
+    stage = _stage_outer_join(spark, sf_dir)
+    schema = spark.read.parquet(stage).schema
+
+    def src():
+        return fix_nanos(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage),
+            "events",
+        )
+
+    views = (
+        src()
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", OUTER_DELAY)
+    )
+    purchases = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", OUTER_DELAY)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr(f"INTERVAL {OUTER_INTERVAL}")),
+        "fullOuter",
+    )
+    name = f"fojoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q, 180)
+    return (
+        spark.table(name)
+        .select(
+            "view_id",
+            "purchase_id",
+            F.coalesce("user_id", "p_user").alias("user_id"),
+        )
+        .orderBy(
+            F.col("view_id").asc_nulls_last(),
+            F.col("purchase_id").asc_nulls_last(),
+        )
     )
