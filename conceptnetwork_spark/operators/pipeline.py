@@ -925,3 +925,142 @@ def d34_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.where(
         F.col("cum_tokens") - F.col("tokens") < TOKEN_BUDGET
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# D35 extension — CDC apply WITH delete tombstones (the branch d35_upsert_cdc
+# documents as absent from an append-only log)
+# --------------------------------------------------------------------------
+@register(
+    "d35_cdc_deletes",
+    # change feed: purchases upsert (user_id -> value), errors are DELETE
+    # tombstones; application order is (ts, event_id). Final table = users
+    # whose LAST change is an upsert, carrying that upsert's value.
+    oracle="""
+    WITH feed AS (
+      SELECT user_id, event_id, ts, event_type, value FROM events
+      WHERE event_type IN ('purchase', 'error')
+    ), last AS (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM feed
+    )
+    SELECT user_id, event_id AS last_event_id, ROUND(value, 4) AS value
+    FROM last WHERE rn = 1 AND event_type = 'purchase'
+    ORDER BY user_id
+    """,
+)
+def d35_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with DELETE tombstones: the change feed carries upserts
+    (purchases) and deletions (errors, standing in for the tombstone rows
+    a CDC source emits on row deletion / a GDPR erasure request). MERGE
+    semantics: per key, the LAST change wins — an upsert survives with its
+    value, a tombstone removes the key entirely. This is the branch
+    d35_upsert_cdc explicitly documents as absent for append-only logs.
+
+    Scale shape: one arg-max shuffle on user_id (partial+final max_by —
+    the per-partition combiner keeps one candidate row per key before the
+    exchange), then a map-side tombstone filter. No join, no second scan;
+    at 100 TB the shuffle carries one row per distinct key per partition,
+    not the feed."""
+    from pyspark.sql import Window
+
+    feed = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isin("purchase", "error")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = feed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        last.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.round("value", 4).alias("value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# D35 extension — write-audit-publish (staged atomic publication)
+# --------------------------------------------------------------------------
+def _wap_publish(spark: SparkSession, sf_dir: str) -> str:
+    """Stage → audit → atomically publish a curated extract. The write
+    lands in a staging dir; the audit re-READS the staged files and checks
+    row count + key checksum against the source aggregate; only then is
+    the staging dir renamed into the published location (atomic on POSIX).
+    A failed audit leaves the published path untouched. Idempotent per
+    sf_dir."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    published = os.path.join(tempfile.gettempdir(), f"cn_spark_wap_{base}")
+    if os.path.exists(os.path.join(published, "_AUDITED")):
+        return published
+    src = (
+        Catalog(spark, sf_dir)
+        .orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("price"))
+    )
+    expected = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.crc32(F.col("o_orderkey").cast("string"))).alias("ck"),
+    ).collect()[0]
+    staging = published + f".stage.{uuid.uuid4().hex[:8]}"
+    src.write.mode("overwrite").parquet(staging)
+    audited = (
+        spark.read.parquet(staging)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.crc32(F.col("o_orderkey").cast("string"))).alias("ck"),
+        )
+        .collect()[0]
+    )
+    if (audited["n"], audited["ck"]) != (expected["n"], expected["ck"]):
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"WAP audit failed: staged ({audited['n']}, {audited['ck']}) != "
+            f"expected ({expected['n']}, {expected['ck']}); publish aborted"
+        )
+    open(os.path.join(staging, "_AUDITED"), "w").close()
+    try:
+        os.rename(staging, published)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # concurrent publisher won
+    return published
+
+
+@register(
+    "d35_write_audit_publish",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS price
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY o_orderkey
+    """,
+)
+def d35_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: the batch-pipeline reliability pattern — data
+    lands in a STAGING directory, an audit re-reads the staged bytes and
+    verifies row count + key checksum against the source, and only a
+    passing audit atomically renames staging into the published path.
+    Downstream readers never observe a partial or corrupt publication;
+    a failed audit aborts with the staging dir removed. The oracle reads
+    the SOURCE rows — the published table must be byte-equivalent through
+    the full write→audit→publish→read cycle.
+
+    Scale shape: the audit is one aggregate over the staged files (count +
+    codegen crc32 sum — no row comparison, no collect of data); publish is
+    one filesystem rename. On an object store, rename becomes a manifest
+    swap (Iceberg/Delta commit) — same pattern, same audit."""
+    path = _wap_publish(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .select("o_orderkey", "o_custkey", "price")
+        .orderBy("o_orderkey")
+    )

@@ -164,7 +164,9 @@ CERT_FIRST: tuple[str, ...] = (
 # d26_chained_agg (hourly->daily chained stateful aggregation, Spark-4
 # multi-stateful-operator support, closed-form watermark oracle),
 # d25_stream_full_outer (stream-stream FULL OUTER — completes the join
-# matrix; per-side eviction bounds measured at two SFs).
+# matrix; per-side eviction bounds measured at two SFs),
+# d35_cdc_deletes (tombstone-aware last-change-wins MERGE),
+# d35_write_audit_publish (staged write, checksum audit, atomic rename).
 # Non-oracle by design, pytest-pinned: d33_logreg_auc (seeded linear
 # probe over embeddings, determinism + AUC-floor assertions).
 
