@@ -1064,3 +1064,79 @@ def d35_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "price")
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# D35 extension — dynamic partition overwrite (partition-scoped backfill)
+# --------------------------------------------------------------------------
+def _dynamic_overwrite(spark: SparkSession, sf_dir: str) -> str:
+    """Two-step partition-scoped backfill: write a per-priority aggregate
+    where the '1-URGENT' partition is deliberately STALE (even orderkeys
+    only), then re-run the urgent partition alone with full data under
+    dynamic partitionOverwriteMode. Dynamic mode replaces ONLY the
+    partitions present in the second write — static mode would delete the
+    other four. Idempotent per sf_dir."""
+    import os
+    import tempfile
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"cn_spark_dynovr_{base}")
+    done = os.path.join(path, "_BACKFILLED")
+    if not os.path.exists(done):
+        o = Catalog(spark, sf_dir).orders
+        agg = lambda df: (  # noqa: E731
+            df.groupBy("o_orderpriority", (F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            )
+        )
+        stale = o.where(
+            (F.col("o_orderpriority") != "1-URGENT")
+            | (F.col("o_orderkey") % 2 == 0)
+        )
+        agg(stale).write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(path)
+        # partition-scoped re-run: only the urgent partition is in this
+        # frame; dynamic mode must leave the other four untouched
+        fix = agg(o.where(F.col("o_orderpriority") == "1-URGENT"))
+        fix.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("o_orderpriority").parquet(path)
+        open(done, "w").close()
+    return path
+
+
+@register(
+    "d35_dynamic_overwrite",
+    # final state must equal the FULL aggregate for every partition: the
+    # urgent partition proves the backfill landed, the other four prove
+    # dynamic mode did NOT delete untouched partitions (static overwrite
+    # would leave only the urgent one).
+    oracle="""
+    SELECT o_orderpriority, CAST(o_custkey % 10 AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders GROUP BY 1, 2
+    ORDER BY o_orderpriority, bucket
+    """,
+)
+def d35_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the partition-scoped backfill
+    primitive of incremental batch pipelines: re-running one partition's
+    job replaces exactly that partition's files and leaves every other
+    partition untouched (static overwrite mode would drop them). Staged
+    here as a stale-then-backfill sequence whose end state must equal the
+    clean full aggregate, which discriminates dynamic from static mode by
+    construction.
+
+    Scale shape: the overwrite unit is the hive partition directory —
+    a day's backfill on a 100 TB table rewrites one partition's files,
+    never the table; commit is the file-listing swap per partition. The
+    read-back carries PartitionFilters as usual (d01_partitioned_read)."""
+    path = _dynamic_overwrite(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .select("o_orderpriority", F.col("bucket").cast("long").alias("bucket"), "n_orders", "revenue")
+        .orderBy("o_orderpriority", "bucket")
+    )

@@ -166,7 +166,9 @@ CERT_FIRST: tuple[str, ...] = (
 # d25_stream_full_outer (stream-stream FULL OUTER — completes the join
 # matrix; per-side eviction bounds measured at two SFs),
 # d35_cdc_deletes (tombstone-aware last-change-wins MERGE),
-# d35_write_audit_publish (staged write, checksum audit, atomic rename).
+# d35_write_audit_publish (staged write, checksum audit, atomic rename),
+# d35_dynamic_overwrite (partition-scoped backfill, dynamic mode),
+# d27_dynamic_gap_session (per-event-gap sessionization, islands oracle).
 # Non-oracle by design, pytest-pinned: d33_logreg_auc (seeded linear
 # probe over embeddings, determinism + AUC-floor assertions).
 

@@ -1844,3 +1844,70 @@ def d25_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_id").asc_nulls_last(),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D27 extension — DYNAMIC-GAP session windows (per-event gap expression)
+# --------------------------------------------------------------------------
+@register(
+    "d27_dynamic_gap_session",
+    # per-event gap: purchases hold the session open 2 hours, everything
+    # else 30 minutes. Island break: an event starts a new session iff its
+    # ts has passed the running MAX of (prev ts + prev gap) — the exact
+    # merge rule of Spark's session_window interval union.
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, value,
+             CASE WHEN event_type = 'purchase' THEN INTERVAL 2 HOUR
+                  ELSE INTERVAL 30 MINUTE END AS gap
+      FROM events
+    ), b AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts >= MAX(ts + gap) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) = 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      FROM b
+    )
+    SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+    """,
+)
+def d27_dynamic_gap_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap expression: a purchase holds
+    the session open two hours, any other event thirty minutes — the
+    engagement-weighted sessionization product analytics actually wants
+    (a conversion shouldn't time out as fast as a stray click). Uses
+    Spark's native ``session_window(ts, gap_expr)`` dynamic-gap form; the
+    oracle re-derives the identical sessions as a variable-lookback
+    gaps-and-islands (running MAX of ts+gap), certifying the interval-
+    union merge rule itself.
+
+    Scale shape: one shuffle on user_id; session merge is a sort-based
+    single pass per key (SessionWindowStateStore in streaming, sort +
+    merge in batch). Same cost as fixed-gap sessionization — the gap
+    expression is map-side."""
+    ev = Catalog(spark, sf_dir).events
+    gap = F.when(F.col("event_type") == "purchase", F.lit("2 hours")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", _TS_FMT).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
