@@ -100,6 +100,10 @@ HEADLINE = [
     "d35_write_audit_publish",
     "d35_dynamic_overwrite",
     "d27_dynamic_gap_session",
+    "d16_intersect_all",
+    "d22_iter_udf",
+    "d23_grouped_arrow",
+    "d24_posexplode",
     # d25_stream_semi_join and d26_update_mode are NOT here for the same
     # reason the other stream-stream/multi-batch queries aren't: a timed
     # min-of-3 would re-run the full 2-micro-batch state machinery three

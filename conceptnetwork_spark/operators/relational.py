@@ -1923,3 +1923,33 @@ def d10_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return a.select(stack).orderBy("col_a", "col_b")
+
+
+# --------------------------------------------------------------------------
+# D16 extension — INTERSECT ALL (bag intersection, completing the multiset
+# set-op pair with d16_except_all)
+# --------------------------------------------------------------------------
+@register(
+    "d16_intersect_all",
+    oracle="""
+    SELECT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderkey < 4000
+      INTERSECT ALL
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 50000
+    ) ORDER BY custkey
+    """,
+)
+def d16_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection preserving multiplicity (a
+    customer with 3 early orders and 2 big ones appears twice, the MIN of
+    the two sides' counts). Spark plans the same shape as exceptAll: one
+    count-per-key aggregate on each side + generate — one shuffle per
+    side on the value, no join of the raw rows."""
+    o = Catalog(spark, sf_dir).orders
+    a = o.where(F.col("o_orderkey") < 4000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.where(F.col("o_totalprice") > 50000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b).orderBy("custkey")

@@ -483,3 +483,133 @@ def d24_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "pos", "word", "is_long")
         .orderBy("p_partkey", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# D22 extension — SCALAR_ITER pandas UDF (amortized per-worker init)
+# --------------------------------------------------------------------------
+@pandas_udf(DoubleType())
+def _scored_price(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Iterator-of-Series form: the 'model' (here a lookup of constants,
+    standing in for an expensive-to-load artifact) is built ONCE per
+    worker before the batch loop, then reused across every Arrow batch —
+    the execution shape for scoring with a real model where per-batch
+    reload would dominate."""
+    coef, intercept = 1.07, -4.25  # "loaded model" — once per worker
+    for prices in batches:
+        yield (prices * coef + intercept).round(4)
+
+
+@register(
+    "d22_iter_udf",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice * 1.07 - 4.25, 4) AS scored
+    FROM orders WHERE o_orderkey < 20000
+    ORDER BY o_orderkey
+    """,
+)
+def d22_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR_ITER pandas UDF — the third Python-crossing scalar shape
+    (row UDF d22_scalar_udf, per-batch pandas d22_pandas_udf, and this
+    iterator form): one-time per-worker initialization amortized across
+    all Arrow batches, the pattern for model-scoring UDFs where loading
+    the artifact costs more than scoring a batch.
+
+    Scale shape: identical data path to a scalar pandas UDF (Arrow
+    batches, JVM-side filter pushed below the crossing); the iterator
+    only changes WHERE init cost lands — once per worker (×32 here,
+    ×executors at scale), not once per batch (×thousands)."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.where(F.col("o_orderkey") < 20000)
+        .select("o_orderkey", _scored_price(F.col("o_totalprice")).alias("scored"))
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# D23 extension — grouped-map over Arrow tables (Spark-4 applyInArrow)
+# --------------------------------------------------------------------------
+@register(
+    "d23_grouped_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MAX(l_extendedprice) - MIN(l_extendedprice), 4) AS price_range
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def d23_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map over RAW ARROW TABLES (``applyInArrow``, Spark 4) —
+    the zero-pandas twin of applyInPandas: each group arrives as a
+    pyarrow.Table and the compute runs on Arrow arrays directly, skipping
+    the pandas conversion entirely. The shape for per-group logic backed
+    by Arrow-native libraries at 100 TB, where the pandas materialization
+    is pure overhead.
+
+    Scale shape: one shuffle on the group key, Arrow IPC both ways; the
+    per-group reduction returns one row per group so the crossing's
+    return payload is negligible."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def span(tbl: pa.Table) -> pa.Table:
+        prices = tbl.column("l_extendedprice")
+        rng = pc.subtract(pc.max(prices), pc.min(prices))
+        return pa.table(
+            {
+                "l_returnflag": [tbl.column("l_returnflag")[0].as_py()],
+                "n_rows": pa.array([tbl.num_rows], pa.int64()),
+                "price_range": pa.array(
+                    [round(rng.as_py(), 4)], pa.float64()
+                ),
+            }
+        )
+
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .applyInArrow(
+            span,
+            schema="l_returnflag string, n_rows long, price_range double",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# D24 extension — posexplode (index-preserving fan-out)
+# --------------------------------------------------------------------------
+@register(
+    "d24_posexplode",
+    oracle="""
+    SELECT p_partkey,
+           CAST(i - 1 AS INT) AS pos,
+           words[i] AS word
+    FROM (
+      SELECT p_partkey, string_split(p_name, ' ') AS words
+      FROM part WHERE p_partkey <= 200
+    ), LATERAL unnest(generate_series(1, len(words))) AS t(i)
+    ORDER BY p_partkey, pos
+    """,
+)
+def d24_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — index-preserving fan-out: each array element emits
+    with its ORDINAL position, the generator needed whenever downstream
+    logic depends on element order (token positions, frame numbers,
+    turn indices in a conversation). Plain explode destroys the index;
+    zipping by hand costs an extra transform — this is the built-in,
+    codegen'd spelling.
+
+    Scale shape: map-side Generate, no shuffle except the output sort;
+    the position column is computed during generation, not joined back."""
+    p = Catalog(spark, sf_dir).part.where(F.col("p_partkey") <= 200)
+    return (
+        p.select(
+            "p_partkey",
+            F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
+        )
+        .orderBy("p_partkey", "pos")
+    )

@@ -168,7 +168,10 @@ CERT_FIRST: tuple[str, ...] = (
 # d35_cdc_deletes (tombstone-aware last-change-wins MERGE),
 # d35_write_audit_publish (staged write, checksum audit, atomic rename),
 # d35_dynamic_overwrite (partition-scoped backfill, dynamic mode),
-# d27_dynamic_gap_session (per-event-gap sessionization, islands oracle).
+# d27_dynamic_gap_session (per-event-gap sessionization, islands oracle),
+# d16_intersect_all (bag intersection), d22_iter_udf (SCALAR_ITER pandas
+# UDF), d23_grouped_arrow (Spark-4 applyInArrow), d24_posexplode
+# (ordinal fan-out).
 # Non-oracle by design, pytest-pinned: d33_logreg_auc (seeded linear
 # probe over embeddings, determinism + AUC-floor assertions).
 
