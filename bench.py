@@ -104,6 +104,8 @@ HEADLINE = [
     "d22_iter_udf",
     "d23_grouped_arrow",
     "d24_posexplode",
+    "d31_keywords",
+    "d32_jpeg_meta",
     # d25_stream_semi_join and d26_update_mode are NOT here for the same
     # reason the other stream-stream/multi-batch queries aren't: a timed
     # min-of-3 would re-run the full 2-micro-batch state machinery three

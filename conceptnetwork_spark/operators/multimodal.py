@@ -517,3 +517,140 @@ def d32_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(total / n, 4).alias("mean_amp"),
         F.round(F.sqrt(sq / n), 4).alias("rms"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# JPEG header walk — real marker-segment parsing, dependency-free
+# --------------------------------------------------------------------------
+def make_jpeg_bytes(width: int, height: int, quality: int) -> bytes:
+    """Construct a structurally valid JPEG prelude: SOI, JFIF APP0, a
+    quality-tagged COM segment, SOF0 carrying the real dimensions, and
+    EOI. No entropy-coded scan (the parser under test only walks marker
+    segments) — but every marker, length field and byte offset is exactly
+    per ITU-T.81, so the walker is exercised against the real format."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    com = f"q={quality}".encode()
+    sof0 = struct.pack(
+        ">BHH B BBB BBB BBB",
+        8,            # precision
+        height, width,
+        3,            # components
+        1, 0x22, 0,   # Y
+        2, 0x11, 1,   # Cb
+        3, 0x11, 1,   # Cr
+    )
+    out = b"\xff\xd8"                                   # SOI
+    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    out += b"\xff\xfe" + struct.pack(">H", len(com) + 2) + com
+    out += b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+    out += b"\xff\xd9"                                  # EOI
+    return out
+
+
+def parse_jpeg_header(buf: bytes) -> tuple[int, int, int] | None:
+    """Walk JPEG marker segments to the first SOF0/SOF2 and return
+    (width, height, components); None when the stream is not a JPEG or
+    carries no frame header. Pure bytes — the real decode stays behind
+    decode_image's stub gate."""
+    import struct
+
+    if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(buf):
+        if buf[i] != 0xFF:
+            return None
+        marker = buf[i + 1]
+        if marker == 0xD9:  # EOI
+            return None
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:  # standalone
+            i += 2
+            continue
+        (seglen,) = struct.unpack(">H", buf[i + 2 : i + 4])
+        if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            h, w = struct.unpack(">HH", buf[i + 5 : i + 9])
+            ncomp = buf[i + 9]
+            return (w, h, ncomp)
+        i += 2 + seglen
+    return None
+
+
+@register(
+    "d32_jpeg_meta",
+    # fixture dims are pure functions of doc_id, so the oracle re-derives
+    # them arithmetically while Spark must recover them by actually
+    # WALKING the JPEG bytes it staged.
+    oracle="""
+    SELECT doc_id,
+           CAST(64 + (doc_id % 7) * 16 AS INT) AS width,
+           CAST(48 + (doc_id % 5) * 16 AS INT) AS height,
+           CAST(3 AS INT) AS n_components
+    FROM documents WHERE doc_id < 40
+    ORDER BY doc_id
+    """,
+)
+def d32_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG metadata extraction by REAL marker-segment parsing: each
+    payload is a structurally valid JPEG (SOI/APP0/COM/SOF0/EOI, built
+    per ITU-T.81) and the operator recovers width/height/components by
+    walking the marker stream inside an Arrow-batched mapInPandas — the
+    ingest-side triage every multimodal pipeline runs before deciding
+    what to decode (resolution filters, aspect buckets, corrupt-file
+    routing). The entropy-coded scan is absent by design; full pixel
+    decode remains the stubbed decode_image kernel.
+
+    Scale shape: map-only — no shuffle but the output sort; headers are
+    parsed from the first KB of each payload, so the operator reads
+    metadata-sized bytes per file even when payloads are megabytes (pair
+    with binaryFile ingest d01_binary_source at 100 TB)."""
+    import os
+    import tempfile
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(tempfile.gettempdir(), f"cn_spark_jpg_{base}")
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        os.makedirs(stage, exist_ok=True)
+        for doc_id in range(40):
+            jpg = make_jpeg_bytes(
+                64 + (doc_id % 7) * 16,
+                48 + (doc_id % 5) * 16,
+                50 + doc_id % 50,
+            )
+            tmp = os.path.join(stage, f"doc_{doc_id:05d}.jpg.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(jpg)
+            os.replace(tmp, os.path.join(stage, f"doc_{doc_id:05d}.jpg"))
+        open(done, "w").close()
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(stage)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)[.]jpg$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
+                parsed = parse_jpeg_header(bytes(buf))
+                assert parsed is not None, f"unparseable staged jpeg {doc_id}"
+                w, h, n = parsed
+                rows.append((int(doc_id), w, h, n))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_components"]
+            )
+
+    out = files.mapInPandas(
+        gen,
+        schema="doc_id long, width int, height int, n_components int",
+    )
+    return out.orderBy("doc_id")

@@ -964,3 +964,74 @@ def d31_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Keyword extraction — top-k per doc by (tf desc, df asc), integer-exact
+# --------------------------------------------------------------------------
+KW_TOPK = 3
+KW_MIN_LEN = 4  # short function words are never keywords
+
+
+@register(
+    "d31_keywords",
+    # tf-idf ORDER without tf-idf FLOATS: ranking by (tf desc, df asc,
+    # word) is the same ordering tf * idf induces for monotone idf, and
+    # every compared quantity is an integer — no log/divide whose last-ulp
+    # could differ between engines.
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(
+               regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS word
+      FROM documents
+    ), f AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM w WHERE length(word) >= {KW_MIN_LEN}
+      GROUP BY doc_id, word
+    ), d AS (
+      SELECT word, COUNT(*) AS df FROM f GROUP BY word
+    ), r AS (
+      SELECT f.doc_id, f.word, f.tf, d.df,
+             ROW_NUMBER() OVER (PARTITION BY f.doc_id
+                                ORDER BY f.tf DESC, d.df ASC, f.word)
+               AS rank
+      FROM f JOIN d USING (word)
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, word, tf, df
+    FROM r WHERE rank <= {KW_TOPK}
+    ORDER BY doc_id, rank
+    """,
+)
+def d31_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k keyword extraction per document: frequent in the doc, rare in
+    the corpus — the tf-idf ORDERING spelled with pure integers
+    (tf desc, corpus df asc) so both engines derive bit-identical ranks;
+    the float tf-idf twin (d31_tfidf) stays determinism-tested rather than
+    oracle-checked precisely because of log/divide ulp drift. This is the
+    tagging/indexing primitive of corpus exploration.
+
+    Scale shape: one explode → (doc, word) count agg; the df table is one
+    more agg over the tf table's keys (not the raw tokens), then joins
+    back BY WORD — at 100 TB the df side is vocabulary-sized, broadcast
+    material. Top-k is a per-doc window over tf rows, not tokens."""
+    d = Catalog(spark, sf_dir).documents
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+    )
+    w = d.select("doc_id", F.explode(toks).alias("word")).where(
+        F.length("word") >= KW_MIN_LEN
+    )
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("word")
+    )
+    r = tf.join(F.broadcast(df_), "word").withColumn(
+        "rank", F.row_number().over(win)
+    )
+    return (
+        r.where(F.col("rank") <= KW_TOPK)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "word", "tf", "df")
+        .orderBy("doc_id", "rank")
+    )

@@ -171,7 +171,8 @@ CERT_FIRST: tuple[str, ...] = (
 # d27_dynamic_gap_session (per-event-gap sessionization, islands oracle),
 # d16_intersect_all (bag intersection), d22_iter_udf (SCALAR_ITER pandas
 # UDF), d23_grouped_arrow (Spark-4 applyInArrow), d24_posexplode
-# (ordinal fan-out).
+# (ordinal fan-out), d31_keywords (integer-exact tf/df keyword top-k),
+# d32_jpeg_meta (real JPEG marker-walk metadata from staged binaryFile).
 # Non-oracle by design, pytest-pinned: d33_logreg_auc (seeded linear
 # probe over embeddings, determinism + AUC-floor assertions).
 

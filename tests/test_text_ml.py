@@ -268,3 +268,22 @@ def test_logreg_deterministic_and_above_chance(spark):
     b = queries()["d33_logreg_auc"](spark, SF_SMOKE).collect()[0].auc
     assert a == b, f"non-deterministic logreg: {a} vs {b}"
     assert a >= 0.7, f"AUC {a} below floor"
+
+
+def test_jpeg_header_walker():
+    """The marker walker must recover SOF0 dimensions through preceding
+    variable-length segments, reject non-JPEG bytes, and reject JPEGs
+    with no frame header."""
+    from conceptnetwork_spark.operators.multimodal import (
+        make_jpeg_bytes,
+        parse_jpeg_header,
+    )
+
+    for w, h in [(64, 48), (1920, 1080), (161, 97)]:
+        assert parse_jpeg_header(make_jpeg_bytes(w, h, 75)) == (w, h, 3)
+    assert parse_jpeg_header(b"") is None
+    assert parse_jpeg_header(b"\x89PNG\r\n\x1a\n") is None
+    assert parse_jpeg_header(b"\xff\xd8\xff\xd9") is None  # SOI+EOI only
+    # truncated mid-segment: must not raise
+    jpg = make_jpeg_bytes(640, 480, 80)
+    assert parse_jpeg_header(jpg[:6]) is None
