@@ -106,6 +106,13 @@ HEADLINE = [
     "d24_posexplode",
     "d31_keywords",
     "d32_jpeg_meta",
+    "d05_null_safe_join",
+    "d34_shard_manifest",
+    # round-4 fourth wave
+    "d07_interval_join",
+    "d14_running_distinct",
+    "d30_mips_topk",
+    "d35_partition_stats",
     # d25_stream_semi_join and d26_update_mode are NOT here for the same
     # reason the other stream-stream/multi-batch queries aren't: a timed
     # min-of-3 would re-run the full 2-micro-batch state machinery three

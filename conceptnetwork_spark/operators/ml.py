@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.ml import Pipeline, PipelineModel
 from pyspark.ml.feature import VectorAssembler
 from pyspark.ml.regression import LinearRegression
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from conceptnetwork_spark.catalog import Catalog
@@ -293,3 +293,83 @@ def d33_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         rawPredictionCol="rawPrediction", metricName="areaUnderROC"
     ).evaluate(preds)
     return spark.createDataFrame([(round(float(auc), 4),)], "auc double")
+
+
+# --------------------------------------------------------------------------
+# D33 extension — seeded KMeans over the embedding table (the clustering
+# stage every curation pipeline runs: topic cells, SemDeDup cells, IVF
+# coarse quantizers are all this operator)
+# --------------------------------------------------------------------------
+@register("d33_kmeans", oracle=None)
+def d33_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded MLlib KMeans (k=8, k-means||) over the 64-d embeddings;
+    returns clusters as (size_rank, n_points, inertia-share) — rank by
+    descending size with centroid-norm tiebreak so the output is invariant
+    to MLlib's arbitrary cluster-id assignment. Non-oracle (Lloyd's is
+    engine-specific); pytest pins seed determinism (two fits, identical
+    output) and a total-inertia ceiling vs the k=1 baseline.
+
+    Scale shape: k-means|| init samples O(k log n) points in a constant
+    number of distributed passes (vs k sequential passes for k-means++);
+    each Lloyd iteration is one broadcast of k centroids + one map-side
+    partial sum per partition — the driver only ever holds k*64 floats.
+    This is the same cell structure d30_semantic_dedup and d30_ivf_ann
+    build internally; registering it standalone certifies the clustering
+    stage in isolation."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = Catalog(spark, sf_dir).embeddings
+    df = emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=8, seed=42, maxIter=20, initMode="k-means||")
+    model = km.fit(df)
+    preds = model.transform(df)  # adds 'prediction'
+    # per-cluster size + within-cluster sum of squares, JVM-side
+    import numpy as np
+
+    centers = model.clusterCenters()
+    centers_df = F.broadcast(
+        preds.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            "prediction int, center array<double>",
+        )
+    )
+    from pyspark.ml.functions import vector_to_array
+
+    wss = (
+        preds.select(
+            "prediction", vector_to_array("features").alias("v")
+        )
+        .join(centers_df, "prediction")
+        .select(
+            "prediction",
+            F.aggregate(
+                F.zip_with("v", "center", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sq"),
+        )
+        .groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n_points"), F.sum("sq").alias("wss"))
+    )
+    norms = {i: float(np.sqrt((np.array(c) ** 2).sum())) for i, c in enumerate(centers)}
+    norm_df = F.broadcast(
+        preds.sparkSession.createDataFrame(
+            [(i, round(n, 6)) for i, n in norms.items()],
+            "prediction int, cnorm double",
+        )
+    )
+    w = Window.orderBy(F.desc("n_points"), F.desc("cnorm"))
+    return (
+        wss.join(norm_df, "prediction")
+        .withColumn("size_rank", F.row_number().over(w))
+        .select(
+            "size_rank",
+            "n_points",
+            F.round("wss", 2).alias("wss"),
+        )
+        .orderBy("size_rank")
+    )

@@ -1140,3 +1140,101 @@ def d35_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", F.col("bucket").cast("long").alias("bucket"), "n_orders", "revenue")
         .orderBy("o_orderpriority", "bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# D34f — training-shard manifest (the dataprep run's output contract)
+# --------------------------------------------------------------------------
+@register(
+    "d34_shard_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN {_bucket_sql('doc_id')} < 80 THEN 'train'
+                  WHEN {_bucket_sql('doc_id')} < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             {_bucket_sql('doc_id', SHUF_SHARDS)} AS shard,
+             CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT)
+               AS tokens
+      FROM documents
+    )
+    SELECT split, shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM t GROUP BY split, shard ORDER BY split, shard
+    """,
+)
+def d34_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-shard MANIFEST: per (split, shard) — document count,
+    token budget, and id range. This is the output contract of the whole
+    dataprep pipeline: the training job reads the manifest to size its
+    data loader, validate shard completeness, and checkpoint progress;
+    re-running dataprep must reproduce it bit-for-bit (every column is a
+    pure function of content via the md5 split/shard assignment).
+
+    Scale shape: one partial+final aggregate over (split, shard) — a
+    3×SHUF_SHARDS-row result regardless of corpus size; the manifest of
+    a 100 TB run is a handful of rows and is THE thing to diff between
+    pipeline versions before any byte-level comparison."""
+    d = Catalog(spark, sf_dir).documents
+    t = d.select(
+        "doc_id",
+        F.when(hash_bucket(F.col("doc_id")) < 80, "train")
+        .when(hash_bucket(F.col("doc_id")) < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        hash_bucket(F.col("doc_id"), SHUF_SHARDS).alias("shard"),
+        F.regexp_count("text", F.lit(TOKEN_PATTERN)).cast("long").alias("tokens"),
+    )
+    return (
+        t.groupBy("split", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split", "shard")
+    )
+
+
+# --------------------------------------------------------------------------
+# D35 extension — partition-pruning stats manifest (the metadata layer
+# that makes file skipping work; Z-order's companion)
+# --------------------------------------------------------------------------
+@register(
+    "d35_partition_stats",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS part,
+           COUNT(*) AS n_rows,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           ROUND(MIN(o_totalprice), 4) AS min_price,
+           ROUND(MAX(o_totalprice), 4) AS max_price
+    FROM orders GROUP BY 1 ORDER BY part
+    """,
+)
+def d35_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition min/max/count stats manifest — the metadata a lakehouse
+    table format (Delta/Iceberg/Hudi) keeps per file so point and range
+    queries PRUNE partitions instead of scanning them. Emitting it as a
+    query certifies the stats-collection pass that runs after every write
+    / compaction (d35_compact_files) / clustering (d35_zorder_key) job.
+
+    Scale shape: one partial+final aggregate; output rows = number of
+    partitions, independent of row volume. At 100 TB this manifest is the
+    difference between a key lookup touching one file and touching all of
+    them — min/max on the clustered key (see d35_zorder_key) gives the
+    planner non-overlapping key ranges to binary-search."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("part"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        )
+        .orderBy("part")
+    )

@@ -1953,3 +1953,194 @@ def d16_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return a.intersectAll(b).orderBy("custkey")
+
+
+# --------------------------------------------------------------------------
+# D05 extension — null-safe equi-join (<=> / IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+@register(
+    "d05_null_safe_join",
+    # nullable keys on BOTH sides: clerk numbers ending in 0 are nulled
+    # (simulating unparseable source IDs); <=> matches null with null,
+    # so the null-key groups join instead of silently dropping.
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             NULLIF(CAST(o_custkey % 50 AS BIGINT), 0) AS k
+      FROM orders WHERE o_orderkey < 8000
+    ), d AS (
+      SELECT NULLIF(CAST(c_custkey % 50 AS BIGINT), 0) AS k,
+             COUNT(*) AS dim_rows
+      FROM customer GROUP BY 1
+    )
+    SELECT o.o_orderkey, o.k, d.dim_rows
+    FROM o JOIN d ON o.k IS NOT DISTINCT FROM d.k
+    ORDER BY o_orderkey
+    """,
+)
+def d05_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``eqNullSafe`` / SQL ``<=>``): null keys MATCH
+    null keys instead of vanishing — the semantics you need when a join
+    key is legitimately absent on both sides (unparsed IDs, optional
+    foreign keys) and dropping those rows would silently lose data. A
+    plain equi-join on the same inputs loses every null-key row; the
+    oracle's IS NOT DISTINCT FROM keeps them, and the hash must agree.
+
+    Scale shape: <=> is still HASH-JOINABLE (null hashes to a regular
+    bucket) — the plan is the same broadcast/shuffle hash join as '=',
+    NOT a nested loop; the one scale caveat is that ALL null-key rows
+    co-locate in one bucket, so a null-heavy fact side is a skew key —
+    salt or pre-split nulls when they dominate (same playbook as any
+    hot key)."""
+    o = (
+        Catalog(spark, sf_dir)
+        .orders.where(F.col("o_orderkey") < 8000)
+        .select(
+            "o_orderkey",
+            F.nullif((F.col("o_custkey") % 50).cast("long"), F.lit(0)).alias("k"),
+        )
+    )
+    d = (
+        Catalog(spark, sf_dir)
+        .customer.select(
+            F.nullif((F.col("c_custkey") % 50).cast("long"), F.lit(0)).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("dim_rows"))
+    )
+    return (
+        o.join(F.broadcast(d), o["k"].eqNullSafe(d["k"]))
+        .select("o_orderkey", o["k"].alias("k"), "dim_rows")
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# D07 extension — point-in-interval join via coarse-bucket equi-join
+# --------------------------------------------------------------------------
+@register(
+    "d07_interval_join",
+    oracle="""
+    SELECT o.o_orderkey, l.l_orderkey, l.l_linenumber
+    FROM orders o JOIN lineitem l
+      ON l.l_quantity = 50
+     AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 60 DAY
+    WHERE o.o_orderkey < 100
+    ORDER BY o_orderkey, l_orderkey, l_linenumber
+    """,
+)
+def d07_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (ship events falling inside each order's
+    60-day fulfilment window) executed as a BUCKETIZED EQUI-JOIN: the
+    interval side explodes into the calendar months it spans, the point
+    side maps to its one month, and the join runs on the month key with
+    the exact BETWEEN predicate as a residual filter. A point lives in
+    exactly one bucket, so no post-join dedup is needed.
+
+    Scale shape: a naive theta join (`point BETWEEN lo AND hi`) has no
+    equi key and degenerates to a nested-loop/cartesian — unusable at
+    100 TB. Bucketizing restores a hash-partitionable key at the cost of
+    |interval|/bucket-width fan-out on the (smaller) interval side; pick
+    the bucket width near the median interval length so fan-out stays
+    O(1-2) per interval. Here the filtered interval side is tiny and
+    broadcast, so the fact side never shuffles at all."""
+    t = Catalog(spark, sf_dir)
+    iv = (
+        t.orders.where(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("lo"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("hi"),
+        )
+        .withColumn(
+            "m",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("month", F.col("lo")),
+                    F.date_trunc("month", F.col("hi")),
+                    F.expr("INTERVAL 1 MONTH"),
+                )
+            ),
+        )
+    )
+    pts = t.lineitem.where(F.col("l_quantity") == 50).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.date_trunc("month", F.col("l_shipdate")).alias("m"),
+    )
+    return (
+        pts.join(
+            F.broadcast(iv),
+            (pts["m"] == iv["m"])
+            & (F.col("l_shipdate") >= F.col("lo"))
+            & (F.col("l_shipdate") <= F.col("hi")),
+        )
+        .select("o_orderkey", "l_orderkey", "l_linenumber")
+        .orderBy("o_orderkey", "l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# D14 extension — running distinct-user count (cumulative cardinality)
+# --------------------------------------------------------------------------
+@register(
+    "d14_running_distinct",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, user_id, CAST(ts AS DATE) AS d FROM events
+    ), firsts AS (
+      SELECT event_type, user_id, MIN(d) AS fd FROM e GROUP BY 1, 2
+    ), days AS (
+      SELECT DISTINCT event_type, d FROM e
+    ), newc AS (
+      SELECT event_type, fd AS d, COUNT(*) AS nu FROM firsts GROUP BY 1, 2
+    )
+    SELECT days.event_type AS event_type, strftime(days.d, '%Y-%m-%d') AS d,
+           CAST(COALESCE(nu, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(nu, 0)) OVER (
+                  PARTITION BY days.event_type ORDER BY days.d) AS BIGINT)
+             AS cum_distinct_users
+    FROM days LEFT JOIN newc
+      ON days.event_type = newc.event_type AND days.d = newc.d
+    ORDER BY event_type, d
+    """,
+)
+def d14_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT cardinality per day (cumulative unique users per
+    event type) — the window COUNT(DISTINCT) neither engine supports
+    directly, rewritten as first-occurrence flags: mark each user's first
+    event (row_number = 1 over user history), sum flags per day, then a
+    running sum over days. The oracle derives the same semantics via
+    MIN(date)-per-user — two different formulations, one hash.
+
+    Scale shape: one shuffle on (event_type, user_id) for the flag
+    window, one partial+final agg to days, then a window over the tiny
+    per-day series (rows = active days x event types, independent of
+    event volume). Exact cumulative uniques at 100 TB without holding a
+    distinct-set anywhere; if per-second granularity made the day series
+    itself big, swap the final window for the mergeable HLL path (D11)."""
+    e = Catalog(spark, sf_dir).events.select(
+        "event_type", "user_id", F.col("ts").cast("date").alias("d"), "ts", "event_id"
+    )
+    wf = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    daily = (
+        e.withColumn("rn", F.row_number().over(wf))
+        .groupBy("event_type", "d")
+        .agg(F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("new_users"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.withColumn("cum_distinct_users", F.sum("new_users").over(wc))
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "new_users",
+            "cum_distinct_users",
+        )
+        .orderBy("event_type", "d")
+    )

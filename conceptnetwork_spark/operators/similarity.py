@@ -711,3 +711,57 @@ def d30_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(F.col("sim") >= RANGE_SIM_FLOOR).orderBy(
         "qid", "vec_id"
     )
+
+
+# --------------------------------------------------------------------------
+# D30 extension — maximum-inner-product search (MIPS) top-k
+# --------------------------------------------------------------------------
+@register(
+    "d30_mips_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+      WHERE vec_id >= 5 AND vec_id < 10
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             ROUND(list_sum(list_transform(list_zip(q.qvec, e.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS ip
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    )
+    SELECT qid, rank, vec_id, ip FROM (
+      SELECT qid, vec_id, ip,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY ip DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY qid, rank
+    """,
+)
+def d30_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (un-normalized retrieval scoring, the
+    ranking used by dot-product-trained retrievers where vector norm IS
+    signal): exact top-10 by inner product for a broadcast query set.
+    Scores are rounded to 4 decimals BEFORE ranking in both engines so
+    rank order (vec_id tiebreak) is engine-independent.
+
+    Scale shape: identical to d30_knn_exact — queries broadcast, corpus
+    never shuffles, per-query window top-k. The standard scale-out is the
+    norm-augmentation reduction (Neyshabur & Srebro: append
+    sqrt(M^2-|x|^2) to corpus vectors, 0 to queries) which turns MIPS
+    into cosine ANN and reuses the LSH/IVF/PQ paths (d30_lsh_ann etc.)
+    unchanged."""
+    e = Catalog(spark, sf_dir).embeddings
+    q = e.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scored = e.join(F.broadcast(q), F.col("qid") != F.col("vec_id")).withColumn(
+        "ip", F.round(_dot(F.col("qvec"), F.col("embedding")), 4)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("ip"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("qid", "rank", "vec_id", "ip")
+        .orderBy("qid", "rank")
+    )

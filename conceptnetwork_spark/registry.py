@@ -172,9 +172,17 @@ CERT_FIRST: tuple[str, ...] = (
 # d16_intersect_all (bag intersection), d22_iter_udf (SCALAR_ITER pandas
 # UDF), d23_grouped_arrow (Spark-4 applyInArrow), d24_posexplode
 # (ordinal fan-out), d31_keywords (integer-exact tf/df keyword top-k),
-# d32_jpeg_meta (real JPEG marker-walk metadata from staged binaryFile).
+# d32_jpeg_meta (real JPEG marker-walk metadata from staged binaryFile),
+# d05_null_safe_join (eqNullSafe, nulls match, hash-join plan),
+# d34_shard_manifest (per-(split,shard) output contract, one agg),
+# d07_interval_join (point-in-interval via month-bucket equi-join),
+# d14_running_distinct (cumulative uniques via first-occurrence flags),
+# d30_mips_topk (max-inner-product top-k, broadcast queries),
+# d35_partition_stats (min/max/count pruning manifest).
 # Non-oracle by design, pytest-pinned: d33_logreg_auc (seeded linear
-# probe over embeddings, determinism + AUC-floor assertions).
+# probe over embeddings, determinism + AUC-floor assertions),
+# d33_kmeans (seeded k-means||, determinism + scatter-reduction
+# assertions, size-ranked output invariant to cluster-id assignment).
 
 
 def _load_all() -> None:

@@ -669,3 +669,21 @@ def test_d30_range_search_no_window(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_d05_null_safe_join_stays_hash_join(spark):
+    """<=> must plan as a hash join (null hashes to a regular bucket) —
+    a nested-loop fallback would be a scale killer on the fact side."""
+    plan = _plan(spark, "d05_null_safe_join")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_d07_interval_join_is_bucketized_equi_join(spark):
+    """The point-in-interval join must plan as a HASH join on the month
+    bucket (broadcast here; shuffle-hash at scale) — the naive BETWEEN
+    theta join would be a BroadcastNestedLoopJoin over the whole fact."""
+    plan = _plan(spark, "d07_interval_join")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan

@@ -400,3 +400,38 @@ def test_interpolate_bounds(spark):
         F.abs(F.col("v_interp") - F.round(F.col("value"), 4)) > 1e-9
     ).count()
     assert bad == 0, f"{bad} observed values altered by interpolation"
+
+
+def test_jpeg_walker_never_raises():
+    """Fuzz the JPEG marker walker: arbitrary byte strings must parse to
+    None or a well-formed (w, h, ncomp) triple — never raise. A corrupt
+    file in a 100 TB multimodal ingest must route to quarantine, not kill
+    the executor."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from conceptnetwork_spark.operators.multimodal import parse_jpeg_header
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=64))
+    def fuzz(buf):
+        out = parse_jpeg_header(buf)
+        assert out is None or (
+            len(out) == 3 and all(isinstance(x, int) for x in out)
+        )
+
+    fuzz()
+
+    # prefix-mutation fuzz over a REAL jpeg: truncations and byte flips
+    from conceptnetwork_spark.operators.multimodal import make_jpeg_bytes
+
+    jpg = make_jpeg_bytes(320, 200, 60)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, len(jpg) - 1), st.integers(0, 255))
+    def mutate(pos, val):
+        buf = jpg[:pos] + bytes([val]) + jpg[pos + 1 :]
+        out = parse_jpeg_header(buf)
+        assert out is None or len(out) == 3
+
+    mutate()

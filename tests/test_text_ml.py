@@ -287,3 +287,36 @@ def test_jpeg_header_walker():
     # truncated mid-segment: must not raise
     jpg = make_jpeg_bytes(640, 480, 80)
     assert parse_jpeg_header(jpg[:6]) is None
+
+
+def test_kmeans_deterministic_and_clusters_structure(spark):
+    """Seeded KMeans must be reproducible run-to-run, its size-ranked
+    output must cover every embedding exactly once, and total
+    within-cluster scatter must be strictly below the k=1 scatter. (In
+    64-d the noise dims dominate the planted cluster shift, so the
+    reduction is small but must be real — a broken assignment would tie
+    or exceed the single-blob scatter.)"""
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    a = [r.asDict() for r in queries()["d33_kmeans"](spark, SF_SMOKE).collect()]
+    b = [r.asDict() for r in queries()["d33_kmeans"](spark, SF_SMOKE).collect()]
+    assert a == b, "seeded KMeans fit must be deterministic"
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    n = emb.count()
+    assert sum(r["n_points"] for r in a) == n, "clusters must partition the table"
+
+    # k=1 baseline scatter = total variance around the global centroid
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Summarizer
+
+    v = emb.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("f")
+    )
+    mean_var = v.select(
+        Summarizer.mean(F.col("f")).alias("m"), Summarizer.variance(F.col("f")).alias("s")
+    ).collect()[0]
+    k1_wss = sum(mean_var.s.toArray()) * (n - 1)
+    k8_wss = sum(r["wss"] for r in a)
+    assert k8_wss < 0.98 * k1_wss, f"k=8 scatter {k8_wss} not below k=1 {k1_wss}"
