@@ -76,11 +76,14 @@ _LOADED = False
 # queries, then canaries — one previously-green query per component not
 # already represented. All 50 slots carry oracles; D11's approx sketches
 # are oracle-less BY DESIGN (5%-tolerance pytest instead) and deliberately
-# stay outside the window. ROUND-4 window: the FINAL 32 never-checked
-# oracle queries + the two round-3 fixes (d34 oracle CAST,
-# d25_stream_outer_join per-stream watermark) — after this driver run every
-# registered oracle query has >=1 driver hash-match across rounds 1-4 and
-# the certification ledger closes.
+# stay outside the window. ROUND-4 window: 49 never-checked oracle
+# queries (the 32 from the round-3 plan + 4 round-4 headliners + 13 from
+# the later waves, taking the slots of canaries whose components are
+# already multiply-certified with r2/r3 recency) + the
+# d34_dataprep_summary re-cert (round-3's one red row, oracle CAST
+# fixed). The later round-4 waves grew the registry past 50 unchecked,
+# so the ledger closes over r4+r5 instead of r4 alone; the r5 remainder
+# is the comment list below.
 CERT_FIRST: tuple[str, ...] = (
     # -- the final 32 never-driver-checked oracle queries --
     "d01_orc_source",
@@ -123,32 +126,30 @@ CERT_FIRST: tuple[str, ...] = (
     "d10_skew_report",
     "d27_funnel",
     "d34_global_shuffle",
-    # -- canaries: previously-green coverage for components not otherwise
-    #    represented above (13); D03/D07/D12/D15 sit out this round — each
-    #    is already triple-certified (r1, r2, r3) --
-    "d04_q3_shipping",
-    "d05_left_outer_join",
-    "d06_semi_join",
-    "d08_asof_join",
-    "d18_date_funcs",
-    "d19_math_funcs",
-    "d20_embedding_centroid",
-    "d21_variant",
-    "d22_scalar_udf",
-    "d23_mean_center",
-    "d28_keyed_dedup",
-    "d30_knn_exact",
-    "d33_ols_mse",
+    # -- 13 more never-driver-checked queries in place of canaries: every
+    #    component those canaries covered (D04/D06/D08/D18-D21/D33) already
+    #    holds >=2 cumulative certifications with r2/r3 recency, so the
+    #    slots go to first-time certifications instead — one per component
+    #    wherever a component still had an unchecked member --
+    "d05_null_safe_join",
+    "d07_interval_join",
+    "d14_running_distinct",
+    "d16_intersect_all",
+    "d22_iter_udf",
+    "d23_cogrouped_map",
+    "d24_posexplode",
+    "d27_dynamic_gap_session",
+    "d28_dedup_within_watermark",
+    "d30_mips_topk",
+    "d32_jpeg_meta",
+    "d34_shard_manifest",
+    "d35_partition_stats",
 )
-# Round-4 SECOND/THIRD-wave additions NOT in this round's 50-slot window
-# (pytest-oracle-green now, the declared round-5 rotation):
+# Round-4 wave additions NOT in this round's 50-slot window
+# (pytest-oracle-green now, the declared ROUND-5 rotation — 22 queries):
 # d02_group_sample (per-domain cap), d31_hash_features (hashing-trick
 # featurization), d35_schema_evolution (mergeSchema read),
-# d23_cogrouped_map (two-stream cogroup applyInPandas),
-# d25_stream_semi_join (stream-stream LEFT SEMI — completes the stream
-# join matrix: inner / left outer / left semi),
-# d28_dedup_within_watermark (TTL-scoped dedup state, 3 micro-batches,
-# measured end-of-batch eviction semantics),
+# d25_stream_semi_join (stream-stream LEFT SEMI join),
 # d01_text_source (spark.read.text vs DuckDB read_text, same staged files),
 # d01_binary_source (binaryFile whole-file ingest vs read_blob/read_text),
 # d14_linear_interpolate (time-weighted gap repair, one WindowExec),
@@ -168,17 +169,8 @@ CERT_FIRST: tuple[str, ...] = (
 # d35_cdc_deletes (tombstone-aware last-change-wins MERGE),
 # d35_write_audit_publish (staged write, checksum audit, atomic rename),
 # d35_dynamic_overwrite (partition-scoped backfill, dynamic mode),
-# d27_dynamic_gap_session (per-event-gap sessionization, islands oracle),
-# d16_intersect_all (bag intersection), d22_iter_udf (SCALAR_ITER pandas
-# UDF), d23_grouped_arrow (Spark-4 applyInArrow), d24_posexplode
-# (ordinal fan-out), d31_keywords (integer-exact tf/df keyword top-k),
-# d32_jpeg_meta (real JPEG marker-walk metadata from staged binaryFile),
-# d05_null_safe_join (eqNullSafe, nulls match, hash-join plan),
-# d34_shard_manifest (per-(split,shard) output contract, one agg),
-# d07_interval_join (point-in-interval via month-bucket equi-join),
-# d14_running_distinct (cumulative uniques via first-occurrence flags),
-# d30_mips_topk (max-inner-product top-k, broadcast queries),
-# d35_partition_stats (min/max/count pruning manifest).
+# d23_grouped_arrow (Spark-4 applyInArrow grouped map),
+# d31_keywords (integer-exact tf/df keyword top-k).
 # Non-oracle by design, pytest-pinned: d33_logreg_auc (seeded linear
 # probe over embeddings, determinism + AUC-floor assertions),
 # d33_kmeans (seeded k-means||, determinism + scatter-reduction
