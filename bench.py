@@ -113,6 +113,10 @@ HEADLINE = [
     "d14_running_distinct",
     "d30_mips_topk",
     "d35_partition_stats",
+    "d12_unpivot",
+    "d10_psi_drift",
+    "d34_dataset_card",
+    "d31_unicode_clean",
     # d25_stream_semi_join and d26_update_mode are NOT here for the same
     # reason the other stream-stream/multi-batch queries aren't: a timed
     # min-of-3 would re-run the full 2-micro-batch state machinery three

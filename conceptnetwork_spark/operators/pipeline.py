@@ -1238,3 +1238,72 @@ def d35_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part")
     )
+
+
+# --------------------------------------------------------------------------
+# D34g — dataset card (the per-slice statistics block of a dataset's
+# documentation / datasheet)
+# --------------------------------------------------------------------------
+@register(
+    "d34_dataset_card",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, source,
+             CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT)
+               AS tokens,
+             n_chars
+      FROM documents
+    ), slice AS (
+      SELECT lang, source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+             ROUND(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 4) AS p50_chars,
+             ROUND(CAST(quantile_cont(n_chars, 0.95) AS DOUBLE), 4) AS p95_chars
+      FROM t GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, total_tokens, p50_chars, p95_chars,
+           ROUND(n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE), 4) AS pct_docs
+    FROM slice ORDER BY lang, source
+    """,
+)
+def d34_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD statistics block: per (lang, source) slice —
+    document count, token budget, exact p50/p95 document length, and the
+    slice's share of the corpus. This is the table a dataset datasheet /
+    model card publishes, and the first thing reviewed when a new crawl
+    snapshot lands; like d34_shard_manifest it must be bit-reproducible
+    across pipeline re-runs.
+
+    Scale shape: one partial+final aggregate per slice; the exact
+    percentiles shuffle only (slice, n_chars) pairs, and the share-of-
+    corpus window runs over the handful of slice rows, not the data. At
+    100 TB swap percentile() for approx_percentile on the same plan if
+    the per-slice char lists outgrow executor memory (D11 documents the
+    tolerance contract)."""
+    d = Catalog(spark, sf_dir).documents
+    t = d.select(
+        "lang",
+        "source",
+        F.regexp_count("text", F.lit(TOKEN_PATTERN)).cast("long").alias("tokens"),
+        "n_chars",
+    )
+    from pyspark.sql import Window
+
+    slice_ = t.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("total_tokens"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 4).alias("p95_chars"),
+    )
+    w = Window.partitionBy()
+    return (
+        slice_.withColumn(
+            "pct_docs",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 4),
+        )
+        .select(
+            "lang", "source", "n_docs", "total_tokens",
+            "p50_chars", "p95_chars", "pct_docs",
+        )
+        .orderBy("lang", "source")
+    )

@@ -2144,3 +2144,131 @@ def d14_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+# --------------------------------------------------------------------------
+# D12 extension — unpivot/melt (wide -> long), the inverse of d12_pivot
+# --------------------------------------------------------------------------
+@register(
+    "d12_unpivot",
+    oracle="""
+    WITH w AS (
+      SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+             CAST(p_retailprice AS DOUBLE) AS retailprice
+      FROM part
+    )
+    SELECT p_partkey, metric, ROUND(value, 4) AS value
+    FROM (UNPIVOT w ON size, retailprice INTO NAME metric VALUE value)
+    ORDER BY p_partkey, metric
+    """,
+)
+def d12_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long), the inverse of ``d12_pivot``: each
+    measure column becomes a (metric, value) row — the normalization step
+    before any generic per-metric aggregation, plotting, or union with
+    other long-format sources.
+
+    Scale shape: pure map-side projection (each input row emits
+    n_measures rows, no shuffle, no window); Spark's ``unpivot`` is a
+    Catalyst Expand node inside WholeStageCodegen — output volume is
+    n_measures x input, so project away unneeded measures FIRST."""
+    p = Catalog(spark, sf_dir).part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    )
+    return (
+        p.unpivot(["p_partkey"], ["size", "retailprice"], "metric", "value")
+        .select("p_partkey", "metric", F.round("value", 4).alias("value"))
+        .orderBy("p_partkey", "metric")
+    )
+
+
+# --------------------------------------------------------------------------
+# D10 extension — PSI drift report (population stability between periods)
+# --------------------------------------------------------------------------
+@register(
+    "d10_psi_drift",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN date_part('day', ts) <= 15 THEN 'ref' ELSE 'cur' END
+               AS side,
+             LEAST(GREATEST(CAST(floor(value / 50.0) AS BIGINT), 0), 9)
+               AS bin
+      FROM events
+    ), grid AS (
+      SELECT t.event_type, g.bin, s.side
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) g
+      CROSS JOIN (SELECT unnest(['ref', 'cur']) AS side) s
+    ), cnt AS (
+      SELECT event_type, side, bin, COUNT(*) AS n
+      FROM e GROUP BY 1, 2, 3
+    ), p AS (
+      SELECT grid.event_type, grid.bin, grid.side,
+             (COALESCE(cnt.n, 0) + 0.5)
+               / (SUM(COALESCE(cnt.n, 0)) OVER (
+                    PARTITION BY grid.event_type, grid.side) + 5.0) AS prob
+      FROM grid LEFT JOIN cnt
+        ON grid.event_type = cnt.event_type
+       AND grid.bin = cnt.bin AND grid.side = cnt.side
+    ), wide AS (
+      SELECT event_type, bin,
+             MAX(CASE WHEN side = 'ref' THEN prob END) AS p_ref,
+             MAX(CASE WHEN side = 'cur' THEN prob END) AS p_cur
+      FROM p GROUP BY 1, 2
+    )
+    SELECT event_type,
+           ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)), 4) AS psi
+    FROM wide GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d10_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of the
+    month, per event type — the standard drift gate a production pipeline
+    runs before accepting a new data snapshot (PSI < 0.1 stable, > 0.25
+    investigate). Fixed-width value bins with +0.5/+5 additive smoothing
+    so empty bins never divide by zero; the smoothing constants are part
+    of the declared contract and identical in the oracle.
+
+    Scale shape: one partial+final count per (type, side, bin) — 100
+    groups regardless of volume — then all arithmetic happens on the
+    tiny bin table (type x 10 x 2 rows). The full-bin grid comes from a
+    crossJoin of two broadcast-size dimensions, never from the fact."""
+    e = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= 15, "ref").otherwise("cur").alias("side"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 50.0).cast("long"), F.lit(0)),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    cnt = e.groupBy("event_type", "side", "bin").agg(F.count(F.lit(1)).alias("n"))
+    types = e.select("event_type").distinct()
+    bins = spark.range(10).select(F.col("id").alias("bin"))
+    sides = spark.createDataFrame([("ref",), ("cur",)], "side string")
+    grid = types.crossJoin(bins).crossJoin(sides)
+    ws = Window.partitionBy("event_type", "side")
+    p = (
+        grid.join(cnt, ["event_type", "side", "bin"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .withColumn("prob", (F.col("n") + 0.5) / (F.sum("n").over(ws) + 5.0))
+    )
+    wide = p.groupBy("event_type", "bin").agg(
+        F.max(F.when(F.col("side") == "ref", F.col("prob"))).alias("p_ref"),
+        F.max(F.when(F.col("side") == "cur", F.col("prob"))).alias("p_cur"),
+    )
+    return (
+        wide.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("p_cur") - F.col("p_ref"))
+                    * F.log(F.col("p_cur") / F.col("p_ref"))
+                ),
+                4,
+            ).alias("psi")
+        )
+        .orderBy("event_type")
+    )

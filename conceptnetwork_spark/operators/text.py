@@ -1035,3 +1035,68 @@ def d31_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("rank").cast("int").alias("rank"), "word", "tf", "df")
         .orderBy("doc_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# D31r — Unicode normalization + control-character scrub (the first text
+# cleaning pass of every LLM ingest: NFC so byte-level dedup hashes agree
+# across encoder variants, control chars out, whitespace canonicalized)
+# --------------------------------------------------------------------------
+def _nfc_clean_series(s):
+    import re
+    import unicodedata
+
+    # ASCII-only whitespace class ON PURPOSE: Python's \s and RE2's \s
+    # disagree on unicode whitespace (\xa0 etc.), so the contract pins the
+    # explicit class both engines interpret identically.
+    ctrl = re.compile(r"[\x00-\x1f\x7f]")
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    def f(t):
+        if t is None:
+            return None
+        t = unicodedata.normalize("NFC", t)
+        t = ctrl.sub(" ", t)
+        return ws.sub(" ", t).strip(" ")
+
+    return s.map(f)
+
+
+@register(
+    "d31_unicode_clean",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                    '[\x00-\x1f\x7f]', ' ', 'g'),
+                  '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS t
+      FROM documents
+    )
+    SELECT doc_id, length(t) AS clean_len, md5(t) AS clean_md5
+    FROM c ORDER BY doc_id
+    """,
+)
+def d31_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC-normalize + scrub C0/DEL control characters + canonicalize runs
+    of ASCII whitespace — emitted as (length, md5) so the oracle certifies
+    BYTE EQUALITY of the cleaned text, not a summary statistic. NFC is the
+    step that makes downstream exact-dedup hashes (d29_exact_dedup)
+    agree when the same content arrives in composed and decomposed forms.
+
+    Scale shape: map-only — an Arrow-batched pandas UDF (unicodedata has
+    no JVM builtin) feeding codegen md5/length; no shuffle, linear scan,
+    embarrassingly parallel. The UDF crosses to Python once per ~10k-row
+    Arrow batch, not per row."""
+    from pyspark.sql.types import StringType
+
+    clean = F.pandas_udf(_nfc_clean_series, StringType())
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.select("doc_id", clean(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            F.length("t").cast("long").alias("clean_len"),
+            F.md5("t").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )

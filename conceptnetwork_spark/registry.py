@@ -170,7 +170,11 @@ CERT_FIRST: tuple[str, ...] = (
 # d35_write_audit_publish (staged write, checksum audit, atomic rename),
 # d35_dynamic_overwrite (partition-scoped backfill, dynamic mode),
 # d23_grouped_arrow (Spark-4 applyInArrow grouped map),
-# d31_keywords (integer-exact tf/df keyword top-k).
+# d31_keywords (integer-exact tf/df keyword top-k),
+# d12_unpivot (melt via Expand, inverse of d12_pivot),
+# d10_psi_drift (population-stability drift gate, smoothed bins),
+# d34_dataset_card (per-slice datasheet stats, exact percentiles),
+# d31_unicode_clean (NFC + control scrub, byte-equality md5 oracle).
 # Non-oracle by design, pytest-pinned: d33_logreg_auc (seeded linear
 # probe over embeddings, determinism + AUC-floor assertions),
 # d33_kmeans (seeded k-means||, determinism + scatter-reduction

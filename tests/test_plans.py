@@ -687,3 +687,19 @@ def test_d07_interval_join_is_bucketized_equi_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_d12_unpivot_is_map_side_expand(spark):
+    """Unpivot must plan as a codegen Expand projection — no join, no
+    aggregate; the only exchange is the final presentation sort."""
+    plan = _plan(spark, "d12_unpivot")
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_d31_unicode_clean_is_arrow_batched(spark):
+    """The NFC cleaner must cross to Python via Arrow batches
+    (ArrowEvalPython), never the row-at-a-time pickle path."""
+    plan = _plan(spark, "d31_unicode_clean")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
