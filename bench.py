@@ -117,6 +117,9 @@ HEADLINE = [
     "d10_psi_drift",
     "d34_dataset_card",
     "d31_unicode_clean",
+    "d22_arrow_udf",
+    "d31_gopher_filter",
+    "d14_mad_outliers",
     # d25_stream_semi_join and d26_update_mode are NOT here for the same
     # reason the other stream-stream/multi-batch queries aren't: a timed
     # min-of-3 would re-run the full 2-micro-batch state machinery three

@@ -2272,3 +2272,66 @@ def d10_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# D14 extension — robust outlier flagging via median absolute deviation
+# --------------------------------------------------------------------------
+@register(
+    "d14_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             CAST(quantile_cont(value, 0.5) AS DOUBLE) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type,
+             CAST(quantile_cont(abs(e.value - m.med), 0.5) AS DOUBLE) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, ROUND(e.value, 4) AS value,
+           ROUND((e.value - m.med) / (1.4826 * d.mad), 4) AS robust_z
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    WHERE abs((e.value - m.med) / (1.4826 * d.mad)) > 3
+    ORDER BY event_id
+    """,
+)
+def d14_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flagging: |value - median| > 3 * 1.4826 * MAD per
+    event type — the median/MAD twin of ``d14_zscore_outliers`` that a
+    heavy-tailed metric needs (mean/stddev are themselves dragged by the
+    outliers they're meant to find; the median and MAD are not). The
+    1.4826 factor scales MAD to sigma-equivalent under normality. The
+    filter runs on the UNROUNDED expression in both engines; rounding is
+    presentation only.
+
+    Scale shape: two exact-percentile aggregations (each shuffles only
+    (type, value) pairs) producing a per-type table of a few rows that
+    broadcast-joins back to the fact — the fact never shuffles. At
+    100 TB swap percentile for approx_percentile on the same plan shape
+    (D11 tolerance contract) if per-type value lists outgrow memory."""
+    e = Catalog(spark, sf_dir).events
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    stats = F.broadcast(med.join(mad, "event_type"))
+    z = (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        e.join(stats, "event_type")
+        .where(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("robust_z"),
+        )
+        .orderBy("event_id")
+    )

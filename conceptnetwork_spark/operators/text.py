@@ -1100,3 +1100,113 @@ def d31_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D31s — Gopher-style document quality rules (Rae et al. 2021, the
+# published heuristic filter battery most LLM corpora start from)
+# --------------------------------------------------------------------------
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_WORD_RE = r"[^ \t\n\r\f\v]+"
+_STOP_SQL = " + ".join(
+    "CASE WHEN regexp_matches(lower(text), '\\b%s\\b') THEN 1 ELSE 0 END" % sw
+    for sw in GOPHER_STOPWORDS
+)
+
+
+@register(
+    "d31_gopher_filter",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '{_WORD_RE}') AS words,
+             CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
+               AS n_symbols,
+             ({_STOP_SQL})
+               AS n_stop
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(len(list_filter(words,
+                    x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+               AS n_alpha_words,
+             CAST(list_sum(list_transform(words, x -> length(x)))
+                  AS BIGINT) AS sum_len,
+             n_symbols, n_stop
+      FROM w
+    )
+    SELECT doc_id, n_words,
+           ROUND(sum_len / CAST(n_words AS DOUBLE), 4) AS mean_word_len,
+           ROUND(n_symbols / CAST(n_words AS DOUBLE), 4) AS symbol_ratio,
+           ROUND(n_alpha_words / CAST(n_words AS DOUBLE), 4) AS alpha_ratio,
+           n_stop,
+           (n_words BETWEEN 50 AND 100000
+            AND sum_len / CAST(n_words AS DOUBLE) BETWEEN 3 AND 10
+            AND n_symbols / CAST(n_words AS DOUBLE) < 0.1
+            AND n_alpha_words / CAST(n_words AS DOUBLE) > 0.8
+            AND n_stop >= 2) AS keep
+    FROM m WHERE n_words > 0 ORDER BY doc_id
+    """,
+)
+def d31_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (published heuristics: word-count
+    bounds 50..100k, mean word length 3..10, symbol-to-word ratio < 0.1,
+    alphabetic-word fraction > 0.8, >= 2 of 8 canonical stopwords
+    present) — emitted per document with every sub-signal plus the final
+    keep verdict so threshold tuning needs no recompute. Word = run of
+    non-ASCII-whitespace, pinned identically in both engines. (On the
+    synthetic test corpus the stopword rule rejects every document —
+    its vocabulary isn't natural language, which is exactly the text
+    class that rule exists to reject; the sub-signal columns carry the
+    per-document variance the hash certifies.)
+
+    Scale shape: map-only codegen (split + higher-order array functions +
+    regexp counts), no shuffle, no Python. The signals this shares with
+    d31_quality_score/d31_repetition compute once per scan at 100 TB by
+    fusing the selects — Catalyst collapses adjacent projections."""
+    d = Catalog(spark, sf_dir).documents
+    # NOT F.expr with an embedded '...' literal: Spark's SQL string parser
+    # drops the backslash of unrecognized escapes ('\f' -> 'f', '\v' ->
+    # 'v'), silently turning the whitespace class into one that excludes
+    # the LETTERS f and v. F.lit passes the pattern through unparsed.
+    words = F.regexp_extract_all("text", F.lit(_WORD_RE), F.lit(0))
+    n_stop = None
+    for sw in GOPHER_STOPWORDS:
+        term = F.when(
+            F.lower(F.col("text")).rlike(rf"\b{sw}\b"), 1
+        ).otherwise(0)
+        n_stop = term if n_stop is None else (n_stop + term)
+    base = d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]")))
+        .cast("long")
+        .alias("n_alpha_words"),
+        F.aggregate(
+            F.transform(words, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.regexp_count("text", F.lit(r"#|\.\.\.")).cast("long").alias("n_symbols"),
+        n_stop.alias("n_stop"),
+    ).where(F.col("n_words") > 0)
+    nw = F.col("n_words").cast("double")
+    mean_wl = F.col("sum_len") / nw
+    sym = F.col("n_symbols") / nw
+    alpha = F.col("n_alpha_words") / nw
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(sym, 4).alias("symbol_ratio"),
+        F.round(alpha, 4).alias("alpha_ratio"),
+        "n_stop",
+        (
+            F.col("n_words").between(50, 100000)
+            & mean_wl.between(3, 10)
+            & (sym < 0.1)
+            & (alpha > 0.8)
+            & (F.col("n_stop") >= 2)
+        ).alias("keep"),
+    ).orderBy("doc_id")

@@ -613,3 +613,35 @@ def d24_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# D22d — Arrow-optimized Python UDF (Spark 3.5+/4 ``useArrow=True``):
+# completes the scalar-UDF matrix — pickled row-at-a-time (d22_scalar_udf)
+# / pandas vectorized (d22_pandas_udf) / Arrow-serialized row semantics
+# --------------------------------------------------------------------------
+@register(
+    "d22_arrow_udf",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN lower(substr(c_name, 1, 1)) = 'c' THEN 0 ELSE 1 END AS g
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def d22_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.udf(..., useArrow=True)``: row-semantics Python UDF with Arrow
+    transport — same per-row function contract as ``d22_scalar_udf``
+    (pinned to the SAME oracle) but batches cross the JVM/Python boundary
+    as Arrow record batches instead of pickled rows. The middle rung of
+    the scalar-UDF ladder: row-pickle < Arrow row < pandas vectorized;
+    use it when per-row logic doesn't vectorize but serialization
+    dominates (typical 2-5x over pickle)."""
+
+    @F.udf(IntegerType(), useArrow=True)
+    def first_char_class(name):
+        return 0 if (name or "")[:1].lower() == "c" else 1
+
+    c = Catalog(spark, sf_dir).customer
+    return c.select(
+        "c_custkey", first_char_class(F.col("c_name")).alias("g")
+    ).orderBy("c_custkey")

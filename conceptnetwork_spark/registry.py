@@ -174,7 +174,10 @@ CERT_FIRST: tuple[str, ...] = (
 # d12_unpivot (melt via Expand, inverse of d12_pivot),
 # d10_psi_drift (population-stability drift gate, smoothed bins),
 # d34_dataset_card (per-slice datasheet stats, exact percentiles),
-# d31_unicode_clean (NFC + control scrub, byte-equality md5 oracle).
+# d31_unicode_clean (NFC + control scrub, byte-equality md5 oracle),
+# d22_arrow_udf (useArrow=True row-semantics UDF, completes the ladder),
+# d31_gopher_filter (published Gopher quality-rule battery),
+# d14_mad_outliers (median/MAD robust outlier twin of zscore).
 # Non-oracle by design, pytest-pinned: d33_logreg_auc (seeded linear
 # probe over embeddings, determinism + AUC-floor assertions),
 # d33_kmeans (seeded k-means||, determinism + scatter-reduction
