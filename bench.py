@@ -120,6 +120,9 @@ HEADLINE = [
     "d22_arrow_udf",
     "d31_gopher_filter",
     "d14_mad_outliers",
+    "d14_time_range_sum",
+    "d27_top_paths",
+    "d24_inline",
     # d25_stream_semi_join and d26_update_mode are NOT here for the same
     # reason the other stream-stream/multi-batch queries aren't: a timed
     # min-of-3 would re-run the full 2-micro-batch state machinery three

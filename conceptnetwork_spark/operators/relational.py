@@ -2335,3 +2335,94 @@ def d14_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D14 extension — time-RANGE window frame (interval-bounded, not row-count)
+# --------------------------------------------------------------------------
+@register(
+    "d14_time_range_sum",
+    oracle="""
+    SELECT event_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
+             AS hour_sum
+    FROM events ORDER BY event_id
+    """,
+)
+def d14_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, the running sum of activity in
+    the trailing ONE HOUR — frame membership decided by event-TIME
+    distance, not row count (the frame a row-count window cannot express
+    when event spacing is irregular). Timestamps carry microseconds, so
+    both engines order by integer epoch-MICROSECONDS and bound the frame
+    at exactly 3 600 000 000 — bit-identical membership; a seconds-cast
+    would silently disagree at sub-second boundaries.
+
+    Scale shape: one shuffle on user_id, then a single WindowExec pass
+    per partition with a sliding two-pointer frame — O(n) per key, state
+    is one running sum. The canonical trailing-window feature
+    (rate limiting, rolling spend, burst detection) at any scale."""
+    e = Catalog(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id", F.round(F.sum("value").over(w), 4).alias("hour_sum")
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# D27 extension — top user journeys (ordered event-type paths)
+# --------------------------------------------------------------------------
+@register(
+    "d27_top_paths",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             array_to_string(list(event_type ORDER BY ts, event_id)[1:3],
+                             '>') AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20
+    """,
+)
+def d27_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user JOURNEYS: each user's first three event types in
+    event-time order, joined into a path string, ranked by frequency —
+    the onboarding-flow / drop-off analysis next to d27_funnel (which
+    fixes the sequence; this DISCOVERS the frequent sequences).
+    Total (ts, event_id) ordering makes the path deterministic.
+
+    Scale shape: one shuffle on user_id with partial aggregation
+    (collect per-user triples), then a tiny path-frequency agg and a
+    TakeOrderedAndProject top-20 — no window, no second full shuffle;
+    the sort/slice/join of each user's events happens inside codegen
+    array expressions on grouped rows."""
+    e = Catalog(spark, sf_dir).events
+    paths = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.slice("evs", 1, 3), lambda s: s["event_type"]
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )

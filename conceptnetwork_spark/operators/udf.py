@@ -645,3 +645,46 @@ def d22_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey", first_char_class(F.col("c_name")).alias("g")
     ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# D24g — inline: one row per struct element (the typed-generator form;
+# completes the generator family: explode / explode_outer / posexplode /
+# mapInPandas / UDTF / inline)
+# --------------------------------------------------------------------------
+@register(
+    "d24_inline",
+    oracle="""
+    SELECT p_partkey, u.metric AS metric, ROUND(u.value, 4) AS value
+    FROM part, UNNEST([
+      {'metric': 'size',   'value': CAST(p_size AS DOUBLE)},
+      {'metric': 'retail', 'value': CAST(p_retailprice AS DOUBLE)}
+    ]) AS t(u)
+    ORDER BY p_partkey, metric
+    """,
+)
+def d24_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``inline``: explode an array of STRUCTS into rows WITH the struct
+    fields as columns in one step — the typed generator (explode of
+    array<struct> then field-select, fused). The DuckDB twin is UNNEST
+    over a list of structs.
+
+    Scale shape: map-side Generate node inside codegen, no shuffle —
+    same Expand-style cost model as d12_unpivot (output = n_structs x
+    input rows; build the array AFTER filtering/projection)."""
+    p = Catalog(spark, sf_dir).part
+    arr = F.array(
+        F.struct(
+            F.lit("size").alias("metric"),
+            F.col("p_size").cast("double").alias("value"),
+        ),
+        F.struct(
+            F.lit("retail").alias("metric"),
+            F.col("p_retailprice").cast("double").alias("value"),
+        ),
+    )
+    return (
+        p.select("p_partkey", F.inline(arr))
+        .select("p_partkey", "metric", F.round("value", 4).alias("value"))
+        .orderBy("p_partkey", "metric")
+    )

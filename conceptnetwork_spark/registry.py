@@ -177,7 +177,10 @@ CERT_FIRST: tuple[str, ...] = (
 # d31_unicode_clean (NFC + control scrub, byte-equality md5 oracle),
 # d22_arrow_udf (useArrow=True row-semantics UDF, completes the ladder),
 # d31_gopher_filter (published Gopher quality-rule battery),
-# d14_mad_outliers (median/MAD robust outlier twin of zscore).
+# d14_mad_outliers (median/MAD robust outlier twin of zscore),
+# d14_time_range_sum (interval-bounded RANGE frame, epoch-us exact),
+# d27_top_paths (frequent first-3 event journeys, one-shuffle agg),
+# d24_inline (typed generator over array<struct>, fused field select).
 # Non-oracle by design, pytest-pinned: d33_logreg_auc (seeded linear
 # probe over embeddings, determinism + AUC-floor assertions),
 # d33_kmeans (seeded k-means||, determinism + scatter-reduction
