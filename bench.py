@@ -123,6 +123,10 @@ HEADLINE = [
     "d14_time_range_sum",
     "d27_top_paths",
     "d24_inline",
+    "d03_join_hints",
+    "d15_paginate",
+    "d19_decimal_exact",
+    "d31_langid_eval",
     # d25_stream_semi_join and d26_update_mode are NOT here for the same
     # reason the other stream-stream/multi-batch queries aren't: a timed
     # min-of-3 would re-run the full 2-micro-batch state machinery three

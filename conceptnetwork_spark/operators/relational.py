@@ -2426,3 +2426,107 @@ def d27_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# D03 extension — join strategy hints (broadcast / shuffle-hash / merge):
+# same semantics, three pinned physical plans
+# --------------------------------------------------------------------------
+@register(
+    "d03_join_hints",
+    oracle="""
+    SELECT o_orderkey, c_name FROM orders JOIN customer
+      ON o_custkey = c_custkey
+    WHERE o_orderkey < 5000
+    ORDER BY o_orderkey
+    """,
+)
+def d03_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join STRATEGY control: the same equi-join executed with an explicit
+    ``merge`` (sort-merge) hint — result identical to the broadcast form
+    (one oracle covers all strategies; the plan test pins that each hint
+    actually switches the physical operator). Strategy hints are the
+    escape hatch when the optimizer's size estimates are wrong at 100 TB:
+    force SMJ for two huge pre-sorted sides, SHUFFLE_HASH when one side
+    is small-ish but above the broadcast threshold, broadcast for dims.
+
+    Scale shape: SMJ = shuffle both sides on the key + linear merge —
+    the right default when BOTH sides are large; spills gracefully
+    (sort runs) where hash join would OOM."""
+    t = Catalog(spark, sf_dir)
+    o = t.orders.where(F.col("o_orderkey") < 5000)
+    return (
+        o.hint("merge")
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# D15 extension — keyset-free pagination (ORDER BY ... LIMIT ... OFFSET)
+# --------------------------------------------------------------------------
+@register(
+    "d15_paginate",
+    oracle="""
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS acctbal
+    FROM customer ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def d15_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 3 of the balance leaderboard: total-order sort + OFFSET/LIMIT
+    (``DataFrame.offset``, Spark 3.4+). OFFSET pagination is fine for
+    UI-depth offsets (the sort is a top-(offset+limit) heap per
+    partition, merged on one reducer); for DEEP pagination at 100 TB use
+    keyset continuation instead — ``WHERE (c_acctbal, c_custkey) <
+    last_seen ORDER BY ... LIMIT k`` — which this operator's total
+    ordering makes deterministic and resumable."""
+    c = Catalog(spark, sf_dir).customer
+    return (
+        c.select(
+            "c_custkey", "c_name", F.round("c_acctbal", 4).alias("acctbal")
+        )
+        .orderBy(F.desc("acctbal"), "c_custkey")
+        .offset(40)
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# D19 extension — exact DECIMAL aggregation (no floating-point drift)
+# --------------------------------------------------------------------------
+@register(
+    "d19_decimal_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                AS DECIMAL(28,4))) AS VARCHAR) AS total_exact,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def d19_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL(18,4) aggregation: money sums with NO floating-point
+    drift — the result is emitted as its canonical string so the oracle
+    certifies exact digits, not a rounded double. Decimal sums are
+    associative and commutative, so the answer is independent of
+    partitioning and merge order — the property double-sums lack and the
+    reason financial roll-ups at 100 TB must aggregate in decimal.
+
+    Scale shape: identical partial+final hash agg as the double path;
+    Spark widens the accumulator (sum of DECIMAL(18,4) ->
+    DECIMAL(28,4)) exactly as the oracle's explicit cast does."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.select(
+            "o_orderpriority",
+            F.col("o_totalprice").cast("decimal(18,4)").alias("p"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("p").cast("decimal(28,4)").cast("string").alias("total_exact"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1210,3 +1210,46 @@ def d31_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_stop") >= 2)
         ).alias("keep"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# D31t — classifier evaluation: confusion matrix + per-class recall for
+# the lang-ID heuristic against the gold lang column
+# --------------------------------------------------------------------------
+@register(
+    "d31_langid_eval",
+    oracle=f"""
+    WITH p AS (
+      SELECT lang AS gold, {_lang_id_sql('text')} AS pred FROM documents
+    ), cm AS (
+      SELECT gold, pred, COUNT(*) AS n FROM p GROUP BY gold, pred
+    )
+    SELECT gold, pred, n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY gold) AS DOUBLE), 4)
+             AS recall_share
+    FROM cm ORDER BY gold, pred
+    """,
+)
+def d31_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVALUATION operator: confusion matrix of the d31_lang_id heuristic
+    against the gold ``lang`` column, with each cell's share of its gold
+    class (the diagonal shares ARE per-class recall). Every classifier in
+    a data pipeline (lang-ID, quality, toxicity) ships with exactly this
+    readout; emitting it as a query makes the evaluation itself
+    reproducible and driver-certifiable.
+
+    Scale shape: prediction is map-side codegen; the confusion matrix is
+    one partial+final agg to (n_classes x n_classes) rows and the recall
+    window runs over that tiny table — evaluation cost is one scan
+    regardless of corpus size."""
+    d = Catalog(spark, sf_dir).documents
+    p = d.select(F.col("lang").alias("gold"), lang_id(F.col("text")).alias("pred"))
+    cm = p.groupBy("gold", "pred").agg(F.count(F.lit(1)).alias("n"))
+    wg = Window.partitionBy("gold")
+    return (
+        cm.withColumn(
+            "recall_share",
+            F.round(F.col("n") / F.sum("n").over(wg).cast("double"), 4),
+        )
+        .orderBy("gold", "pred")
+    )

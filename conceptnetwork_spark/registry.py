@@ -180,7 +180,11 @@ CERT_FIRST: tuple[str, ...] = (
 # d14_mad_outliers (median/MAD robust outlier twin of zscore),
 # d14_time_range_sum (interval-bounded RANGE frame, epoch-us exact),
 # d27_top_paths (frequent first-3 event journeys, one-shuffle agg),
-# d24_inline (typed generator over array<struct>, fused field select).
+# d24_inline (typed generator over array<struct>, fused field select),
+# d03_join_hints (merge-hint strategy override, plan-asserted SMJ),
+# d15_paginate (total-order OFFSET/LIMIT page, keyset guidance),
+# d19_decimal_exact (DECIMAL(18,4) money sums, canonical-string oracle),
+# d31_langid_eval (confusion matrix + per-class recall of lang-ID).
 # Non-oracle by design, pytest-pinned: d33_logreg_auc (seeded linear
 # probe over embeddings, determinism + AUC-floor assertions),
 # d33_kmeans (seeded k-means||, determinism + scatter-reduction

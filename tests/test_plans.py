@@ -703,3 +703,12 @@ def test_d31_unicode_clean_is_arrow_batched(spark):
     plan = _plan(spark, "d31_unicode_clean")
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_d03_join_hints_forces_sort_merge(spark):
+    """The merge hint must override the optimizer's broadcast choice
+    (customer is small enough to broadcast at test SF) and plan a
+    SortMergeJoin — proving strategy hints actually steer the planner."""
+    plan = _plan(spark, "d03_join_hints")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
