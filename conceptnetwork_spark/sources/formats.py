@@ -539,3 +539,126 @@ def d01_binary_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fname")
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed tables — shuffle-free co-located joins (the pre-partitioning
+# strategy that amortizes one shuffle across every downstream join)
+# --------------------------------------------------------------------------
+def stage_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders and customer BUCKETED by the join key (8 buckets,
+    sorted within buckets) into the session warehouse as managed tables —
+    Spark's bucketing metadata lives in the catalog, so this is
+    ``saveAsTable``, not a path write. Idempotent per sf_dir via table
+    existence. Returns the two table names."""
+    import shutil
+
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_orders, t_cust = f"b_orders_{base}", f"b_customer_{base}"
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for name, src, key in (
+        (t_orders, "orders.parquet", "o_custkey"),
+        (t_cust, "customer.parquet", "c_custkey"),
+    ):
+        if spark.catalog.tableExists(name):
+            continue
+        # a previous SESSION's managed-table directory may survive in the
+        # warehouse while this session's in-memory catalog has no entry —
+        # remove the orphan or saveAsTable fails LOCATION_ALREADY_EXISTS
+        loc = os.path.join(warehouse, name)
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        (
+            spark.read.parquet(os.path.join(sf_dir, src))
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return t_orders, t_cust
+
+
+@register(
+    "d03_bucketed_join",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey ORDER BY c_custkey
+    """,
+)
+def d03_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-FREE co-located join: both sides pre-bucketed by the join
+    key (8 buckets, bucket-sorted), so the SortMergeJoin reads aligned
+    buckets with NO Exchange on either input — the one-time bucketing
+    shuffle is amortized across every subsequent join/aggregation on
+    that key. The follow-up groupBy(c_custkey) ALSO reuses the bucket
+    partitioning: the whole plan runs without a single hash exchange
+    (plan-asserted in tests/test_plans.py).
+
+    Scale shape: THE pattern for a 100 TB fact repeatedly joined on one
+    key — bucket once at ingest (pick bucket count ~= target parallelism
+    x small multiple; at 1000 executors think 4-8k buckets), then every
+    downstream join/agg on that key is map-side. Broadcast beats it only
+    when one side is dim-sized; AQE cannot remove a shuffle that the
+    layout itself doesn't avoid."""
+    t_orders, t_cust = stage_bucketed_tables(spark, sf_dir)
+    o, c = spark.table(t_orders), spark.table(t_cust)
+    # merge hint: at test SF the dim side is under the broadcast threshold
+    # and the optimizer would pick BHJ, hiding the layout property under
+    # test; the hint pins the plan every bucketed join runs at real scale
+    return (
+        c.hint("merge")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "d01_dynamic_pruning",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    WHERE substr(o_orderpriority, 1, 1) IN ('1', '2')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def d01_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact is partitioned on
+    o_orderpriority and the selective predicate lives on a DIM that joins
+    on the partition key — no static filter touches the fact, yet the
+    scan must read only the matching partition directories because the
+    optimizer injects a runtime IN-subquery partition filter from the
+    broadcast dim (plan-asserted ``dynamicpruningexpression``).
+
+    Scale shape: THE mechanism that makes star-schema queries on a
+    partitioned 100 TB fact read 2 of 5000 day-partitions when the date
+    predicate arrives via the date dim rather than on the fact column;
+    without DPP the same plan scans the full fact. Requires a
+    partitioned layout (see stage_orders_partitioned) and a
+    broadcast-able dim side."""
+    path = stage_orders_partitioned(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    dim = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderpriority")
+        .distinct()
+        .where(F.substring("o_orderpriority", 1, 1).isin("1", "2"))
+    )
+    return (
+        fact.join(F.broadcast(dim), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -712,3 +712,22 @@ def test_d03_join_hints_forces_sort_merge(spark):
     plan = _plan(spark, "d03_join_hints")
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_d03_bucketed_join_has_no_hash_exchange(spark):
+    """Both sides bucket-aligned on the join key: the SortMergeJoin AND
+    the downstream groupBy on the same key must run with ZERO hash
+    exchanges — the only Exchange allowed is the final presentation
+    sort's range partitioning."""
+    plan = _plan(spark, "d03_bucketed_join")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Bucketed: true" in plan
+
+
+def test_d01_dynamic_pruning_injects_runtime_filter(spark):
+    """With the selective predicate on the DIM side only, the partitioned
+    fact scan must carry a dynamicpruningexpression partition filter —
+    proof the optimizer prunes partitions at RUNTIME from the broadcast."""
+    plan = _plan(spark, "d01_dynamic_pruning")
+    assert "dynamicpruning" in plan.lower()
