@@ -731,3 +731,54 @@ def test_d01_dynamic_pruning_injects_runtime_filter(spark):
     proof the optimizer prunes partitions at RUNTIME from the broadcast."""
     plan = _plan(spark, "d01_dynamic_pruning")
     assert "dynamicpruning" in plan.lower()
+
+
+def test_aqe_coalesces_shuffle_partitions(spark):
+    """AQE must collapse the 32 configured shuffle partitions of a small
+    aggregate into few actual partitions at runtime — the mechanism that
+    right-sizes reducer counts per-stage at 100 TB without hand-tuning
+    spark.sql.shuffle.partitions per query."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 100_000, 1, 8)
+        .groupBy((F.col("id") % 100).alias("k"))
+        .count()
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan
+    assert df.rdd.getNumPartitions() < 32
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """With one join key holding 90% of the rows, AQE's skew-join must
+    split the oversized shuffle partition (SortMergeJoin(skew=true)) —
+    the runtime complement to the manual salting of
+    d03_salted_skew_join. Thresholds are lowered to make toy data
+    exceed them; restored after."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 500_000, 1, 8).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        small = spark.range(0, 1_000, 1, 4).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(small, "k")
+        assert len(j.collect()) == 450_100
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:800]
+    finally:
+        for k in confs:
+            spark.conf.unset(k)
