@@ -129,6 +129,7 @@ HEADLINE = [
     "d31_langid_eval",
     "d03_bucketed_join",
     "d01_dynamic_pruning",
+    "d34_repro_fingerprint",
     # d25_stream_semi_join and d26_update_mode are NOT here for the same
     # reason the other stream-stream/multi-batch queries aren't: a timed
     # min-of-3 would re-run the full 2-micro-batch state machinery three

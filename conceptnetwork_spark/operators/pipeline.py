@@ -1307,3 +1307,60 @@ def d34_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# D34h — pipeline reproducibility fingerprint (the one-row "did anything
+# change" bit for the whole dataprep output)
+# --------------------------------------------------------------------------
+@register(
+    "d34_repro_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN {_bucket_sql('doc_id')} < 80 THEN 'train'
+                  WHEN {_bucket_sql('doc_id')} < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             md5(concat(CAST(doc_id AS VARCHAR), '|', text)) AS row_md5
+      FROM documents
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           bit_xor(CAST(('0x' || substr(row_md5, 1, 15)) AS BIGINT))
+             AS fingerprint
+    FROM t GROUP BY split ORDER BY split
+    """,
+)
+def d34_repro_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split REPRODUCIBILITY FINGERPRINT: XOR of a 60-bit prefix of
+    each row's content md5 — one row per split that changes if ANY
+    document's content or split assignment changes, and is identical for
+    any row order or partitioning (XOR is commutative/associative and
+    cannot overflow, unlike a checksum SUM). Re-running the pipeline and
+    diffing three fingerprint rows replaces diffing terabytes; CI gates
+    on this before any byte-level comparison.
+
+    Scale shape: map-side md5 + hex-parse, one partial+final XOR
+    aggregate to 3 rows. The same trick verifies a migration (old vs new
+    cluster), a compaction (d35_compact_files must preserve it), and a
+    format change — any content-preserving transform must fix-point it."""
+    d = Catalog(spark, sf_dir).documents
+    t = d.select(
+        F.when(hash_bucket(F.col("doc_id")) < 80, "train")
+        .when(hash_bucket(F.col("doc_id")) < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))
+        ).alias("row_md5"),
+    )
+    return (
+        t.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.bit_xor(
+                F.conv(F.substring("row_md5", 1, 15), 16, 10).cast("long")
+            ).alias("fingerprint"),
+        )
+        .orderBy("split")
+    )

@@ -186,7 +186,8 @@ CERT_FIRST: tuple[str, ...] = (
 # d19_decimal_exact (DECIMAL(18,4) money sums, canonical-string oracle),
 # d31_langid_eval (confusion matrix + per-class recall of lang-ID),
 # d03_bucketed_join (bucket-aligned SMJ + agg, zero hash exchanges),
-# d01_dynamic_pruning (runtime partition filter injected from the dim).
+# d01_dynamic_pruning (runtime partition filter injected from the dim),
+# d34_repro_fingerprint (order-independent XOR content fingerprint).
 # Non-oracle by design, pytest-pinned: d33_logreg_auc (seeded linear
 # probe over embeddings, determinism + AUC-floor assertions),
 # d33_kmeans (seeded k-means||, determinism + scatter-reduction
