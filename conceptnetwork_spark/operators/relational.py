@@ -2191,37 +2191,33 @@ def d12_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d10_psi_drift",
     oracle="""
     WITH e AS (
-      SELECT event_type,
-             CASE WHEN date_part('day', ts) <= 15 THEN 'ref' ELSE 'cur' END
-               AS side,
+      SELECT event_type, (date_part('day', ts) <= 15) AS is_ref,
              LEAST(GREATEST(CAST(floor(value / 50.0) AS BIGINT), 0), 9)
                AS bin
       FROM events
-    ), grid AS (
-      SELECT t.event_type, g.bin, s.side
-      FROM (SELECT DISTINCT event_type FROM e) t
-      CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) g
-      CROSS JOIN (SELECT unnest(['ref', 'cur']) AS side) s
-    ), cnt AS (
-      SELECT event_type, side, bin, COUNT(*) AS n
-      FROM e GROUP BY 1, 2, 3
-    ), p AS (
-      SELECT grid.event_type, grid.bin, grid.side,
-             (COALESCE(cnt.n, 0) + 0.5)
-               / (SUM(COALESCE(cnt.n, 0)) OVER (
-                    PARTITION BY grid.event_type, grid.side) + 5.0) AS prob
-      FROM grid LEFT JOIN cnt
-        ON grid.event_type = cnt.event_type
-       AND grid.bin = cnt.bin AND grid.side = cnt.side
     ), wide AS (
       SELECT event_type, bin,
-             MAX(CASE WHEN side = 'ref' THEN prob END) AS p_ref,
-             MAX(CASE WHEN side = 'cur' THEN prob END) AS p_cur
-      FROM p GROUP BY 1, 2
+             SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+      FROM e GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, n_ref, n_cur,
+             SUM(n_ref) OVER (PARTITION BY event_type) AS t_ref,
+             SUM(n_cur) OVER (PARTITION BY event_type) AS t_cur,
+             COUNT(*) OVER (PARTITION BY event_type) AS bins_present
+      FROM wide
+    ), terms AS (
+      SELECT event_type, bins_present,
+             ((n_cur + 0.5) / (t_cur + 5.0) - (n_ref + 0.5) / (t_ref + 5.0))
+               * ln(((n_cur + 0.5) / (t_cur + 5.0))
+                    / ((n_ref + 0.5) / (t_ref + 5.0))) AS term,
+             (0.5 / (t_cur + 5.0) - 0.5 / (t_ref + 5.0))
+               * ln((0.5 / (t_cur + 5.0)) / (0.5 / (t_ref + 5.0))) AS term0
+      FROM tot
     )
     SELECT event_type,
-           ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)), 4) AS psi
-    FROM wide GROUP BY event_type ORDER BY event_type
+           ROUND(SUM(term) + (10 - MAX(bins_present)) * MAX(term0), 4) AS psi
+    FROM terms GROUP BY event_type ORDER BY event_type
     """,
 )
 def d10_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2232,41 +2228,47 @@ def d10_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     so empty bins never divide by zero; the smoothing constants are part
     of the declared contract and identical in the oracle.
 
-    Scale shape: one partial+final count per (type, side, bin) — 100
-    groups regardless of volume — then all arithmetic happens on the
-    tiny bin table (type x 10 x 2 rows). The full-bin grid comes from a
-    crossJoin of two broadcast-size dimensions, never from the fact."""
+    Scale shape: ONE fact scan, ONE shuffle — a conditional-count
+    aggregate per (type, bin); every empty-on-both-sides bin contributes
+    the SAME smoothed term, so instead of materializing a full bin grid
+    (which would either re-scan the fact for its type dimension or
+    cross-join one in) the missing-bin mass is added in closed form:
+    psi = sum(present-bin terms) + (10 - bins_present) * both-missing
+    term. All post-shuffle arithmetic runs on ~type x 10 rows."""
     e = Catalog(spark, sf_dir).events.select(
         "event_type",
-        F.when(F.dayofmonth("ts") <= 15, "ref").otherwise("cur").alias("side"),
+        (F.dayofmonth("ts") <= 15).alias("is_ref"),
         F.least(
             F.greatest(F.floor(F.col("value") / 50.0).cast("long"), F.lit(0)),
             F.lit(9),
         ).alias("bin"),
     )
-    cnt = e.groupBy("event_type", "side", "bin").agg(F.count(F.lit(1)).alias("n"))
-    types = e.select("event_type").distinct()
-    bins = spark.range(10).select(F.col("id").alias("bin"))
-    sides = spark.createDataFrame([("ref",), ("cur",)], "side string")
-    grid = types.crossJoin(bins).crossJoin(sides)
-    ws = Window.partitionBy("event_type", "side")
-    p = (
-        grid.join(cnt, ["event_type", "side", "bin"], "left")
-        .withColumn("n", F.coalesce("n", F.lit(0)))
-        .withColumn("prob", (F.col("n") + 0.5) / (F.sum("n").over(ws) + 5.0))
+    wide = e.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
     )
-    wide = p.groupBy("event_type", "bin").agg(
-        F.max(F.when(F.col("side") == "ref", F.col("prob"))).alias("p_ref"),
-        F.max(F.when(F.col("side") == "cur", F.col("prob"))).alias("p_cur"),
+    wt = Window.partitionBy("event_type")
+    tot = (
+        wide.withColumn("t_ref", F.sum("n_ref").over(wt))
+        .withColumn("t_cur", F.sum("n_cur").over(wt))
+        .withColumn("bins_present", F.count(F.lit(1)).over(wt))
+    )
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 5.0)
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 5.0)
+    p0_ref = 0.5 / (F.col("t_ref") + 5.0)
+    p0_cur = 0.5 / (F.col("t_cur") + 5.0)
+    terms = tot.select(
+        "event_type",
+        "bins_present",
+        ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("term"),
+        ((p0_cur - p0_ref) * F.log(p0_cur / p0_ref)).alias("term0"),
     )
     return (
-        wide.groupBy("event_type")
+        terms.groupBy("event_type")
         .agg(
             F.round(
-                F.sum(
-                    (F.col("p_cur") - F.col("p_ref"))
-                    * F.log(F.col("p_cur") / F.col("p_ref"))
-                ),
+                F.sum("term")
+                + (10 - F.max("bins_present")) * F.max("term0"),
                 4,
             ).alias("psi")
         )
