@@ -130,6 +130,12 @@ HEADLINE = [
     "d03_bucketed_join",
     "d01_dynamic_pruning",
     "d34_repro_fingerprint",
+    "d01_json_corrupt",
+    "d33_standard_scaler",
+    "d11_freq_items",
+    # d33_cross_validation is swept, not headlined: a timed min-of-3 would
+    # re-fit 2 folds x 2 grid params three times (training cost, not query
+    # cost) — same policy as d33_gbt_mse / the multi-batch stream queries.
     # d25_stream_semi_join and d26_update_mode are NOT here for the same
     # reason the other stream-stream/multi-batch queries aren't: a timed
     # min-of-3 would re-run the full 2-micro-batch state machinery three

@@ -373,3 +373,103 @@ def d33_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# D33 extension — StandardScaler with an exact SQL oracle (the rare MLlib
+# Estimator whose fit/transform semantics are closed-form checkable)
+# --------------------------------------------------------------------------
+@register(
+    "d33_standard_scaler",
+    oracle="""
+    WITH s AS (
+      SELECT AVG(c_acctbal) AS m1, stddev_samp(c_acctbal) AS s1,
+             AVG(c_nationkey) AS m2, stddev_samp(c_nationkey) AS s2,
+             AVG(length(c_mktsegment)) AS m3, stddev_samp(length(c_mktsegment)) AS s3
+      FROM customer
+    )
+    SELECT c_custkey,
+           ROUND((c_acctbal - m1) / s1, 4) AS z1,
+           ROUND((c_nationkey - m2) / s2, 4) AS z2,
+           ROUND((length(c_mktsegment) - m3) / s3, 4) AS z3
+    FROM customer, s ORDER BY c_custkey
+    """,
+)
+def d33_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib ``StandardScaler`` (withMean+withStd) certified against the
+    closed form it implements: z = (x - mean) / sample-stddev per feature.
+    fit() is one distributed summary pass; transform() is map-side. The
+    oracle recomputes the same standardization in SQL — an exact hash
+    match, which most Estimators can't offer (this one can, so it anchors
+    the MLlib fit/transform plumbing with a real oracle).
+
+    Scale shape: fit aggregates 2 doubles per feature tree-wise;
+    transform broadcasts the model (6 doubles) inside the task closure —
+    no shuffle, no Python."""
+    from pyspark.ml.feature import StandardScaler
+    from pyspark.ml.functions import vector_to_array
+
+    c = Catalog(spark, sf_dir).customer.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("f1"),
+        F.col("c_nationkey").cast("double").alias("f2"),
+        F.length("c_mktsegment").cast("double").alias("f3"),
+    )
+    df = VectorAssembler(inputCols=["f1", "f2", "f3"], outputCol="feat").transform(c)
+    model = StandardScaler(
+        inputCol="feat", outputCol="z", withMean=True, withStd=True
+    ).fit(df)
+    out = model.transform(df).select(
+        "c_custkey", vector_to_array("z").alias("za")
+    )
+    return out.select(
+        "c_custkey",
+        F.round(F.col("za")[0], 4).alias("z1"),
+        F.round(F.col("za")[1], 4).alias("z2"),
+        F.round(F.col("za")[2], 4).alias("z3"),
+    ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# D33 extension — seeded cross-validated model selection
+# --------------------------------------------------------------------------
+@register("d33_cross_validation", oracle=None)
+def d33_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded 2-fold CrossValidator over an OLS grid (regParam 0 vs 100):
+    the model-selection loop of the reference's Estimator driver (M6),
+    distributed — each fold's fit is a full Spark job, the driver only
+    compares two scalar metrics. Non-oracle (fold assignment is
+    engine-internal even when seeded); pytest pins seed determinism and
+    that the unregularized model wins on this linear-by-construction
+    target.
+
+    Scale shape: k x |grid| sequential fits, each distributed; with
+    parallelism=2 the candidate fits run concurrently. Metrics, not
+    data, reach the driver."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    c = Catalog(spark, sf_dir).customer.select(
+        (F.col("c_acctbal") / 10000.0).alias("x"),
+        (F.col("c_acctbal") / 10000.0 * 2.0 + 7.0).alias("label"),
+    )
+    pipe = build_ols_pipeline(["x"], "label")
+    lr = pipe.getStages()[-1]
+    grid = (
+        ParamGridBuilder().addGrid(lr.regParam, [0.0, 100.0]).build()
+    )
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(metricName="mse", labelCol="label"),
+        numFolds=2,
+        seed=42,
+        parallelism=2,
+    )
+    model = cv.fit(c)
+    best_reg = model.bestModel.stages[-1].getRegParam()
+    metrics = [round(float(m), 4) for m in model.avgMetrics]
+    return spark.createDataFrame(
+        [(float(best_reg), metrics[0], metrics[1])],
+        "best_reg_param double, mse_reg0 double, mse_reg100 double",
+    )

@@ -2532,3 +2532,26 @@ def d19_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# D11 extension — approximate frequent items (heavy hitters)
+# --------------------------------------------------------------------------
+@register("d11_freq_items", oracle=None)
+def d11_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass approximate heavy hitters (``df.stat.freqItems``,
+    Karp-Papadimitriou-Shenker counters): every value with frequency
+    above the support threshold is GUARANTEED present (false positives
+    possible, false negatives not) — the D11 sketch contract again, so
+    non-oracle like the HLL/percentile entries; pytest pins that the true
+    mode of the column always survives.
+
+    Scale shape: one pass, fixed 1/support counters per partition merged
+    associatively — the streaming-safe way to find hot keys (skew-join
+    salting candidates, cache keys) at 100 TB without a full groupBy."""
+    o = Catalog(spark, sf_dir).orders
+    rows = o.stat.freqItems(["o_orderpriority"], support=0.25).collect()[0]
+    items = sorted(rows[0])
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(items)], "idx int, o_orderpriority string"
+    )

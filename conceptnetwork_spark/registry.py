@@ -187,7 +187,12 @@ CERT_FIRST: tuple[str, ...] = (
 # d31_langid_eval (confusion matrix + per-class recall of lang-ID),
 # d03_bucketed_join (bucket-aligned SMJ + agg, zero hash exchanges),
 # d01_dynamic_pruning (runtime partition filter injected from the dim),
-# d34_repro_fingerprint (order-independent XOR content fingerprint).
+# d34_repro_fingerprint (order-independent XOR content fingerprint),
+# d01_json_corrupt (DROPMALFORMED NDJSON vs ignore_errors, same bytes),
+# d33_standard_scaler (closed-form z-score oracle for a real Estimator).
+# Non-oracle, pytest-pinned: d33_cross_validation (seeded 2-fold CV,
+# determinism + unregularized-winner assertions), d11_freq_items
+# (KPS heavy hitters, no-false-negative property).
 # Non-oracle by design, pytest-pinned: d33_logreg_auc (seeded linear
 # probe over embeddings, determinism + AUC-floor assertions),
 # d33_kmeans (seeded k-means||, determinism + scatter-reduction

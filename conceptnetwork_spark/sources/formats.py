@@ -662,3 +662,86 @@ def d01_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Corrupt-tolerant JSON ingestion (the NDJSON twin of d01_csv_corrupt)
+# --------------------------------------------------------------------------
+def stage_mixed_json(sf_dir: str) -> str:
+    """Stage an orders NDJSON extract with KNOWN syntactically-broken lines
+    interleaved (truncated objects, bare garbage) — purely SYNTACTIC
+    corruption on purpose: type-level salvage rules differ between
+    engines (Spark nulls vs drop), but an unparseable line is dead in
+    both, so the surviving row set is engine-independent."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    path = _stage_dir(sf_dir, "json_bad")
+    out = os.path.join(path, "orders_mixed.json")
+    if not os.path.exists(out):
+        o = (
+            pq.read_table(
+                os.path.join(sf_dir, "orders.parquet"),
+                columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+                filters=pc.field("o_orderkey") < 600,
+            )
+            .to_pandas()
+            .sort_values("o_orderkey")
+        )
+        os.makedirs(path, exist_ok=True)
+        tmp = out + ".tmp"
+        with open(tmp, "w") as fh:
+            for i, row in enumerate(o.itertuples(index=False)):
+                fh.write(
+                    '{"o_orderkey": %d, "o_orderstatus": "%s", '
+                    '"o_totalprice": %.2f}\n'
+                    % (row.o_orderkey, row.o_orderstatus, row.o_totalprice)
+                )
+                if i % 5 == 2:
+                    fh.write('{"o_orderkey": 999999, "o_orderst\n')
+                if i % 13 == 7:
+                    fh.write("not json at all\n")
+        os.replace(tmp, out)
+    return out
+
+
+def _corrupt_json_oracle() -> str:
+    path = _try_stage(stage_mixed_json, "json_bad", "orders_mixed.json")
+    return f"""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 4) AS price
+    FROM read_json('{path}', format='newline_delimited',
+                   ignore_errors=true,
+                   columns={{'o_orderkey': 'BIGINT',
+                             'o_orderstatus': 'VARCHAR',
+                             'o_totalprice': 'DOUBLE'}})
+    WHERE o_orderkey IS NOT NULL
+    ORDER BY o_orderkey
+    """
+
+
+@register("d01_json_corrupt", oracle=_corrupt_json_oracle)
+def d01_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant NDJSON ingestion: DROPMALFORMED mode drops
+    syntactically-broken lines in the parser instead of failing the job —
+    the JSON twin of d01_csv_corrupt, against DuckDB's ignore_errors read
+    of the SAME staged file. At 100 TB this is the difference between an
+    ingest that survives one bad crawl record and one that dies at hour
+    nine; quarantine-instead-of-drop uses PERMISSIVE +
+    columnNameOfCorruptRecord routed to a side sink."""
+    path = stage_mixed_json(sf_dir)
+    df = (
+        spark.read.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double"
+        )
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+    )
+    return (
+        df.where(F.col("o_orderkey").isNotNull())
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 4).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -320,3 +320,38 @@ def test_kmeans_deterministic_and_clusters_structure(spark):
     k1_wss = sum(mean_var.s.toArray()) * (n - 1)
     k8_wss = sum(r["wss"] for r in a)
     assert k8_wss < 0.98 * k1_wss, f"k=8 scatter {k8_wss} not below k=1 {k1_wss}"
+
+
+def test_cross_validation_deterministic_and_picks_unregularized(spark):
+    """Seeded CV over [regParam 0, 100] on an exactly-linear target must
+    be run-to-run deterministic and select regParam=0 (any ridge penalty
+    strictly hurts a noiseless linear fit)."""
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    a = queries()["d33_cross_validation"](spark, SF_SMOKE).collect()[0]
+    b = queries()["d33_cross_validation"](spark, SF_SMOKE).collect()[0]
+    assert a == b, "seeded CrossValidator must be deterministic"
+    assert a.best_reg_param == 0.0
+    assert a.mse_reg0 < a.mse_reg100
+
+
+def test_freq_items_contains_true_mode(spark):
+    """freqItems' no-false-negative guarantee: the genuine modal priority
+    must be in the returned set at support 0.25."""
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.o_orderpriority
+        for r in queries()["d11_freq_items"](spark, SF_SMOKE).collect()
+    }
+    true_mode = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .count()
+        .orderBy(F.desc("count"))
+        .first()
+        .o_orderpriority
+    )
+    assert true_mode in got, f"{true_mode} not in {got}"
