@@ -336,3 +336,60 @@ def d21_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.variant_get(v, "$.k", "bigint") * 2).alias("k2"),
         F.variant_get(v, "$.missing", "bigint").alias("miss"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# D21 extension — higher-order MAP functions (map_from_entries /
+# map_filter / transform_values / explode over a map column)
+# --------------------------------------------------------------------------
+@register(
+    "d21_map_funcs",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events WHERE user_id < 40 GROUP BY 1, 2
+    ), tot AS (
+      SELECT user_id, event_type, n,
+             SUM(n) OVER (PARTITION BY user_id) AS total
+      FROM cnt
+    )
+    SELECT user_id, event_type, ROUND(n / CAST(total AS DOUBLE), 4) AS share
+    FROM tot WHERE n >= 2
+    ORDER BY user_id, event_type
+    """,
+)
+def d21_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order MAP pipeline: per-user event-type counts built into a
+    real MapType column (``map_from_entries`` over collected structs),
+    pruned with ``map_filter`` (count >= 2), re-valued with
+    ``transform_values`` (count -> share of the user's total via
+    ``aggregate`` over ``map_values``), then ``explode``d back to rows.
+    The oracle computes the same result relationally — the MAP layer is
+    the Spark surface under test, the shares are the checkable payload.
+
+    Scale shape: one shuffle to (user, type) counts, one to per-user
+    maps (both partial-agg'd); every map operation is a codegen
+    expression on an in-row structure — maps are how per-entity sparse
+    feature bundles travel through a 100 TB pipeline without exploding
+    row counts between stages."""
+    e = Catalog(spark, sf_dir).events.where(F.col("user_id") < 40)
+    cnt = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    maps = cnt.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    total = F.aggregate(
+        F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    shared = maps.select(
+        "user_id",
+        F.transform_values(
+            F.map_filter("m", lambda k, v: v >= 2),
+            lambda k, v: F.round(v / total.cast("double"), 4),
+        ).alias("m"),
+    )
+    return (
+        shared.select("user_id", F.explode("m").alias("event_type", "share"))
+        .orderBy("user_id", "event_type")
+    )
