@@ -190,7 +190,9 @@ CERT_FIRST: tuple[str, ...] = (
 # d34_repro_fingerprint (order-independent XOR content fingerprint),
 # d01_json_corrupt (DROPMALFORMED NDJSON vs ignore_errors, same bytes),
 # d33_standard_scaler (closed-form z-score oracle for a real Estimator),
-# d21_map_funcs (map_from_entries/map_filter/transform_values/explode).
+# d21_map_funcs (map_from_entries/map_filter/transform_values/explode),
+# d25_stream_right_outer (fifth stream-join type; purchase-side eviction
+# bound reused verbatim from the measured full-outer).
 # Non-oracle, pytest-pinned: d33_cross_validation (seeded 2-fold CV,
 # determinism + unregularized-winner assertions), d11_freq_items
 # (KPS heavy hitters, no-false-negative property).

@@ -1911,3 +1911,115 @@ def d27_dynamic_gap_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# --------------------------------------------------------------------------
+# D25 extension — stream-stream RIGHT OUTER join (the fifth and final
+# entry of the stream-join matrix: inner / left outer / left semi /
+# full outer / right outer)
+# --------------------------------------------------------------------------
+@register(
+    "d25_stream_right_outer",
+    # Emission model: identical staging and committed watermark as the
+    # full-outer twin (W = max(early view ts) - delay, since the batch-1
+    # advancer raises only the purchase side); a right-outer emits
+    # matches plus null rows for unmatched PURCHASES only, whose measured
+    # eviction bound is p_ts < W (no older view can arrive once the
+    # watermark passes the purchase itself) — the full-outer oracle minus
+    # its view-null branch.
+    oracle=f"""
+    WITH v AS (
+      SELECT event_id AS view_id, user_id, ts FROM events
+      WHERE event_type = 'view' AND ts < TIMESTAMP '{OUTER_SPLIT}'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '{OUTER_SPLIT}'
+    ),
+    w1 AS (
+      SELECT (SELECT max(ts) FROM v) - INTERVAL {OUTER_DELAY} AS w
+    ),
+    matched AS (
+      SELECT v.view_id, p.purchase_id, v.user_id AS vu
+      FROM v JOIN p ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL {OUTER_INTERVAL}
+    )
+    SELECT view_id, purchase_id, vu AS user_id FROM matched
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), p.purchase_id, p.user_id
+    FROM p, w1
+    WHERE p.purchase_id NOT IN (SELECT purchase_id FROM matched)
+      AND p.ts < w1.w
+    ORDER BY view_id NULLS LAST, purchase_id NULLS LAST
+    """,
+)
+def d25_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT OUTER join — the mirror of the left-outer that
+    completes the five-way stream-join matrix. State and eviction are the
+    full-outer's purchase side verbatim (p_ts < W once the watermark
+    passes the purchase, since the interval condition p in
+    [v, v+interval) admits no later-arriving older view); only the
+    null-emission side differs from the left-outer twin.
+
+    Scale shape: same bounded per-key state as the other stream joins
+    (delay + interval per side); choosing left vs right outer is a
+    semantics decision, not a cost one."""
+    stage = _stage_outer_join(spark, sf_dir)
+    schema = spark.read.parquet(stage).schema
+
+    def src():
+        return fix_nanos(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage),
+            "events",
+        )
+
+    views = (
+        src()
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", OUTER_DELAY)
+    )
+    purchases = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", OUTER_DELAY)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr(f"INTERVAL {OUTER_INTERVAL}")),
+        "rightOuter",
+    )
+    name = f"rojoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q, 180)
+    return (
+        spark.table(name)
+        .select(
+            "view_id",
+            "purchase_id",
+            F.coalesce("user_id", "p_user").alias("user_id"),
+        )
+        .orderBy(
+            F.col("view_id").asc_nulls_last(),
+            F.col("purchase_id").asc_nulls_last(),
+        )
+    )
