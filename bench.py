@@ -134,6 +134,8 @@ HEADLINE = [
     "d33_standard_scaler",
     "d11_freq_items",
     "d21_map_funcs",
+    "d29_incremental_dedup",
+    "d10_histogram",
     # d33_cross_validation is swept, not headlined: a timed min-of-3 would
     # re-fit 2 folds x 2 grid params three times (training cost, not query
     # cost) — same policy as d33_gbt_mse / the multi-batch stream queries.

@@ -454,3 +454,65 @@ def d29_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D29 extension — INCREMENTAL dedup (new batch vs existing corpus):
+# the steady-state form of exact dedup once a corpus is live
+# --------------------------------------------------------------------------
+INCR_SPLIT = 350  # doc_id < SPLIT = existing corpus, >= SPLIT = new batch
+
+
+@register(
+    "d29_incremental_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT md5(text) AS h FROM documents WHERE doc_id < {INCR_SPLIT}
+    ), batch AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+      WHERE doc_id >= {INCR_SPLIT}
+    ), in_batch_keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM batch GROUP BY h
+    )
+    SELECT b.doc_id,
+           (b.doc_id IN (SELECT doc_id FROM in_batch_keep)
+            AND b.h NOT IN (SELECT h FROM corpus)) AS admit
+    FROM batch b ORDER BY doc_id
+    """,
+)
+def d29_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup — the form that actually runs once a corpus
+    is live: a new batch is admitted doc-by-doc iff (a) it is the first
+    copy of its content WITHIN the batch (min-id canonical, same rule as
+    d29_exact_dedup) and (b) its content hash does not already exist in
+    the corpus index. Emits the full admit/reject verdict per batch doc
+    so the ingest log is auditable.
+
+    Scale shape: the corpus side reduces to its distinct hash INDEX
+    (16-byte keys — the thing a production pipeline keeps materialized
+    between runs instead of rescanning 100 TB of text); the batch
+    deduplicates within itself via one hash-groupBy, then a LEFT ANTI
+    join against the index. Batch << corpus, so the batch side
+    broadcasts; the corpus index shuffles at most once and is reusable
+    across every future batch."""
+    d = Catalog(spark, sf_dir).documents
+    corpus_idx = (
+        d.where(F.col("doc_id") < INCR_SPLIT)
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+    )
+    batch = d.where(F.col("doc_id") >= INCR_SPLIT).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    first_in_batch = batch.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    admitted = (
+        first_in_batch.join(corpus_idx, "h", "left_anti")
+        .select("doc_id")
+        .withColumn("admit", F.lit(True))
+    )
+    return (
+        batch.select("doc_id")
+        .join(admitted, "doc_id", "left")
+        .select("doc_id", F.coalesce("admit", F.lit(False)).alias("admit"))
+        .orderBy("doc_id")
+    )

@@ -2555,3 +2555,46 @@ def d11_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, v) for i, v in enumerate(items)], "idx int, o_orderpriority string"
     )
+
+
+# --------------------------------------------------------------------------
+# D10 extension — equi-width histogram (width_bucket binning)
+# --------------------------------------------------------------------------
+@register(
+    "d10_histogram",
+    oracle="""
+    SELECT event_type,
+           -- width_bucket(value, 0, 500, 20) spelled arithmetically
+           -- (DuckDB ships no width_bucket): floor(v/25)+1, edges clamped
+           LEAST(GREATEST(CAST(floor(value / 25.0) AS BIGINT) + 1, 1), 20)
+             AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 4) AS lo, ROUND(MAX(value), 4) AS hi
+    FROM events GROUP BY 1, 2 ORDER BY event_type, bucket
+    """,
+)
+def d10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per event type (20 buckets over [0, 500],
+    under/overflow clamped to the edge buckets — width_bucket semantics
+    pinned identically in both engines) with per-bucket observed min/max.
+    The profiling readout behind every data-quality dashboard and the
+    input to the PSI gate (d10_psi_drift shares the binning idea with
+    drift arithmetic on top).
+
+    Scale shape: one partial+final aggregate; output is
+    types x 20 rows regardless of volume, and the bucket expression is
+    pure codegen arithmetic on the scan."""
+    e = Catalog(spark, sf_dir).events
+    bucket = F.least(
+        F.greatest(F.width_bucket("value", F.lit(0.0), F.lit(500.0), F.lit(20)), F.lit(1)),
+        F.lit(20),
+    )
+    return (
+        e.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -192,7 +192,9 @@ CERT_FIRST: tuple[str, ...] = (
 # d33_standard_scaler (closed-form z-score oracle for a real Estimator),
 # d21_map_funcs (map_from_entries/map_filter/transform_values/explode),
 # d25_stream_right_outer (fifth stream-join type; purchase-side eviction
-# bound reused verbatim from the measured full-outer).
+# bound reused verbatim from the measured full-outer),
+# d29_incremental_dedup (new-batch-vs-corpus-index admit/reject verdict),
+# d10_histogram (equi-width profile, width_bucket parity).
 # Non-oracle, pytest-pinned: d33_cross_validation (seeded 2-fold CV,
 # determinism + unregularized-winner assertions), d11_freq_items
 # (KPS heavy hitters, no-false-negative property).
