@@ -1253,3 +1253,88 @@ def d31_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gold", "pred")
     )
+
+
+# --------------------------------------------------------------------------
+# D31u — HTML strip + entity unescape (the crawl-to-text extraction pass)
+# --------------------------------------------------------------------------
+@register(
+    "d31_html_strip",
+    oracle="""
+    WITH html AS (
+      -- deterministic HTML-ification of each document (same expression in
+      -- both engines): paragraph tags per sentence + escaped entities
+      SELECT doc_id,
+             '<html><body><h1>doc</h1><p>'
+             || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+                        '. ', '.</p>\n<p>')
+             || '</p><!-- footer --></body></html>' AS markup
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(
+                 regexp_replace(markup, '<!--.*?-->', ' ', 'gs'),
+                 '&lt;', '<'), '&amp;', '&'), '&nbsp;', ' '),
+               '\\s+', ' ', 'g'), ' ') AS t
+      FROM (SELECT doc_id,
+                   regexp_replace(markup, '<[^>]*>', ' ', 'g') AS markup
+            FROM html)
+    )
+    SELECT doc_id, length(t) AS clean_len, md5(t) AS clean_md5
+    FROM stripped ORDER BY doc_id
+    """,
+)
+def d31_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-text extraction: strip comments and tags, unescape the
+    common entities, canonicalize whitespace — certified by md5 BYTE
+    EQUALITY of the recovered text against the oracle running the same
+    extraction. The markup is built deterministically from each document
+    (paragraph tags per sentence + escaped entities) so both engines
+    extract from identical bytes without staging files; the expressions
+    under test are exactly the ones a real WET/WARC text-extraction pass
+    runs. Order matters and is part of the contract: comments first
+    (their payload may contain '<'), then tags, then entity unescape
+    (so unescaped '<' cannot create fake tags), then whitespace.
+
+    Scale shape: pure map-side regexp/replace chain — codegen, zero
+    shuffle, embarrassingly parallel; the natural first stage of the
+    one-fused-scan ingest plan (compose with d31_unicode_clean and the
+    quality gates in a single select)."""
+    d = Catalog(spark, sf_dir).documents
+    markup = F.concat(
+        F.lit("<html><body><h1>doc</h1><p>"),
+        F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                F.lit("<"),
+                F.lit("&lt;"),
+            ),
+            F.lit(". "),
+            F.lit(".</p>\n<p>"),
+        ),
+        F.lit("</p><!-- footer --></body></html>"),
+    )
+    no_comments = F.regexp_replace(markup, F.lit(r"(?s)<!--.*?-->"), F.lit(" "))
+    no_tags = F.regexp_replace(no_comments, F.lit(r"<[^>]*>"), F.lit(" "))
+    unescaped = F.replace(
+        F.replace(
+            F.replace(no_tags, F.lit("&lt;"), F.lit("<")),
+            F.lit("&amp;"),
+            F.lit("&"),
+        ),
+        F.lit("&nbsp;"),
+        F.lit(" "),
+    )
+    clean = F.trim(
+        F.regexp_replace(unescaped, F.lit(r"[ \t\n\r\f\v]+"), F.lit(" "))
+    )
+    return (
+        d.select("doc_id", clean.alias("t"))
+        .select(
+            "doc_id",
+            F.length("t").cast("long").alias("clean_len"),
+            F.md5("t").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
