@@ -1344,7 +1344,13 @@ def d34_repro_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate to 3 rows. The same trick verifies a migration (old vs new
     cluster), a compaction (d35_compact_files must preserve it), and a
     format change — any content-preserving transform must fix-point it."""
-    d = Catalog(spark, sf_dir).documents
+    return repro_fingerprint(Catalog(spark, sf_dir).documents)
+
+
+def repro_fingerprint(d: DataFrame) -> DataFrame:
+    """Fingerprint over any documents-shaped DataFrame — factored out so
+    the partition-INVARIANCE claim in the docstring above is itself a
+    tested property (same result under any repartitioning)."""
     t = d.select(
         F.when(hash_bucket(F.col("doc_id")) < 80, "train")
         .when(hash_bucket(F.col("doc_id")) < 90, "val")

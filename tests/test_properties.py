@@ -435,3 +435,36 @@ def test_jpeg_walker_never_raises():
         assert out is None or len(out) == 3
 
     mutate()
+
+
+def test_repro_fingerprint_partition_invariant(spark):
+    """The reproducibility fingerprint must be IDENTICAL under any input
+    partitioning — the property that makes it a valid cross-cluster /
+    cross-run change detector (XOR aggregation is order-free)."""
+    from conceptnetwork_spark.operators.pipeline import repro_fingerprint
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = repro_fingerprint(docs.repartition(3)).collect()
+    b = repro_fingerprint(docs.repartition(17, "lang")).collect()
+    c = repro_fingerprint(docs.coalesce(1)).collect()
+    assert a == b == c, "fingerprint depends on partitioning"
+
+
+def test_unicode_clean_idempotent():
+    """clean(clean(x)) == clean(x): the NFC + control-scrub + whitespace
+    canonicalization must be a projection (idempotent), or re-running the
+    ingest would keep changing bytes and every downstream content hash."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from conceptnetwork_spark.operators.text import _nfc_clean_series
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=80))
+    def check(s):
+        once = _nfc_clean_series(pd.Series([s]))[0]
+        twice = _nfc_clean_series(pd.Series([once]))[0]
+        assert once == twice
+
+    check()
