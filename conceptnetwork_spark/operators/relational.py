@@ -2598,3 +2598,56 @@ def d10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# D14 extension — LOCF forward fill (last_value IGNORE NULLS)
+# --------------------------------------------------------------------------
+@register(
+    "d14_locf_fill",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE ROUND(value, 4) END AS reading
+      FROM events WHERE user_id < 50
+    )
+    SELECT event_id,
+           reading,
+           last_value(reading IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM e ORDER BY event_id
+    """,
+)
+def d14_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF forward fill (last observation carried forward): readings
+    masked out on error events are repaired with the user's most recent
+    valid value — ``last(..., ignorenulls=True)`` over a running frame,
+    the standard gap-repair for sensor/metric streams (the step-function
+    complement to d14_linear_interpolate's time-weighted repair). Leading
+    nulls (no prior observation) stay null by definition. Total
+    (ts, event_id) ordering makes the fill deterministic.
+
+    Scale shape: one shuffle on user_id, one WindowExec pass holding a
+    single scalar of state per key — O(n) per partition, no join against
+    a 'last known values' table (which is how this is mis-built when the
+    window form isn't known)."""
+    e = Catalog(spark, sf_dir).events.where(F.col("user_id") < 50).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.round("value", 4)
+        ).alias("reading"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "reading",
+        F.last("reading", ignorenulls=True).over(w).alias("filled"),
+    ).orderBy("event_id")
