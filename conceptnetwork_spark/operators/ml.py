@@ -473,3 +473,53 @@ def d33_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(float(best_reg), metrics[0], metrics[1])],
         "best_reg_param double, mse_reg0 double, mse_reg100 double",
     )
+
+
+# --------------------------------------------------------------------------
+# D33 extension — seeded ALS collaborative filtering (the iterative
+# distributed factorization workload: block-partitioned alternating solves)
+# --------------------------------------------------------------------------
+@register("d33_als_recs", oracle=None)
+def d33_als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded ALS over the customer x part purchase matrix (implicit
+    feedback: summed lineitem quantities): rank-4 factorization, then the
+    top-1 recommendation per customer for the first 20 customers.
+    Non-oracle (block-solve numerics are engine-internal); pytest pins
+    seed determinism and full scored coverage of the requested users.
+
+    Scale shape: THE canonical iterative-shuffle workload — each
+    half-iteration solves per-user (then per-item) least squares with
+    only the factor blocks it needs exchanged; MLlib block-partitions
+    both factor matrices, so network cost per iteration is O(ratings),
+    not O(users x items). Checkpointing every N iterations truncates the
+    lineage the same way the CC fixpoint (graph.py) does."""
+    from pyspark.ml.recommendation import ALS
+
+    li = Catalog(spark, sf_dir).lineitem
+    ratings = (
+        li.join(Catalog(spark, sf_dir).orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=4,
+        maxIter=5,
+        seed=42,
+        regParam=0.1,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        implicitPrefs=True,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    users = ratings.select("user").distinct().where(F.col("user") < 20)
+    recs = model.recommendForUserSubset(users, 1)
+    return recs.select(
+        "user",
+        F.col("recommendations")[0]["item"].alias("top_item"),
+        F.round(F.col("recommendations")[0]["rating"], 4).alias("score"),
+    ).orderBy("user")

@@ -146,7 +146,8 @@ CERT_FIRST: tuple[str, ...] = (
     "d35_partition_stats",
 )
 # Round-4 wave additions NOT in this round's 50-slot window
-# (pytest-oracle-green now, the declared ROUND-5 rotation — 22 queries):
+# (pytest-oracle-green now, the declared ROUND-5 rotation — 47 oracle
+# queries; count cross-checked against CERTIFIED.md's never-checked set):
 # d02_group_sample (per-domain cap), d31_hash_features (hashing-trick
 # featurization), d35_schema_evolution (mergeSchema read),
 # d25_stream_semi_join (stream-stream LEFT SEMI join),
@@ -199,7 +200,8 @@ CERT_FIRST: tuple[str, ...] = (
 # d14_locf_fill (last_value IGNORE NULLS forward fill, step repair).
 # Non-oracle, pytest-pinned: d33_cross_validation (seeded 2-fold CV,
 # determinism + unregularized-winner assertions), d11_freq_items
-# (KPS heavy hitters, no-false-negative property).
+# (KPS heavy hitters, no-false-negative property), d33_als_recs
+# (seeded rank-4 implicit ALS, determinism + coverage).
 # Non-oracle by design, pytest-pinned: d33_logreg_auc (seeded linear
 # probe over embeddings, determinism + AUC-floor assertions),
 # d33_kmeans (seeded k-means||, determinism + scatter-reduction

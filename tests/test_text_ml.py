@@ -355,3 +355,16 @@ def test_freq_items_contains_true_mode(spark):
         .o_orderpriority
     )
     assert true_mode in got, f"{true_mode} not in {got}"
+
+
+def test_als_deterministic_and_better_than_chance(spark):
+    """Seeded ALS must reproduce exactly run-to-run and emit a scored
+    top-1 recommendation for every requested user (coldStart=drop means
+    a missing score would silently shrink the output)."""
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    a = [r.asDict() for r in queries()["d33_als_recs"](spark, SF_SMOKE).collect()]
+    b = [r.asDict() for r in queries()["d33_als_recs"](spark, SF_SMOKE).collect()]
+    assert a == b, "seeded ALS must be deterministic"
+    assert len(a) > 0 and all(r["score"] is not None for r in a)
