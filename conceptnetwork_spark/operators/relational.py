@@ -2651,3 +2651,59 @@ def d14_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reading",
         F.last("reading", ignorenulls=True).over(w).alias("filled"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# D12 extension — grouping flags (data-NULL vs subtotal-NULL disambiguation)
+# --------------------------------------------------------------------------
+@register(
+    "d12_grouping_flags",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderpriority AS prio,
+             NULLIF(o_orderstatus, 'O') AS status,  -- REAL nulls in the data
+             o_totalprice
+      FROM orders
+    )
+    SELECT COALESCE(prio, '(all)') AS prio,
+           COALESCE(status, '(n/a)') AS status,
+           CAST(GROUPING(prio) AS INTEGER) AS g_prio,
+           CAST(GROUPING(status) AS INTEGER) AS g_status,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM src GROUP BY ROLLUP(prio, status)
+    ORDER BY g_prio, g_status, prio, status
+    """,
+)
+def d12_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with ``grouping()`` flags over a column that contains REAL
+    nulls (status 'O' nulled out): without the flags, a data-null group
+    row and a subtotal row are indistinguishable — the classic rollup
+    correctness trap. The flags separate them exactly; the COALESCE
+    labels make the distinction visible in the output and the hash.
+
+    Scale shape: same Expand + partial/final aggregate as d12_rollup —
+    grouping flags are free metadata bits of the Expand projection, not
+    extra computation."""
+    src = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.nullif("o_orderstatus", F.lit("O")).alias("status"),
+        "o_totalprice",
+    )
+    return (
+        src.rollup("prio", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.grouping("prio").cast("int").alias("g_prio"),
+            F.grouping("status").cast("int").alias("g_status"),
+        )
+        .select(
+            F.coalesce("prio", F.lit("(all)")).alias("prio"),
+            F.coalesce("status", F.lit("(n/a)")).alias("status"),
+            "g_prio",
+            "g_status",
+            "n",
+            "revenue",
+        )
+        .orderBy("g_prio", "g_status", "prio", "status")
+    )

@@ -197,7 +197,8 @@ CERT_FIRST: tuple[str, ...] = (
 # d29_incremental_dedup (new-batch-vs-corpus-index admit/reject verdict),
 # d10_histogram (equi-width profile, width_bucket parity),
 # d31_html_strip (comment/tag strip + entity unescape, md5 byte oracle),
-# d14_locf_fill (last_value IGNORE NULLS forward fill, step repair).
+# d14_locf_fill (last_value IGNORE NULLS forward fill, step repair),
+# d12_grouping_flags (data-null vs subtotal-null disambiguation).
 # Non-oracle, pytest-pinned: d33_cross_validation (seeded 2-fold CV,
 # determinism + unregularized-winner assertions), d11_freq_items
 # (KPS heavy hitters, no-false-negative property), d33_als_recs
