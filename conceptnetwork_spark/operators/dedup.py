@@ -489,12 +489,13 @@ def d29_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the ingest log is auditable.
 
     Scale shape: the corpus side reduces to its distinct hash INDEX
-    (16-byte keys — the thing a production pipeline keeps materialized
+    (16-byte keys — the thing a production pipeline keeps MATERIALIZED
     between runs instead of rescanning 100 TB of text); the batch
     deduplicates within itself via one hash-groupBy, then a LEFT ANTI
-    join against the index. Batch << corpus, so the batch side
-    broadcasts; the corpus index shuffles at most once and is reusable
-    across every future batch."""
+    join against the index. The anti join shuffles only 16-byte keys on
+    both sides; with the index stored bucketed by hash (d03_bucketed_join
+    layout) the index side never reshuffles across batches, and each
+    ingest pays one small-batch shuffle."""
     d = Catalog(spark, sf_dir).documents
     corpus_idx = (
         d.where(F.col("doc_id") < INCR_SPLIT)
