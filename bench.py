@@ -139,6 +139,7 @@ HEADLINE = [
     "d31_html_strip",
     "d14_locf_fill",
     "d12_grouping_flags",
+    "d19_try_arithmetic",
     # d33_cross_validation is swept, not headlined: a timed min-of-3 would
     # re-fit 2 folds x 2 grid params three times (training cost, not query
     # cost) — same policy as d33_gbt_mse / the multi-batch stream queries.

@@ -2707,3 +2707,61 @@ def d12_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_prio", "g_status", "prio", "status")
     )
+
+
+# --------------------------------------------------------------------------
+# D19 extension — error-safe arithmetic (try_cast / try_divide):
+# dirty-data numerics that degrade to NULL instead of failing the job
+# --------------------------------------------------------------------------
+@register(
+    "d19_try_arithmetic",
+    oracle="""
+    WITH src AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 3 = 0
+                  THEN CAST(p_size AS VARCHAR) || 'x'
+                  ELSE CAST(p_size AS VARCHAR) END AS raw_size,
+             p_size, p_retailprice
+      FROM part
+    )
+    SELECT p_partkey,
+           TRY_CAST(raw_size AS BIGINT) AS parsed_size,
+           ROUND(CASE WHEN p_size - 7 = 0 THEN NULL
+                      ELSE p_retailprice / (p_size - 7) END, 4)
+             AS price_per_unit,
+           (TRY_CAST(raw_size AS BIGINT) IS NULL) AS parse_failed
+    FROM src ORDER BY p_partkey
+    """,
+)
+def d19_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe numerics over dirty input: ``try_cast`` turns unparseable
+    strings into NULL (a third of the rows carry a trailing junk char by
+    construction) and ``try_divide`` turns division-by-zero into NULL —
+    the ANSI-mode-safe spellings that let a 100 TB job survive the bad
+    0.001% of a crawl instead of dying at hour nine (the row-level
+    complement to the file-level DROPMALFORMED of d01_*_corrupt). The
+    parse_failed flag makes the salvage rate auditable downstream.
+
+    Scale shape: pure map-side codegen expressions, no shuffle; NULLs
+    flow through later aggregates for free (count vs count(col) gives
+    the salvage rate with no extra pass)."""
+    src = Catalog(spark, sf_dir).part.select(
+        "p_partkey",
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(F.col("p_size").cast("string"), F.lit("x")),
+        )
+        .otherwise(F.col("p_size").cast("string"))
+        .alias("raw_size"),
+        "p_size",
+        "p_retailprice",
+    )
+    parsed = F.col("raw_size").try_cast("long")
+    return src.select(
+        "p_partkey",
+        parsed.alias("parsed_size"),
+        F.round(
+            F.try_divide(F.col("p_retailprice"), F.col("p_size") - 7), 4
+        ).alias("price_per_unit"),
+        parsed.isNull().alias("parse_failed"),
+    ).orderBy("p_partkey")

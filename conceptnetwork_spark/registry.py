@@ -198,11 +198,14 @@ CERT_FIRST: tuple[str, ...] = (
 # d10_histogram (equi-width profile, width_bucket parity),
 # d31_html_strip (comment/tag strip + entity unescape, md5 byte oracle),
 # d14_locf_fill (last_value IGNORE NULLS forward fill, step repair),
-# d12_grouping_flags (data-null vs subtotal-null disambiguation).
+# d12_grouping_flags (data-null vs subtotal-null disambiguation),
+# d19_try_arithmetic (try_cast/try_divide dirty-data salvage, audited).
 # Non-oracle, pytest-pinned: d33_cross_validation (seeded 2-fold CV,
 # determinism + unregularized-winner assertions), d11_freq_items
 # (KPS heavy hitters, no-false-negative property), d33_als_recs
-# (seeded rank-4 implicit ALS, determinism + coverage).
+# (seeded rank-4 implicit ALS, determinism + coverage),
+# d26_late_drop_metrics (numRowsDroppedByWatermark as a queryable
+# observable, measured post-aggregation semantics pinned).
 # Non-oracle by design, pytest-pinned: d33_logreg_auc (seeded linear
 # probe over embeddings, determinism + AUC-floor assertions),
 # d33_kmeans (seeded k-means||, determinism + scatter-reduction

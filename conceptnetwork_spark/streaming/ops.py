@@ -2023,3 +2023,113 @@ def d25_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_id").asc_nulls_last(),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D26 extension — late-data DROP METRICS (numRowsDroppedByWatermark as a
+# first-class, queryable observable)
+# --------------------------------------------------------------------------
+LATE_CUTOFF = "2024-01-10 00:00:00"  # batch 0: on-time rows before this
+LATE_OLD = "2024-01-02 00:00:00"  # batch 1 re-emits rows before this (late)
+
+
+def _stage_late_metrics(spark: SparkSession, sf_dir: str) -> str:
+    """THREE-batch staging (the late-input filter lags the watermark by
+    one batch — measured here and pinned by the D26 behavior test, so a
+    late row is only filtered once it arrives two batches after the rows
+    that advanced the watermark): batch 0 = all events before LATE_CUTOFF
+    (advances the watermark to max(ts) - delay at its commit); batch 1 =
+    a re-emit of the final pre-cutoff day (advancer — keeps the committed
+    watermark in place and makes it the FILTER watermark for batch 2);
+    batch 2 RE-EMITS every event before LATE_OLD with its original
+    timestamp — each arrives more than a week below the filter watermark,
+    so the state store must count every one of their windows in
+    numRowsDroppedByWatermark (the metric counts rows REACHING the state
+    operator — after partial+merge aggregation that is one row per
+    expired window, not one per raw late input row; measured and
+    pinned)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"cn_spark_latem_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(stage):
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        cut = pc.strptime(LATE_CUTOFF, format="%Y-%m-%d %H:%M:%S", unit="ns")
+        adv = pc.strptime("2024-01-09 00:00:00", format="%Y-%m-%d %H:%M:%S", unit="ns")
+        old = pc.strptime(LATE_OLD, format="%Y-%m-%d %H:%M:%S", unit="ns")
+        tmp = f"{stage}.{uuid.uuid4().hex[:8]}.tmp"
+        os.makedirs(tmp)
+        pq.write_table(
+            t.filter(pc.field("ts") < cut), os.path.join(tmp, "b0_ontime.parquet")
+        )
+        pq.write_table(
+            t.filter((pc.field("ts") >= adv) & (pc.field("ts") < cut)),
+            os.path.join(tmp, "b1_advance.parquet"),
+        )
+        pq.write_table(
+            t.filter(pc.field("ts") < old), os.path.join(tmp, "b2_late.parquet")
+        )
+        now = os.path.getmtime(os.path.join(tmp, "b0_ontime.parquet"))
+        os.utime(os.path.join(tmp, "b0_ontime.parquet"), (now - 120, now - 120))
+        os.utime(os.path.join(tmp, "b1_advance.parquet"), (now - 60, now - 60))
+        os.utime(os.path.join(tmp, "b2_late.parquet"), (now, now))
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return stage
+
+
+@register("d26_late_drop_metrics", oracle=None)
+def d26_late_drop_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data drop accounting: run a watermarked windowed aggregate over
+    a three-batch stream whose final batch is ENTIRELY late (a week below
+    the filter watermark) and surface the state store's
+    ``numRowsDroppedByWatermark`` as a queryable one-row result, next to
+    the emitted-window count. This is the observability half of the D26
+    late-data contract: the behavior tests pin WHAT is dropped;
+    this operator certifies the pipeline can REPORT how much was
+    dropped — the metric an ingest SLO alerts on at 100 TB. Non-oracle
+    (progress metrics are engine-internal); pytest pins the exact
+    expected drop count from the staged content.
+
+    Scale shape: metrics come from StreamingQueryProgress (driver-side,
+    O(batches) tiny dicts) — zero extra data-path cost."""
+    stage = _stage_late_metrics(spark, sf_dir)
+    schema = spark.read.parquet(stage).schema
+    table = f"latem_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{table}")
+    agg = (
+        fix_nanos(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage),
+            "events",
+        )
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q, 120)
+    dropped = sum(
+        int(so.get("numRowsDroppedByWatermark", 0))
+        for p in q.recentProgress
+        for so in p.get("stateOperators", [])
+    )
+    emitted = spark.table(table).count()
+    return spark.createDataFrame(
+        [(dropped, emitted)], "late_rows_dropped long, windows_emitted long"
+    )

@@ -180,3 +180,26 @@ def test_update_mode_multi_emission(spark):
         f"update log {n_log} rows == {n_windows} distinct windows: "
         "no window was re-emitted; parity staging is not multi-batch"
     )
+
+
+def test_late_drop_metrics_exact_count(spark):
+    """numRowsDroppedByWatermark counts rows reaching the STATE STORE —
+    after partial+merge aggregation that is exactly one row per expired
+    window, so the reported drops must equal the number of DISTINCT
+    hour-windows among the staged late rows (measured semantics; the raw
+    late-row count is larger), and finalized windows must have been
+    emitted."""
+    from pyspark.sql import functions as F
+
+    row = queries()["d26_late_drop_metrics"](spark, SF_SMOKE).collect()[0]
+    expected = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .where(F.col("ts") < "2024-01-02 00:00:00")
+        .select(F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+        .count()
+    )
+    assert row.late_rows_dropped == expected, (
+        f"dropped {row.late_rows_dropped} != distinct late windows {expected}"
+    )
+    assert row.windows_emitted > 0
