@@ -140,6 +140,7 @@ HEADLINE = [
     "d14_locf_fill",
     "d12_grouping_flags",
     "d19_try_arithmetic",
+    "d30_matryoshka_knn",
     # d33_cross_validation is swept, not headlined: a timed min-of-3 would
     # re-fit 2 folds x 2 grid params three times (training cost, not query
     # cost) — same policy as d33_gbt_mse / the multi-batch stream queries.

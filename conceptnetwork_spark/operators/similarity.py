@@ -765,3 +765,77 @@ def d30_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "vec_id", "ip")
         .orderBy("qid", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# D30 extension — truncated-dimension (matryoshka-style) retrieval
+# --------------------------------------------------------------------------
+MATRYOSHKA_DIMS = 16
+
+
+@register(
+    "d30_matryoshka_knn",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding[1:{MATRYOSHKA_DIMS}] AS qvec
+      FROM embeddings WHERE vec_id >= 10 AND vec_id < 15
+    ),
+    c AS (
+      SELECT vec_id, embedding[1:{MATRYOSHKA_DIMS}] AS cvec FROM embeddings
+    ),
+    scored AS (
+      SELECT q.qid, c.vec_id,
+             ROUND(
+               list_sum(list_transform(list_zip(q.qvec, c.cvec),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qvec,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.cvec,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+      FROM q JOIN c ON c.vec_id <> q.qid
+    )
+    SELECT qid, rank, vec_id, sim FROM (
+      SELECT qid, vec_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY qid, rank
+    """,
+)
+def d30_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension retrieval (matryoshka-style): exact cosine
+    top-10 using only the FIRST 16 of 64 dimensions — the coarse-search
+    trick nested-representation embeddings enable (score cheap on a
+    prefix, re-rank survivors on full dims; 4x less vector I/O and
+    arithmetic in the scan stage). Oracle-exact on the truncated space;
+    the recall-vs-full-dims floor is pytest-pinned separately (prefix
+    dims of the synthetic embeddings still carry the planted cluster
+    signal).
+
+    Scale shape: identical broadcast-queries plan to d30_knn_exact, but
+    the corpus projection is slice(embedding, 1, 16) — pushed into the
+    scan projection, so a columnar store with sub-array pruning (or a
+    pre-materialized prefix column) reads a quarter of the vector
+    bytes."""
+    e = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", F.slice("embedding", 1, MATRYOSHKA_DIMS).alias("cvec")
+    )
+    q = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 15)).select(
+        F.col("vec_id").alias("qid"), F.col("cvec").alias("qvec")
+    )
+    scored = e.join(F.broadcast(q), F.col("qid") != F.col("vec_id")).withColumn(
+        "sim",
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+            4,
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("qid", "rank", "vec_id", "sim")
+        .orderBy("qid", "rank")
+    )

@@ -199,7 +199,8 @@ CERT_FIRST: tuple[str, ...] = (
 # d31_html_strip (comment/tag strip + entity unescape, md5 byte oracle),
 # d14_locf_fill (last_value IGNORE NULLS forward fill, step repair),
 # d12_grouping_flags (data-null vs subtotal-null disambiguation),
-# d19_try_arithmetic (try_cast/try_divide dirty-data salvage, audited).
+# d19_try_arithmetic (try_cast/try_divide dirty-data salvage, audited),
+# d30_matryoshka_knn (truncated-dim prefix retrieval, exact on 16/64).
 # Non-oracle, pytest-pinned: d33_cross_validation (seeded 2-fold CV,
 # determinism + unregularized-winner assertions), d11_freq_items
 # (KPS heavy hitters, no-false-negative property), d33_als_recs

@@ -172,3 +172,35 @@ def test_semantic_dedup_drops_planted_duplicates(spark, tmp_path):
     # seeded determinism: a second run returns the identical decision set
     again = d30_semantic_dedup(spark, str(sf)).collect()
     assert out == again
+
+
+def test_matryoshka_prefix_recall_vs_full(spark):
+    """Truncated-dim (16/64) top-10 must overlap the full-dim exact
+    top-10 well above chance. The synthetic embeddings spread the
+    planted signal evenly across dims, so a 16/64 prefix keeps ~1/4 of
+    it: floor 0.15 (measured 0.24; chance is 10/500 = 0.02, so the floor
+    is still 7x chance)."""
+    from conceptnetwork_spark.operators.similarity import cosine_topk
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    import pyspark.sql.functions as F
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 15)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    full = cosine_topk(q, e, k=10)
+    full_sets = {}
+    for r in full.collect():
+        full_sets.setdefault(r.qid, set()).add(r.vec_id)
+    trunc = queries()["d30_matryoshka_knn"](spark, SF_SMOKE).collect()
+    trunc_sets = {}
+    for r in trunc:
+        trunc_sets.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [
+        len(full_sets[q_] & trunc_sets[q_]) / len(full_sets[q_])
+        for q_ in full_sets
+    ]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.15, f"prefix recall@10 {avg:.2f} below floor"
