@@ -146,8 +146,9 @@ CERT_FIRST: tuple[str, ...] = (
     "d35_partition_stats",
 )
 # Round-4 wave additions NOT in this round's 50-slot window
-# (pytest-oracle-green now, the declared ROUND-5 rotation — 47 oracle
-# queries; count cross-checked against CERTIFIED.md's never-checked set):
+# (pytest-oracle-green now, the declared ROUND-5 rotation — 50 oracle
+# queries, exactly one more full window; count cross-checked against
+# CERTIFIED.md's never-checked set):
 # d02_group_sample (per-domain cap), d31_hash_features (hashing-trick
 # featurization), d35_schema_evolution (mergeSchema read),
 # d25_stream_semi_join (stream-stream LEFT SEMI join),
