@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline declared queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line with per-query wall-clock seconds.
+and prints per-query wall-clock seconds: a full-detail JSON line followed by
+a compact (<1 KB) summary JSON line LAST, so a tail-capture that truncates
+long lines always retains a parseable record (see _emit).
 
 Each query is fully materialized via a count() on the final plan (no
 collect of payload rows to the driver). A warm-up scan primes the JVM and
@@ -171,20 +173,31 @@ def sweep(spark, sf_dir: str) -> None:
             failures.append(name)
             print(f"# FAIL {name}: {ex}", file=sys.stderr)
     total = round(sum(t for t in timings.values() if t > 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "full_sweep_one_shot_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "n_queries": len(timings),
-                "failures": failures,
-            }
-        )
+    _emit(
+        metric="full_sweep_one_shot_wall_clock",
+        total=total,
+        timings=timings,
+        extra={"n_queries": len(timings), "failures": failures},
     )
     if failures:  # a regressed query must NOT look like a faster sweep
         sys.exit(1)
+
+
+def _emit(metric: str, total: float, timings: dict[str, float], extra: dict) -> None:
+    """Truncation-proof record: the driver tail-captures stdout, so a single
+    multi-KB JSON line can lose its HEAD (BENCH_r04.json lost the total and
+    ~40 queries that way). Emit the full per-query detail FIRST, then a
+    compact summary (total + the 20 slowest queries, <1 KB) as the LAST
+    stdout line — whatever the capture keeps, the summary line parses."""
+    detail = {"metric": metric + "_detail", "value": total, "unit": "sec",
+              "queries": timings, **extra}
+    print(json.dumps(detail))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+    summary = {"metric": metric, "value": total, "unit": "sec",
+               "queries": slowest, "n_queries": len(timings),
+               "queries_note": "20 slowest; full detail on previous line",
+               **extra}
+    print(json.dumps(summary))
 
 
 def main() -> None:
@@ -223,16 +236,11 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
+    _emit(
+        metric="headline_queries_total_wall_clock",
+        total=total,
+        timings=timings,
+        extra={"sf": float(sf) if sf else None},
     )
     spark.stop()
 

@@ -1271,14 +1271,16 @@ def d31_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
              || '</p><!-- footer --></body></html>' AS markup
       FROM documents
     ), stripped AS (
+      -- comments FIRST, then tags (the documented contract: a comment
+      -- payload containing '>' must not leave a half-stripped tag behind)
       SELECT doc_id,
              trim(regexp_replace(
                replace(replace(replace(
-                 regexp_replace(markup, '<!--.*?-->', ' ', 'gs'),
+                 regexp_replace(markup, '<[^>]*>', ' ', 'g'),
                  '&lt;', '<'), '&amp;', '&'), '&nbsp;', ' '),
                '\\s+', ' ', 'g'), ' ') AS t
       FROM (SELECT doc_id,
-                   regexp_replace(markup, '<[^>]*>', ' ', 'g') AS markup
+                   regexp_replace(markup, '<!--.*?-->', ' ', 'gs') AS markup
             FROM html)
     )
     SELECT doc_id, length(t) AS clean_len, md5(t) AS clean_md5

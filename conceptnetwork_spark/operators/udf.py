@@ -496,8 +496,11 @@ def _scored_price(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     the execution shape for scoring with a real model where per-batch
     reload would dominate."""
     coef, intercept = 1.07, -4.25  # "loaded model" — once per worker
+    # no rounding HERE: pandas .round is banker's (half-to-even), which
+    # breaks the repo-wide HALF_UP contract on an exact .xxxx5 tie — the
+    # caller applies F.round in its select like every other operator
     for prices in batches:
-        yield (prices * coef + intercept).round(4)
+        yield prices * coef + intercept
 
 
 @register(
@@ -522,7 +525,10 @@ def d22_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     return (
         o.where(F.col("o_orderkey") < 20000)
-        .select("o_orderkey", _scored_price(F.col("o_totalprice")).alias("scored"))
+        .select(
+            "o_orderkey",
+            F.round(_scored_price(F.col("o_totalprice")), 4).alias("scored"),
+        )
         .orderBy("o_orderkey")
     )
 

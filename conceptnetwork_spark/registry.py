@@ -72,146 +72,72 @@ _LOADED = False
 # Certification-first ordering. The driver's CORRECTNESS window checks the
 # FIRST 50 registry entries, so this list ROTATES per round: it leads with
 # oracle queries that have never hash-matched in any prior driver window
-# (cumulative ledger: CERTIFIED.md), then re-certifications of fixed
-# queries, then canaries — one previously-green query per component not
-# already represented. All 50 slots carry oracles; D11's approx sketches
-# are oracle-less BY DESIGN (5%-tolerance pytest instead) and deliberately
-# stay outside the window. ROUND-4 window: 49 never-checked oracle
-# queries (the 32 from the round-3 plan + 4 round-4 headliners + 13 from
-# the later waves, taking the slots of canaries whose components are
-# already multiply-certified with r2/r3 recency) + the
-# d34_dataprep_summary re-cert (round-3's one red row, oracle CAST
-# fixed). The later round-4 waves grew the registry past 50 unchecked,
-# so the ledger closes over r4+r5 instead of r4 alone; the r5 remainder
-# is the comment list below.
+# (cumulative ledger: CERTIFIED.md). All 50 slots carry oracles; D11's
+# approx sketches are oracle-less BY DESIGN (5%-tolerance pytest instead)
+# and _load_all() pins every oracle-less query to the registry TAIL so no
+# driver window can ever sample one into an oracle comparison.
+#
+# ROUND-5 window: exactly the 50 remaining never-driver-checked oracle
+# queries (cross-checked against CORRECTNESS_r01–r04 hash_match rows by
+# tools/make_certified.py). A green round closes the ledger at 214/214 —
+# every oracle-backed query driver-certified at least once.
 CERT_FIRST: tuple[str, ...] = (
-    # -- the final 32 never-driver-checked oracle queries --
-    "d01_orc_source",
-    "d01_partitioned_read",
-    "d01_csv_corrupt",
-    "d01_python_datasource",
-    "d02_domain_mix",
-    "d09_group_mode",
-    "d10_observed_scan",
-    "d13_percent_rank",
-    "d14_rolling_median",
-    "d14_zscore_outliers",
-    "d16_except_all",
-    "d17_levenshtein",
-    "d24_mapinarrow",
-    "d24_python_udtf",
-    "d25_stream_upsert",
-    "d25_stream_outer_join",
-    "d26_append_finalize",
-    "d27_retention",
-    "d29_pagerank_2iter",
-    "d29_triangle_count",
-    "d29_decontaminate",
-    "d31_pii_redact",
-    "d31_unigram_logprob",
-    "d31_ngram_profile",
-    "d31_vocab_topk",
-    "d31_chunk_text",
-    "d32_audio_decode",
-    "d35_snapshot_at",
-    "d35_mv_merge",
-    "d35_snapshot_diff",
-    "d35_compact_files",
-    "d35_zorder_key",
-    # -- re-certification: round-3's one red row, oracle CAST fixed (1) --
-    "d34_dataprep_summary",
-    # -- NEW in round 4 (4): weighted sampling, skew report, funnel,
-    #    deterministic global shuffle --
-    "d02_weighted_sample",
-    "d10_skew_report",
-    "d27_funnel",
-    "d34_global_shuffle",
-    # -- 13 more never-driver-checked queries in place of canaries: every
-    #    component those canaries covered (D04/D06/D08/D18-D21/D33) already
-    #    holds >=2 cumulative certifications with r2/r3 recency, so the
-    #    slots go to first-time certifications instead — one per component
-    #    wherever a component still had an unchecked member --
-    "d05_null_safe_join",
-    "d07_interval_join",
-    "d14_running_distinct",
-    "d16_intersect_all",
-    "d22_iter_udf",
-    "d23_cogrouped_map",
-    "d24_posexplode",
-    "d27_dynamic_gap_session",
-    "d28_dedup_within_watermark",
-    "d30_mips_topk",
-    "d32_jpeg_meta",
-    "d34_shard_manifest",
-    "d35_partition_stats",
+    "d01_binary_source",
+    "d01_dynamic_pruning",
+    "d01_json_corrupt",
+    "d01_text_source",
+    "d02_group_sample",
+    "d02_temperature_mix",
+    "d03_bucketed_join",
+    "d03_join_hints",
+    "d10_corr_matrix",
+    "d10_histogram",
+    "d10_psi_drift",
+    "d12_grouping_flags",
+    "d12_unpivot",
+    "d14_linear_interpolate",
+    "d14_locf_fill",
+    "d14_mad_outliers",
+    "d14_time_range_sum",
+    "d15_paginate",
+    "d19_decimal_exact",
+    "d19_try_arithmetic",
+    "d21_map_funcs",
+    "d22_arrow_udf",
+    "d23_grouped_arrow",
+    "d24_inline",
+    "d25_stream_full_outer",
+    "d25_stream_right_outer",
+    "d25_stream_semi_join",
+    "d26_chained_agg",
+    "d26_update_mode",
+    "d27_attribution",
+    "d27_top_paths",
+    "d29_incremental_dedup",
+    "d30_filtered_knn",
+    "d30_matryoshka_knn",
+    "d30_range_search",
+    "d31_block_dedup",
+    "d31_gopher_filter",
+    "d31_hash_features",
+    "d31_html_strip",
+    "d31_keywords",
+    "d31_langid_eval",
+    "d31_unicode_clean",
+    "d33_standard_scaler",
+    "d34_dataset_card",
+    "d34_repro_fingerprint",
+    "d34_token_budget",
+    "d35_cdc_deletes",
+    "d35_dynamic_overwrite",
+    "d35_schema_evolution",
+    "d35_write_audit_publish",
 )
-# Round-4 wave additions NOT in this round's 50-slot window
-# (pytest-oracle-green now, the declared ROUND-5 rotation — 50 oracle
-# queries, exactly one more full window; count cross-checked against
-# CERTIFIED.md's never-checked set):
-# d02_group_sample (per-domain cap), d31_hash_features (hashing-trick
-# featurization), d35_schema_evolution (mergeSchema read),
-# d25_stream_semi_join (stream-stream LEFT SEMI join),
-# d01_text_source (spark.read.text vs DuckDB read_text, same staged files),
-# d01_binary_source (binaryFile whole-file ingest vs read_blob/read_text),
-# d14_linear_interpolate (time-weighted gap repair, one WindowExec),
-# d26_update_mode (UPDATE output mode, parity-split multi-batch state),
-# d27_attribution (join-free last-touch credit assignment),
-# d34_token_budget (per-domain greedy-until-exceed mixture enforcement),
-# d30_filtered_knn (pre-filter metadata kNN, equi-key broadcast),
-# d31_block_dedup (repeated 12-word-block removal, ownership window),
-# d10_corr_matrix (C(n,2) Pearson correlations in one aggregate pass),
-# d30_range_search (similarity-floor radius search, window-free),
-# d02_temperature_mix (alpha=0.5 language rebalancing, data-derived
-# IEEE-exact keep rates, md5-bucket admission),
-# d26_chained_agg (hourly->daily chained stateful aggregation, Spark-4
-# multi-stateful-operator support, closed-form watermark oracle),
-# d25_stream_full_outer (stream-stream FULL OUTER — completes the join
-# matrix; per-side eviction bounds measured at two SFs),
-# d35_cdc_deletes (tombstone-aware last-change-wins MERGE),
-# d35_write_audit_publish (staged write, checksum audit, atomic rename),
-# d35_dynamic_overwrite (partition-scoped backfill, dynamic mode),
-# d23_grouped_arrow (Spark-4 applyInArrow grouped map),
-# d31_keywords (integer-exact tf/df keyword top-k),
-# d12_unpivot (melt via Expand, inverse of d12_pivot),
-# d10_psi_drift (population-stability drift gate, smoothed bins),
-# d34_dataset_card (per-slice datasheet stats, exact percentiles),
-# d31_unicode_clean (NFC + control scrub, byte-equality md5 oracle),
-# d22_arrow_udf (useArrow=True row-semantics UDF, completes the ladder),
-# d31_gopher_filter (published Gopher quality-rule battery),
-# d14_mad_outliers (median/MAD robust outlier twin of zscore),
-# d14_time_range_sum (interval-bounded RANGE frame, epoch-us exact),
-# d27_top_paths (frequent first-3 event journeys, one-shuffle agg),
-# d24_inline (typed generator over array<struct>, fused field select),
-# d03_join_hints (merge-hint strategy override, plan-asserted SMJ),
-# d15_paginate (total-order OFFSET/LIMIT page, keyset guidance),
-# d19_decimal_exact (DECIMAL(18,4) money sums, canonical-string oracle),
-# d31_langid_eval (confusion matrix + per-class recall of lang-ID),
-# d03_bucketed_join (bucket-aligned SMJ + agg, zero hash exchanges),
-# d01_dynamic_pruning (runtime partition filter injected from the dim),
-# d34_repro_fingerprint (order-independent XOR content fingerprint),
-# d01_json_corrupt (DROPMALFORMED NDJSON vs ignore_errors, same bytes),
-# d33_standard_scaler (closed-form z-score oracle for a real Estimator),
-# d21_map_funcs (map_from_entries/map_filter/transform_values/explode),
-# d25_stream_right_outer (fifth stream-join type; purchase-side eviction
-# bound reused verbatim from the measured full-outer),
-# d29_incremental_dedup (new-batch-vs-corpus-index admit/reject verdict),
-# d10_histogram (equi-width profile, width_bucket parity),
-# d31_html_strip (comment/tag strip + entity unescape, md5 byte oracle),
-# d14_locf_fill (last_value IGNORE NULLS forward fill, step repair),
-# d12_grouping_flags (data-null vs subtotal-null disambiguation),
-# d19_try_arithmetic (try_cast/try_divide dirty-data salvage, audited),
-# d30_matryoshka_knn (truncated-dim prefix retrieval, exact on 16/64).
-# Non-oracle, pytest-pinned: d33_cross_validation (seeded 2-fold CV,
-# determinism + unregularized-winner assertions), d11_freq_items
-# (KPS heavy hitters, no-false-negative property), d33_als_recs
-# (seeded rank-4 implicit ALS, determinism + coverage),
-# d26_late_drop_metrics (numRowsDroppedByWatermark as a queryable
-# observable, measured post-aggregation semantics pinned).
-# Non-oracle by design, pytest-pinned: d33_logreg_auc (seeded linear
-# probe over embeddings, determinism + AUC-floor assertions),
-# d33_kmeans (seeded k-means||, determinism + scatter-reduction
-# assertions, size-ranked output invariant to cluster-id assignment).
+# Every oracle-backed query outside this window already holds >=1 driver
+# hash-match (r1-r4; ledger: CERTIFIED.md). The 23 oracle-less queries are
+# pytest-pinned instead (tolerance / recall / determinism / equivalence
+# assertions; see non_oracle_queries()) and are ordered after ALL
+# oracle-backed queries, so a driver oracle window can never sample them.
 
 
 def _load_all() -> None:
@@ -256,9 +182,25 @@ def _load_all() -> None:
     missing = [n for n in CERT_FIRST if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"CERT_FIRST names not registered: {missing}")
+    # three tiers: certification window, then the remaining oracle-backed
+    # queries, then ALL oracle-less queries — a driver window (first-N
+    # sample) therefore only ever sees queries it can actually hash-check
     ordered = {n: REGISTRY[n] for n in CERT_FIRST}
+    ordered.update(
+        (n, d) for n, d in REGISTRY.items() if n not in ordered and d.oracle is not None
+    )
     ordered.update((n, d) for n, d in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)
 
     _LOADED = True
+
+
+def non_oracle_queries() -> dict[str, str]:
+    """The declared-by-design oracle-less queries (approx sketches, seeded
+    ML, recall-tested ANN, streaming metrics) with their docstrings — each
+    carries a pytest assertion (tolerance / recall / determinism) instead of
+    a DuckDB hash oracle, and sorts after every oracle-backed query so the
+    driver's first-N oracle window never samples one."""
+    _load_all()
+    return {d.name: d.doc for d in REGISTRY.values() if d.oracle is None}

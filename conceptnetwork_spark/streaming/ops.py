@@ -1476,7 +1476,8 @@ ATTR_WINDOW_S = 7 * 86400  # attribution lookback: 7 days
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
            strftime(lv, '%Y-%m-%d %H:%M:%S') AS last_view_s,
            CAST(CASE WHEN lv IS NOT NULL
-                      AND epoch(ts) - epoch(lv) <= {ATTR_WINDOW_S}
+                      AND epoch_us(ts) - epoch_us(lv)
+                          <= {ATTR_WINDOW_S} * CAST(1000000 AS BIGINT)
                      THEN 1 ELSE 0 END AS BIGINT) AS attributed
     FROM a WHERE event_type = 'purchase'
     ORDER BY purchase_id
@@ -1515,11 +1516,15 @@ def d27_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.date_format("ts", _TS_FMT).alias("ts_s"),
             F.date_format("lv", _TS_FMT).alias("last_view_s"),
+            # integer MICROseconds on both sides (oracle: epoch_us) — a
+            # seconds-cast truncates sub-second gap components and flips
+            # purchases within ~1 s of exactly 7 days (the d14_time_range_sum
+            # divergence class)
             F.when(
                 F.col("lv").isNotNull()
                 & (
-                    F.col("ts").cast("long") - F.col("lv").cast("long")
-                    <= ATTR_WINDOW_S
+                    F.unix_micros("ts") - F.unix_micros("lv")
+                    <= ATTR_WINDOW_S * 1_000_000
                 ),
                 1,
             )
