@@ -33,6 +33,13 @@ def get_spark(
     ``master``/``shuffle_partitions`` default from ``SPARK_GRAFT_CPUS`` so the
     same entry points serve tests (local[*]) and the driver's bench.
     """
+    # vendored-protobuf fallback must be on PYTHONPATH BEFORE the JVM (and
+    # therefore its Python workers) launches — transformWithStateInPandas'
+    # state client imports google.protobuf inside the worker process
+    from conceptnetwork_spark.protoshim import ensure_protobuf
+
+    ensure_protobuf()
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"

@@ -131,10 +131,14 @@ def run_stateful_totals(
 # --------------------------------------------------------------------------
 def _twsp_available() -> bool:
     """transformWithStateInPandas needs the StatefulProcessor API (Spark 4+)
-    AND google.protobuf (its state-server wire protocol). protobuf is not in
-    this container, so the query registers only where the dependency exists
-    (any real Spark 4 cluster); the applyInPandasWithState path below covers
-    the custom-stateful surface either way and is oracle-checked."""
+    AND google.protobuf (its state-server wire protocol). The container
+    ships no protobuf, so ensure_protobuf() falls back to the vendored
+    pure-Python runtime (conceptnetwork_spark/vendor/, public wire-format
+    implementation) — a real installation always takes precedence."""
+    from conceptnetwork_spark.protoshim import ensure_protobuf
+
+    if not ensure_protobuf():
+        return False
     try:
         from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
             StatefulProcessor,
@@ -164,6 +168,13 @@ def run_first_seen_stats(
         StructType,
         TimestampType,
     )
+
+    from conceptnetwork_spark.protoshim import ship_to_workers
+
+    # the state client runs in the Python WORKER; if the vendored protobuf
+    # shim is active, ship it there (addPyFile) in case this session's JVM
+    # predates ensure_protobuf()'s PYTHONPATH export
+    ship_to_workers(spark)
 
     class FirstSeenProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
