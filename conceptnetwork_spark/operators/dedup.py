@@ -87,7 +87,14 @@ def minhash_signatures(
     measured 40% SLOWER here (2.0 s vs 1.4 s at sf0.1): Spark evaluates
     higher-order-function lambdas interpreted per element, while the explode
     form's hash-aggregate min updates are whole-stage-codegen'd. The shuffle
-    it saves is only signature-sized, so codegen wins."""
+    it saves is only signature-sized, so codegen wins.
+
+    At-scale persistence policy: the OUTPUT of this function (num_hashes
+    longs per doc) is the only LSH intermediate that may ever be persisted
+    or checkpointed — callers must never cache the exploded shingle
+    relation (corpus-sized × shingle fan-out; it exists only inside this
+    one partial+final aggregate and never leaves the stage). See
+    d29_minhash_near_dup for the enforcing persist(MEMORY_AND_DISK)."""
     base = ensure_parallelism(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
     sh = base.select(
         "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), shingle_n))).alias("sh")
@@ -185,6 +192,8 @@ def d29_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy dedup pipeline: shingle -> minhash -> banded LSH -> exact
     Jaccard verify on candidates. Non-oracle (LSH banding is engine-defined);
     pytest checks pair-recall against planted near-dups."""
+    from pyspark import StorageLevel
+
     d = Catalog(spark, sf_dir).documents
     # persist the two small intermediates: signatures feed both sides of the
     # LSH self-join, and the candidate set is referenced three times by the
@@ -192,8 +201,19 @@ def d29_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization Spark recomputes the whole shingle->hash pipeline per
     # reference. Both are tiny relative to the corpus (#docs x 33 longs and
     # the LSH-pruned pair list), so this is cheap at any scale.
-    sigs = minhash_signatures(d).persist()
-    cands = lsh_candidate_pairs(sigs).persist()
+    #
+    # Cache discipline (the guard, not just a note): MEMORY_AND_DISK, never
+    # MEMORY_ONLY — at 100 TB an evicted MEMORY_ONLY partition silently
+    # re-runs the whole shingle->hash pipeline for that partition (the
+    # exact recompute the persist exists to prevent), while DISK spill
+    # costs one sequential write of signature-sized rows. ONLY derived
+    # narrow tables (signatures, candidate ids) are ever persisted; raw
+    # shingles stay inside the single codegen'd aggregate and are never
+    # cached or shuffled (see minhash_signatures). At petabyte corpus
+    # sizes, swap persist() for a parquet checkpoint of the SAME
+    # signature relation — the shape is already storage-friendly.
+    sigs = minhash_signatures(d).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidate_pairs(sigs).persist(StorageLevel.MEMORY_AND_DISK)
     return jaccard_verify(d, cands, threshold=0.5).orderBy("doc_a", "doc_b")
 
 
