@@ -94,7 +94,7 @@ def minhash_signatures(
     or checkpointed — callers must never cache the exploded shingle
     relation (corpus-sized × shingle fan-out; it exists only inside this
     one partial+final aggregate and never leaves the stage). See
-    d29_minhash_near_dup for the enforcing persist(MEMORY_AND_DISK)."""
+    d29_minhash_near_dup for the enforcing persist(MEMORY_AND_DISK_DESER)."""
     base = ensure_parallelism(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
     sh = base.select(
         "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), shingle_n))).alias("sh")
@@ -202,7 +202,8 @@ def d29_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference. Both are tiny relative to the corpus (#docs x 33 longs and
     # the LSH-pruned pair list), so this is cheap at any scale.
     #
-    # Cache discipline (the guard, not just a note): MEMORY_AND_DISK, never
+    # Cache discipline (the guard, not just a note): an explicit
+    # MEMORY_AND_DISK_DESER (the deserialized disk-spilling level), never
     # MEMORY_ONLY — at 100 TB an evicted MEMORY_ONLY partition silently
     # re-runs the whole shingle->hash pipeline for that partition (the
     # exact recompute the persist exists to prevent), while DISK spill
@@ -212,8 +213,8 @@ def d29_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached or shuffled (see minhash_signatures). At petabyte corpus
     # sizes, swap persist() for a parquet checkpoint of the SAME
     # signature relation — the shape is already storage-friendly.
-    sigs = minhash_signatures(d).persist(StorageLevel.MEMORY_AND_DISK)
-    cands = lsh_candidate_pairs(sigs).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(d).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    cands = lsh_candidate_pairs(sigs).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     return jaccard_verify(d, cands, threshold=0.5).orderBy("doc_a", "doc_b")
 
 

@@ -134,12 +134,13 @@ CERT_FIRST: tuple[str, ...] = (
     "d35_write_audit_publish",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r4; ledger: CERTIFIED.md) — except d25_first_seen_tws,
-# newly REGISTERED in round 5 (the vendored pure-Python protobuf runtime,
-# conceptnetwork_spark/vendor/, unblocked transformWithStateInPandas in
-# this container). The window was already full with the 50 pre-existing
-# unchecked queries, so it is the single declared carry-over into the r6
-# window. The 23 oracle-less queries are pytest-pinned instead (tolerance
+# hash-match (r1-r4; ledger: CERTIFIED.md) — except the three
+# transformWithStateInPandas queries REGISTERED in round 5 after the
+# vendored pure-Python protobuf runtime (conceptnetwork_spark/vendor/)
+# unblocked the API in this container: d25_first_seen_tws (ValueState),
+# d25_topk_tws (ListState), d25_type_counts_tws (MapState). The window
+# was already full with the 50 pre-existing unchecked queries, so these
+# three are the declared carry-over into the r6 window. The 23 oracle-less queries are pytest-pinned instead (tolerance
 # / recall / determinism / equivalence assertions; see
 # non_oracle_queries()) and are ordered after ALL oracle-backed queries,
 # so a driver oracle window can never sample them.

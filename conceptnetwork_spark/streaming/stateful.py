@@ -205,6 +205,38 @@ def run_first_seen_stats(
         def close(self) -> None:
             pass
 
+    raw = _run_tws_update_log(
+        spark,
+        sf_dir,
+        FirstSeenProcessor(),
+        "user_id long, first_seen timestamp, n_events long",
+        n_files,
+    )
+    from pyspark.sql import functions as F
+
+    return (
+        raw.groupBy("user_id")
+        .agg(
+            F.max_by("first_seen", "n_events").alias("first_seen"),
+            F.max("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _run_tws_update_log(
+    spark: SparkSession,
+    sf_dir: str,
+    processor,
+    output_schema: str,
+    n_files: int,
+) -> DataFrame:
+    """Shared transformWithStateInPandas harness: stage events as n_files
+    parquet files, replay with maxFilesPerTrigger=1 (one micro-batch per
+    file), run ``processor`` grouped by user_id in UPDATE mode against the
+    RocksDB state store, and return the raw update LOG from the memory
+    sink (one emission per key per batch it appeared in — callers reduce
+    to the final emission, typically via max_by on a monotone counter)."""
     ev = Catalog(spark, sf_dir).events
     stage = os.path.join(
         tempfile.gettempdir(), f"tws_src_{uuid.uuid4().hex[:8]}"
@@ -217,7 +249,7 @@ def run_first_seen_stats(
         .parquet(stage),
         "events",
     )
-    table = f"first_seen_{uuid.uuid4().hex[:8]}"
+    table = f"tws_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{table}")
     # transformWithState requires the RocksDB state store (bundled in
     # Spark 4); scope it + a key-sized state partition count to this query
@@ -234,8 +266,8 @@ def run_first_seen_stats(
         q = (
             stream.groupBy("user_id")
             .transformWithStateInPandas(
-                FirstSeenProcessor(),
-                outputStructType="user_id long, first_seen timestamp, n_events long",
+                processor,
+                outputStructType=output_schema,
                 outputMode="Update",
                 timeMode="None",
             )
@@ -255,17 +287,7 @@ def run_first_seen_stats(
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
-    from pyspark.sql import functions as F
-
-    return (
-        spark.table(table)
-        .groupBy("user_id")
-        .agg(
-            F.max_by("first_seen", "n_events").alias("first_seen"),
-            F.max("n_events").alias("n_events"),
-        )
-        .orderBy("user_id")
-    )
+    return spark.table(table)
 
 
 # Explicit, LOUD gating (not a silent conditional): TWSP_AVAILABLE is the
@@ -324,3 +346,197 @@ def d25_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n_events", F.round("sum_value", 4).alias("sum_value")
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# D25 TWS extensions (round 5) — the OTHER typed-state primitives unlocked
+# by the vendored protobuf shim: ListState (bounded top-k buffer) and
+# MapState (per-subkey counters). Together with d25_first_seen_tws's
+# ValueState these certify the full transformWithState state surface (and,
+# incidentally, every ListStateCall/MapStateCall arm of the shim's wire
+# protocol) against DuckDB oracles.
+# --------------------------------------------------------------------------
+def run_topk_values(
+    spark: SparkSession, sf_dir: str, n_files: int = 3
+) -> DataFrame:
+    """Per-user top-3 event values via a typed ListState holding at most 3
+    doubles: each batch merges its values into the buffer and writes back
+    with put() — the bounded-buffer pattern (reservoir / beam-search /
+    leaderboard state) that ValueState can't express without packing and
+    MapState would over-key. State per user is 3 doubles regardless of
+    history length — the 100 TB story is the bound itself."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    class TopKProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState(
+                "topk", StructType([StructField("v", DoubleType())])
+            )
+            self._seen = handle.getValueState(
+                "seen", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = [t[0] for t in self._top.get()] if self._top.exists() else []
+            (n,) = self._seen.get() if self._seen.exists() else (0,)
+            for pdf in rows:
+                n += len(pdf)
+                cur.extend(float(v) for v in pdf["value"])
+                cur = sorted(cur, reverse=True)[:3]
+            self._top.put([(v,) for v in cur])
+            self._seen.update((n,))
+            padded = cur + [None] * (3 - len(cur))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_seen": [n],
+                    "v1": [padded[0]],
+                    "v2": [padded[1]],
+                    "v3": [padded[2]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    raw = _run_tws_update_log(
+        spark,
+        sf_dir,
+        TopKProcessor(),
+        "user_id long, n_seen long, v1 double, v2 double, v3 double",
+        n_files,
+    )
+    from pyspark.sql import functions as F
+
+    final = raw.groupBy("user_id").agg(
+        F.max("n_seen").alias("n_seen"),
+        F.max_by("v1", "n_seen").alias("v1"),
+        F.max_by("v2", "n_seen").alias("v2"),
+        F.max_by("v3", "n_seen").alias("v3"),
+    )
+    return final.orderBy("user_id")
+
+
+def run_type_counts(
+    spark: SparkSession, sf_dir: str, n_files: int = 3
+) -> DataFrame:
+    """Per-(user, event_type) counts via a typed MapState keyed on the
+    event_type string: exercises containsKey / getValue / updateValue /
+    iterator — the per-subkey counter pattern (feature counters, per-device
+    stats) where ValueState would force a full read-modify-write of every
+    subkey on each batch. State grows with DISTINCT subkeys per user, not
+    with events."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    class TypeCountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts",
+                StructType([StructField("t", StringType())]),
+                StructType([StructField("n", LongType())]),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for t, d in pdf.groupby("event_type")["event_type"].count().items():
+                    cur = (
+                        self._counts.getValue((t,))[0]
+                        if self._counts.containsKey((t,))
+                        else 0
+                    )
+                    self._counts.updateValue((t,), (cur + int(d),))
+            items = sorted((t[0], n[0]) for t, n in self._counts.iterator())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(items),
+                    "event_type": [t for t, _ in items],
+                    "n_events": [n for _, n in items],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    raw = _run_tws_update_log(
+        spark,
+        sf_dir,
+        TypeCountProcessor(),
+        "user_id long, event_type string, n_events long",
+        n_files,
+    )
+    from pyspark.sql import functions as F
+
+    # final emission per (user, type) = max count (counts are monotone)
+    return (
+        raw.groupBy("user_id", "event_type")
+        .agg(F.max("n_events").alias("n_events"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+if TWSP_AVAILABLE:
+
+    @register(
+        "d25_topk_tws",
+        oracle="""
+        WITH r AS (
+          SELECT user_id, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY value DESC, event_id
+                 ) AS rk,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n_seen
+          FROM events
+        )
+        SELECT user_id, n_seen,
+               ROUND(MAX(CASE WHEN rk = 1 THEN value END), 4) AS v1,
+               ROUND(MAX(CASE WHEN rk = 2 THEN value END), 4) AS v2,
+               ROUND(MAX(CASE WHEN rk = 3 THEN value END), 4) AS v3
+        FROM r GROUP BY user_id, n_seen ORDER BY user_id
+        """,
+    )
+    def d25_topk_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Typed ListState bounded buffer, oracle-checked end to end: the
+        per-user top-3 values surviving a 3-micro-batch replay must equal
+        the batch window top-3 — cross-batch buffer merge is load-bearing
+        (any batch may hold any of the top values). The top-3 is a
+        VALUE multiset, so equal-value ties cannot diverge between
+        engines."""
+        from pyspark.sql import functions as F
+
+        out = run_topk_values(spark, sf_dir, n_files=3)
+        return out.select(
+            "user_id",
+            "n_seen",
+            F.round("v1", 4).alias("v1"),
+            F.round("v2", 4).alias("v2"),
+            F.round("v3", 4).alias("v3"),
+        ).orderBy("user_id")
+
+    @register(
+        "d25_type_counts_tws",
+        oracle="""
+        SELECT user_id, event_type, COUNT(*) AS n_events
+        FROM events GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
+        """,
+    )
+    def d25_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Typed MapState per-subkey counters, oracle-checked end to end:
+        per-(user, event_type) counts accumulated across 3 micro-batches
+        must equal the batch GROUP BY — containsKey/getValue/updateValue/
+        iterator round-trips through the state server are load-bearing for
+        every row."""
+        return run_type_counts(spark, sf_dir, n_files=3)
