@@ -540,3 +540,199 @@ if TWSP_AVAILABLE:
         iterator round-trips through the state server are load-bearing for
         every row."""
         return run_type_counts(spark, sf_dir, n_files=3)
+
+
+# --------------------------------------------------------------------------
+# D25 TWS extension (round 5, wave 2) — EVENT-TIME TIMERS, the last arm of
+# the transformWithState API surface (and of the shim's wire protocol:
+# TimerStateCallCommand register/list/delete + ExpiryTimerRequest).
+# --------------------------------------------------------------------------
+# Cohort maturation horizon: 29.5 days against the events table's ~30-day
+# span, so the watermark threshold (max ts - horizon) lands INSIDE the
+# per-user first-seen distribution — some users mature, some are
+# withheld, at every scale factor (the split is data-derived).
+MATURE_HORIZON_MS = 29 * 86_400_000 + 43_200_000
+TWS_TIMER_FILES = 4
+
+
+def _stage_time_chunks(spark: SparkSession, sf_dir: str, n: int) -> str:
+    """Stage events as n TIME-CONTIGUOUS parquet chunks (global sort by
+    (ts, event_id), chunk = rn*n div total) with ascending mtimes, so the
+    event-time watermark advances monotonically across micro-batches and
+    timer firing is DETERMINISTIC — the oracle recomputes the same chunk
+    boundaries in SQL. Idempotent per sf_dir."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"tws_timechunks_{os.path.basename(sf_dir.rstrip('/'))}_{n}",
+    )
+    if os.path.exists(stage):
+        return stage
+    ev = Catalog(spark, sf_dir).events
+    total = ev.count()
+    w = Window.orderBy("ts", "event_id")
+    chunked = ev.withColumn("rn", F.row_number().over(w) - 1).withColumn(
+        "chunk", F.expr(f"(rn * {n}) div {total}")
+    )
+    tmp = f"{stage}.{uuid.uuid4().hex[:8]}.tmp"
+    os.makedirs(tmp)
+    import pyarrow.parquet as pq
+
+    for i in range(n):
+        part = chunked.where(F.col("chunk") == i).drop("rn", "chunk").toPandas()
+        # write MICROsecond timestamps: pandas' default ns unit would land
+        # as parquet TIMESTAMP(NANOS), which this session's nanosAsLong
+        # config reads back as BIGINT — breaking withWatermark
+        part["ts"] = part["ts"].dt.tz_localize("UTC").dt.as_unit("us")
+        path = os.path.join(tmp, f"b{i}.parquet")
+        part.to_parquet(path, index=False)
+        base = os.path.getmtime(path)
+        os.utime(path, (base + i - n, base + i - n))
+    try:
+        os.rename(tmp, stage)
+    except OSError:  # concurrent stager won
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return stage
+
+
+def run_cohort_maturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cohort maturation via EVENT-TIME TIMERS: the first batch a
+    user appears in registers one timer at first_seen + 5 days; when the
+    watermark (advanced by later micro-batches) passes it, the timer fires
+    and the user's maturation row is emitted exactly once. Users whose
+    horizon outruns the final watermark are withheld — the streaming
+    analogue of append-mode window finalization, but driven by an explicit
+    per-key timer instead of a window operator."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    from conceptnetwork_spark.protoshim import ship_to_workers
+
+    ship_to_workers(spark)
+
+    class CohortProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._first = handle.getValueState(
+                "first", StructType([StructField("first_ts", TimestampType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                if not self._first.exists():
+                    first_ts = pdf["ts"].min()
+                    self._first.update((first_ts,))
+                    self._handle.registerTimer(
+                        int(first_ts.value // 1_000_000) + MATURE_HORIZON_MS
+                    )
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (first_ts,) = self._first.get()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "first_seen": [first_ts]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    stage = _stage_time_chunks(spark, sf_dir, TWS_TIMER_FILES)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withWatermark("ts", "0 seconds")
+    )
+    table = f"tws_timer_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{table}")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            stream.groupBy("user_id")
+            .transformWithStateInPandas(
+                CohortProcessor(),
+                outputStructType="user_id long, first_seen timestamp",
+                outputMode="Append",
+                timeMode="EventTime",
+            )
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q, 180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    return spark.table(table)
+
+
+if TWSP_AVAILABLE:
+
+    @register(
+        "d25_cohort_timer_tws",
+        # Closed-form oracle for EVENT-TIME TIMER firing, empirically pinned
+        # (round 5): under trigger(availableNow) Spark runs a FINAL NO-DATA
+        # micro-batch in which timers are evaluated against the final
+        # watermark W = max(all ts) - delay (delay 0 here). A timer fires
+        # iff its expiry (ms) <= W (ms) — measured with a discriminating
+        # horizon where the no-final-batch hypothesis predicts 0 firings
+        # and the final-batch hypothesis predicts all 150; observed: all
+        # 150. Millisecond floors on both sides mirror registerTimer's ms
+        # resolution.
+        oracle=f"""
+        WITH firstu AS (
+          SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+        ), wm AS (SELECT MAX(ts) AS mx FROM events)
+        SELECT user_id,
+               strftime(first_ts, '%Y-%m-%d %H:%M:%S') AS first_seen_s
+        FROM firstu, wm
+        WHERE epoch_us(first_ts) // 1000 + {MATURE_HORIZON_MS}
+              <= epoch_us(mx) // 1000
+        ORDER BY user_id
+        """,
+    )
+    def d25_cohort_timer_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """EVENT-TIME TIMERS end to end, oracle-checked: each user's first
+        batch registers one timer at first_seen + 29.5 days; the timer
+        fires once the watermark passes it (for this horizon, in the final
+        no-data batch) and emits the maturation row exactly once. Users
+        whose horizon outruns the final watermark are withheld — the
+        per-key-timer analogue of append-mode window finalization. The
+        29.5-day horizon vs the ~30-day event span puts the threshold
+        inside the first-seen distribution, so the fired/withheld split is
+        non-trivial at every sf. Completes the transformWithState surface:
+        ValueState (d25_first_seen_tws), ListState (d25_topk_tws),
+        MapState (d25_type_counts_tws), timers (this query)."""
+        from pyspark.sql import functions as F
+
+        out = run_cohort_maturation(spark, sf_dir)
+        return out.select(
+            "user_id",
+            F.date_format("first_seen", "yyyy-MM-dd HH:mm:ss").alias(
+                "first_seen_s"
+            ),
+        ).orderBy("user_id")
