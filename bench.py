@@ -143,6 +143,10 @@ HEADLINE = [
     "d12_grouping_flags",
     "d19_try_arithmetic",
     "d30_matryoshka_knn",
+    # round-5 additions (the TWS queries and d01_python_stream_source are
+    # swept, not headlined — multi-micro-batch machinery, same policy as
+    # the other streaming queries)
+    "d24_arrow_native_udtf",
     # d33_cross_validation is swept, not headlined: a timed min-of-3 would
     # re-fit 2 folds x 2 grid params three times (training cost, not query
     # cost) — same policy as d33_gbt_mse / the multi-batch stream queries.

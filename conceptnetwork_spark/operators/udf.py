@@ -694,3 +694,69 @@ def d24_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "metric", F.round("value", 4).alias("value"))
         .orderBy("p_partkey", "metric")
     )
+
+
+# --------------------------------------------------------------------------
+# D24 extension (round 5) — ARROW-NATIVE UDTF (Spark 4.1 ``arrow_udtf``):
+# the table function receives whole pyarrow RecordBatches and yields
+# pyarrow Tables — true vectorized compute, no per-row Python, completing
+# the UDTF ladder (row UDTF d24_python_udtf -> arrow batches here).
+# --------------------------------------------------------------------------
+def _make_part_stats_arrow_udtf():
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udtf
+
+    @arrow_udtf(returnType="p_partkey bigint, name_len bigint, n_words bigint, tier bigint")
+    class PartStats:
+        def eval(self, batch: pa.RecordBatch):
+            import pyarrow.compute as pc
+
+            name = batch.column("p_name")
+            yield pa.table(
+                {
+                    "p_partkey": batch.column("p_partkey"),
+                    "name_len": pc.utf8_length(name).cast(pa.int64()),
+                    "n_words": pc.add(
+                        pc.count_substring(name, " "), 1
+                    ).cast(pa.int64()),
+                    "tier": pc.floor(
+                        pc.divide(batch.column("p_retailprice"), 100.0)
+                    ).cast(pa.int64()),
+                }
+            )
+
+    return PartStats
+
+
+@register(
+    "d24_arrow_native_udtf",
+    oracle="""
+    SELECT p_partkey,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           CAST(array_length(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+           CAST(FLOOR(p_retailprice / 100.0) AS BIGINT) AS tier
+    FROM part WHERE p_partkey < 600
+    ORDER BY p_partkey
+    """,
+)
+def d24_arrow_native_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4.1 ARROW-NATIVE UDTF: ``eval`` receives whole pyarrow
+    RecordBatches and yields pyarrow Tables built with pyarrow.compute
+    kernels (utf8_length / count_substring / floor) — zero per-row Python,
+    the vectorized end of the D24 generator ladder. The DuckDB oracle
+    recomputes every column, so batch iteration, Arrow kernel semantics,
+    and the table-argument (``df.asTable()``) calling convention are all
+    on the hash. The div-by-100 tier uses IEEE double division in both
+    engines, so the floor is bit-identical.
+
+    Scale shape: one Python crossing per Arrow batch with columnar
+    kernels inside — same data path as mapInArrow; the id filter is
+    applied BEFORE ``asTable()`` so it stays JVM-side below the
+    crossing."""
+    PartStats = _make_part_stats_arrow_udtf()
+    p = (
+        Catalog(spark, sf_dir)
+        .part.where(F.col("p_partkey") < 600)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+    return PartStats(p.asTable()).orderBy("p_partkey")

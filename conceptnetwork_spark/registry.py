@@ -139,9 +139,11 @@ CERT_FIRST: tuple[str, ...] = (
 # vendored pure-Python protobuf runtime (conceptnetwork_spark/vendor/)
 # unblocked the API in this container: d25_first_seen_tws (ValueState),
 # d25_topk_tws (ListState), d25_type_counts_tws (MapState), and
-# d25_cohort_timer_tws (event-time timers). The window was already full
-# with the 50 pre-existing unchecked queries, so these four are the
-# declared carry-over into the r6 window. The 23 oracle-less queries
+# d25_cohort_timer_tws (event-time timers) — plus two round-5 Spark-4.1
+# API additions: d01_python_stream_source (SimpleDataSourceStreamReader)
+# and d24_arrow_native_udtf (pyarrow-native UDTF). The window was
+# already full with the 50 pre-existing unchecked queries, so these six
+# are the declared carry-over into the r6 window. The 23 oracle-less queries
 # are pytest-pinned instead (tolerance / recall / determinism /
 # equivalence assertions; see non_oracle_queries()) and are ordered
 # after ALL oracle-backed queries, so a driver oracle window can never

@@ -90,3 +90,106 @@ def d01_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return df.where(F.col("v") < 50).orderBy("i")
+
+
+# --------------------------------------------------------------------------
+# D1/D25 bridge (round 5) — the STREAMING side of the Python data source
+# API: SimpleDataSourceStreamReader (driver-side prefetch, offset dict
+# bookkeeping, deterministic replay via readBetweenOffsets).
+# --------------------------------------------------------------------------
+STREAM_CHUNK = 4_096
+
+
+class _SynthRangeStreamReader:
+    """Bounded deterministic stream: each read() returns the next chunk of
+    the same closed-form rows the batch reader generates, as
+    (iterator, next_offset); past n it returns an empty iterator with an
+    unchanged offset (a quiesced source). readBetweenOffsets regenerates
+    any committed range exactly — the replayability contract that makes
+    the source usable with checkpoint recovery."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", SYNTH_N))
+        self.chunk = int(options.get("chunk", STREAM_CHUNK))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def read(self, start):
+        lo = start["offset"]
+        hi = min(lo + self.chunk, self.n)
+        # a LIST, not a generator: the prefetched batch is pickled into the
+        # driver-side cache for replay, and generators don't pickle
+        return ([(i, (i * i) % 97) for i in range(lo, hi)], {"offset": hi})
+
+    def readBetweenOffsets(self, start, end):
+        return [(i, (i * i) % 97) for i in range(start["offset"], end["offset"])]
+
+    def commit(self, end):
+        pass
+
+
+def _simple_stream_reader(self, schema):
+    return _SynthRangeStreamReader(self.options)
+
+
+# attach to the same source class: one format name ("synthrange") serves
+# spark.read AND spark.readStream, exactly like a built-in connector
+SynthRangeSource.simpleStreamReader = _simple_stream_reader
+
+
+@register(
+    "d01_python_stream_source",
+    oracle=f"""
+    SELECT CAST(i AS BIGINT) AS i,
+           CAST((i * i) % 97 AS BIGINT) AS v
+    FROM range(0, {SYNTH_N}) t(i)
+    WHERE (i * i) % 97 < 50
+    ORDER BY i
+    """,
+)
+def d01_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python source read as a STREAM (Spark-4
+    SimpleDataSourceStreamReader): offsets advance one chunk per
+    micro-batch, the memory sink accumulates until the bounded source
+    quiesces, and the final content must equal the batch read — the same
+    closed-form oracle as d01_python_datasource, so offset bookkeeping,
+    chunked prefetch, and stream-side type mapping are all on the hash.
+
+    Scale shape: the Simple reader variant prefetches on the DRIVER — the
+    right trade for low-volume control-plane feeds (this source's use
+    case); high-volume sources implement the partitioned streamReader the
+    same way the batch reader plans partitions."""
+    import time as _time
+    import uuid as _uuid
+
+    register_python_source(spark)
+    stream = (
+        spark.readStream.format("synthrange")
+        .option("n", str(SYNTH_N))
+        .option("chunk", str(STREAM_CHUNK))
+        .load()
+        .where(F.col("v") < 50)
+    )
+    name = f"pystream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # bounded source: stop once every chunk has been ingested (the source
+    # quiesces at n; expected row count is known in closed form)
+    expected = sum(1 for i in range(SYNTH_N) if (i * i) % 97 < 50)
+    deadline = _time.time() + 120
+    try:
+        while _time.time() < deadline:
+            if spark.table(name).count() >= expected:
+                break
+            _time.sleep(0.5)
+        else:
+            raise TimeoutError(f"stream never reached {expected} rows")
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("i")
