@@ -181,10 +181,12 @@ def _load_all() -> None:
         import warnings
 
         warnings.warn(
-            "d25_first_seen_tws (transformWithStateInPandas) NOT "
-            "registered: google.protobuf is unavailable in this "
-            "environment; the operator is implemented and oracle-backed "
-            "but requires cluster deps",
+            "the four transformWithStateInPandas queries "
+            "(d25_first_seen_tws, d25_topk_tws, d25_type_counts_tws, "
+            "d25_cohort_timer_tws) NOT registered: no usable protobuf "
+            "runtime (neither a real google.protobuf install nor the "
+            "vendored shim imported); the operators are implemented and "
+            "oracle-backed",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -782,3 +782,17 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k in confs:
             spark.conf.unset(k)
+
+
+def test_d24_arrow_udtf_filter_below_python_crossing(spark):
+    """The Arrow-native UDTF plan must keep the id filter JVM-side BELOW
+    the ArrowEvalPythonUDTF crossing (pushed to the parquet scan) and
+    prune the part schema to the three consumed columns — the Python
+    boundary only ever sees pre-filtered Arrow batches."""
+    plan = _plan(spark, "d24_arrow_native_udtf")
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "PushedFilters" in plan and "p_partkey" in plan
+    assert "p_comment" not in plan  # pruned
+    crossing = plan.index("ArrowEvalPythonUDTF")
+    scan = plan.index("Scan parquet")
+    assert scan > crossing  # tree prints top-down: scan (leaf) below UDTF
