@@ -131,3 +131,66 @@ def test_twsp_registered_in_this_environment():
     assert stateful.TWSP_AVAILABLE
     assert "d25_first_seen_tws" in registry.queries()
     assert "d25_first_seen_tws" in registry.oracles()
+
+
+def test_property_roundtrip_random_messages():
+    """Property: for randomized field assignments over the real generated
+    message types (nested oneofs, repeated bytes/messages, int64 extremes,
+    unicode strings), ParseFromString(SerializeToString()) reproduces the
+    message exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    sm = _sm()
+
+    small = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+    big = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    blob = st.binary(max_size=64)
+    text = st.text(max_size=32)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        status=small,
+        err=text,
+        values=st.lists(blob, max_size=5),
+        rnf=st.booleans(),
+        timers=st.lists(st.tuples(blob, big), max_size=4),
+        name=text,
+        dur=big,
+    )
+    def check(status, err, values, rnf, timers, name, dur):
+        lg = sm.StateResponseWithListGet(
+            statusCode=status, errorMessage=err, value=values, requireNextFetch=rnf
+        )
+        back = sm.StateResponseWithListGet()
+        back.ParseFromString(lg.SerializeToString())
+        assert back.statusCode == status
+        assert back.errorMessage == err
+        assert back.value == list(values)
+        assert back.requireNextFetch is rnf
+
+        tr = sm.StateResponseWithTimer(
+            statusCode=status,
+            timer=[sm.TimerInfo(key=k, timestampMs=t) for k, t in timers],
+        )
+        tb = sm.StateResponseWithTimer()
+        tb.ParseFromString(tr.SerializeToString())
+        assert [(t.key, t.timestampMs) for t in tb.timer] == [
+            (k, t) for k, t in timers
+        ]
+
+        req = sm.StateRequest(
+            version=status,
+            statefulProcessorCall=sm.StatefulProcessorCall(
+                getValueState=sm.StateCallCommand(
+                    stateName=name, schema=err, ttl=sm.TTLConfig(durationMs=dur)
+                )
+            ),
+        )
+        rb = sm.StateRequest()
+        rb.ParseFromString(req.SerializeToString())
+        assert rb == req
+        assert rb.statefulProcessorCall.getValueState.stateName == name
+        assert rb.statefulProcessorCall.getValueState.ttl.durationMs == dur
+        assert rb.WhichOneof("method") == "statefulProcessorCall"
+
+    check()
