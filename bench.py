@@ -147,6 +147,7 @@ HEADLINE = [
     # swept, not headlined — multi-micro-batch machinery, same policy as
     # the other streaming queries)
     "d24_arrow_native_udtf",
+    "d17_collation",
     # d33_cross_validation is swept, not headlined: a timed min-of-3 would
     # re-fit 2 folds x 2 grid params three times (training cost, not query
     # cost) — same policy as d33_gbt_mse / the multi-batch stream queries.

@@ -393,3 +393,52 @@ def d21_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared.select("user_id", F.explode("m").alias("event_type", "share"))
         .orderBy("user_id", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# D17 extension (round 5) — COLLATION-AWARE grouping (Spark 4 collations)
+# --------------------------------------------------------------------------
+@register(
+    "d17_collation",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN p_partkey % 2 = 1 THEN upper(w) ELSE w END AS word
+      FROM (SELECT p_partkey, string_split(p_name, ' ')[1] AS w FROM part)
+    )
+    SELECT lower(word) AS word_lc,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN word = upper(word) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_upper
+    FROM g GROUP BY lower(word) ORDER BY word_lc
+    """,
+)
+def d17_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 COLLATION support: build a deterministically mixed-case word
+    column (odd part keys uppercased), then group by the column COLLATED as
+    UTF8_LCASE — equal-ignoring-case keys land in one group WITHOUT
+    rewriting the data, the collation participates in the hash/shuffle key
+    itself (visible as StringType('UTF8_LCASE') in the schema). The group
+    representative under a collation is an arbitrary-case member, so the
+    output key is canonicalized with lower() for the hash; the oracle
+    reaches the same grouping via lower() — equivalent on this ASCII
+    corpus, which is exactly the claim under test.
+
+    Scale shape: one partial+final hash aggregate; collation only changes
+    the grouping key's equality/hash semantics, not the plan."""
+    p = Catalog(spark, sf_dir).part
+    w = F.split(F.col("p_name"), " ").getItem(0)
+    mixed = F.when(F.col("p_partkey") % 2 == 1, F.upper(w)).otherwise(w)
+    g = p.select(mixed.alias("word"))
+    return (
+        g.groupBy(F.collate(F.col("word"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("word") == F.upper(F.col("word")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_upper"),
+        )
+        .select(F.lower(F.col("k")).alias("word_lc"), "n", "n_upper")
+        .orderBy("word_lc")
+    )

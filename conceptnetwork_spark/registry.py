@@ -134,16 +134,17 @@ CERT_FIRST: tuple[str, ...] = (
     "d35_write_audit_publish",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r4; ledger: CERTIFIED.md) — except the four
-# transformWithStateInPandas queries REGISTERED in round 5 after the
-# vendored pure-Python protobuf runtime (conceptnetwork_spark/vendor/)
-# unblocked the API in this container: d25_first_seen_tws (ValueState),
-# d25_topk_tws (ListState), d25_type_counts_tws (MapState), and
-# d25_cohort_timer_tws (event-time timers) — plus two round-5 Spark-4.1
-# API additions: d01_python_stream_source (SimpleDataSourceStreamReader)
-# and d24_arrow_native_udtf (pyarrow-native UDTF). The window was
-# already full with the 50 pre-existing unchecked queries, so these six
-# are the declared carry-over into the r6 window. The 23 oracle-less queries
+# hash-match (r1-r4; ledger: CERTIFIED.md) — except the SEVEN queries
+# REGISTERED during round 5: the four transformWithStateInPandas queries
+# unlocked by the vendored pure-Python protobuf runtime
+# (conceptnetwork_spark/vendor/) — d25_first_seen_tws (ValueState),
+# d25_topk_tws (ListState), d25_type_counts_tws (MapState),
+# d25_cohort_timer_tws (event-time timers) — plus three Spark-4.x API
+# additions: d01_python_stream_source (SimpleDataSourceStreamReader),
+# d24_arrow_native_udtf (pyarrow-native UDTF), and d17_collation
+# (UTF8_LCASE collated grouping). The window was already full with the
+# 50 pre-existing unchecked queries, so these seven are the declared
+# carry-over into the r6 window. The 23 oracle-less queries
 # are pytest-pinned instead (tolerance / recall / determinism /
 # equivalence assertions; see non_oracle_queries()) and are ordered
 # after ALL oracle-backed queries, so a driver oracle window can never
