@@ -75,11 +75,21 @@ def run_stateful_totals(
     The multi-file staging forces state to carry across micro-batches —
     a single-batch run would never exercise ``state.exists``.
     """
-    ev = Catalog(spark, sf_dir).events
     stage = os.path.join(
-        tempfile.gettempdir(), f"stateful_src_{uuid.uuid4().hex[:8]}"
+        tempfile.gettempdir(),
+        f"stateful_src_{os.path.basename(sf_dir.rstrip('/'))}_{n_files}",
     )
-    ev.repartition(n_files).write.mode("overwrite").parquet(stage)
+    if not os.path.exists(stage):
+        tmp = f"{stage}.{uuid.uuid4().hex[:8]}.tmp"
+        Catalog(spark, sf_dir).events.repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, stage)
+        except OSError:  # concurrent stager won
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
 
     schema = spark.read.parquet(stage).schema
     stream = fix_nanos(
@@ -237,11 +247,31 @@ def _run_tws_update_log(
     RocksDB state store, and return the raw update LOG from the memory
     sink (one emission per key per batch it appeared in — callers reduce
     to the final emission, typically via max_by on a monotone counter)."""
-    ev = Catalog(spark, sf_dir).events
+    from conceptnetwork_spark.protoshim import ship_to_workers
+
+    # the state client runs in the Python WORKER; if the vendored protobuf
+    # shim is active it must be importable there even when this session's
+    # JVM predates ensure_protobuf()'s PYTHONPATH export
+    ship_to_workers(spark)
+
+    # idempotent staging keyed by (sf, n_files): runs share one staged
+    # copy instead of leaking a uuid-named directory per invocation
+    # (checkpoints stay unique per run — state stores cannot be shared)
     stage = os.path.join(
-        tempfile.gettempdir(), f"tws_src_{uuid.uuid4().hex[:8]}"
+        tempfile.gettempdir(),
+        f"tws_src_{os.path.basename(sf_dir.rstrip('/'))}_{n_files}",
     )
-    ev.repartition(n_files).write.mode("overwrite").parquet(stage)
+    if not os.path.exists(stage):
+        tmp = f"{stage}.{uuid.uuid4().hex[:8]}.tmp"
+        Catalog(spark, sf_dir).events.repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, stage)
+        except OSError:  # concurrent stager won
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     schema = spark.read.parquet(stage).schema
     stream = fix_nanos(
         spark.readStream.schema(schema)
