@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Plan-drift radar: compare the working-tree PLANS.md against a committed
+revision with session-varying noise normalized away (expression ids #N,
+plan_id, file locations) — so a regeneration diff shows only REAL plan
+changes. Run after `tools/explain_audit.py` each round; every changed plan
+must be explainable by an intended operator change.
+
+Usage: python tools/plan_drift.py [git_rev]      # default HEAD
+"""
+
+from __future__ import annotations
+
+import re
+import subprocess
+import sys
+
+
+def _normalize(body: str) -> str:
+    body = re.sub(r"#\d+", "#N", body)
+    body = re.sub(r"plan_id=\d+", "plan_id=N", body)
+    body = re.sub(r"Location: \S+", "Location: X", body)
+    return body
+
+
+def _plans(text: str) -> dict[str, str]:
+    return {
+        m.group(1): _normalize(m.group(2))
+        for m in re.finditer(r"^## (\S+)\n\n```\n(.*?)\n```", text, re.S | re.M)
+    }
+
+
+def main() -> None:
+    rev = sys.argv[1] if len(sys.argv) > 1 else "HEAD"
+    old = _plans(
+        subprocess.run(
+            ["git", "show", f"{rev}:PLANS.md"], capture_output=True, text=True
+        ).stdout
+    )
+    new = _plans(open("PLANS.md").read())
+    changed = sorted(k for k in old if k in new and old[k] != new[k])
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+    print(
+        f"plan drift vs {rev}: {len(changed)} changed, "
+        f"{len(added)} added, {len(removed)} removed"
+    )
+    for k in changed:
+        print(f"  CHANGED {k}")
+    for k in added:
+        print(f"  ADDED   {k}")
+    for k in removed:
+        print(f"  REMOVED {k}")
+    sys.exit(1 if (changed or removed) else 0)
+
+
+if __name__ == "__main__":
+    main()
