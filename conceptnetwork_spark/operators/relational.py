@@ -2765,3 +2765,135 @@ def d19_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price_per_unit"),
         parsed.isNull().alias("parse_failed"),
     ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# D10 extension (round 5) — data-quality EXPECTATION battery (the dbt-test /
+# Great-Expectations surface: declarative rules -> per-rule audit rows)
+# --------------------------------------------------------------------------
+@register(
+    "d10_expectations",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders.o_custkey.not_null' AS rule,
+             COUNT(*) AS n_checked,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_failed
+      FROM orders
+      UNION ALL
+      SELECT 'orders.o_orderstatus.accepted_values',
+             COUNT(*),
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders.o_totalprice.non_negative',
+             COUNT(*),
+             CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders.o_orderkey.unique',
+             COUNT(*),
+             COUNT(*) - COUNT(DISTINCT o_orderkey)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_discount.in_range_0_0.1',
+             COUNT(*),
+             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_orderkey.references_orders',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+    ) t(rule, n_checked, n_failed)
+    ORDER BY rule
+    """,
+)
+def d10_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations evaluated as ONE audit table:
+    not-null, accepted-values, numeric-range, uniqueness, and referential
+    integrity, each a (rule, n_checked, n_failed) row — the dbt-test /
+    Great-Expectations contract surface every production table carries.
+
+    Scale shape: all single-table rules for a table fuse into ONE
+    conditional-aggregation pass (one scan of orders covers three rules,
+    uniqueness adds a count-distinct partial agg); referential integrity
+    is a left-anti join on the join key — at 100 TB each rule family costs
+    what its weakest primitive costs, never a per-rule rescan, and the
+    audit output is O(#rules) rows."""
+    t = Catalog(spark, sf_dir)
+    o, li = t.orders, t.lineitem
+
+    def row(rule, n_checked, n_failed):
+        return F.struct(
+            F.lit(rule).alias("rule"),
+            n_checked.cast("long").alias("n_checked"),
+            n_failed.cast("long").alias("n_failed"),
+        )
+
+    cnt = F.count(F.lit(1))
+    orders_rules = o.agg(
+        F.array(
+            row(
+                "orders.o_custkey.not_null",
+                cnt,
+                F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)),
+            ),
+            row(
+                "orders.o_orderstatus.accepted_values",
+                cnt,
+                F.sum(
+                    F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+                ),
+            ),
+            row(
+                "orders.o_totalprice.non_negative",
+                cnt,
+                F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)),
+            ),
+            row(
+                "orders.o_orderkey.unique",
+                cnt,
+                cnt - F.countDistinct("o_orderkey"),
+            ),
+        ).alias("rules")
+    )
+    li_rules = li.agg(
+        F.array(
+            row(
+                "lineitem.l_discount.in_range_0_0.1",
+                cnt,
+                F.sum(
+                    F.when(
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+                    ).otherwise(0)
+                ),
+            )
+        ).alias("rules")
+    )
+    orphans = li.join(
+        o.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n_orphans"))
+    li_total = li.agg(cnt.alias("n_li"))
+    ref_rule = li_total.crossJoin(orphans).select(
+        F.array(
+            row(
+                "lineitem.l_orderkey.references_orders",
+                F.col("n_li"),
+                F.col("n_orphans"),
+            )
+        ).alias("rules")
+    )
+    return (
+        orders_rules.union(li_rules)
+        .union(ref_rule)
+        .select(F.explode("rules").alias("r"))
+        .select("r.rule", "r.n_checked", "r.n_failed")
+        .orderBy("rule")
+    )

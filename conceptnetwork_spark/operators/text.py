@@ -1340,3 +1340,90 @@ def d31_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D31 extension (round 5) — cross-corpus SENTENCE dedup with document
+# RECONSTRUCTION (the C4-style policy: a sentence may appear once in the
+# whole corpus; later occurrences are cut and the document is rebuilt)
+# --------------------------------------------------------------------------
+@register(
+    "d31_sentence_dedup",
+    oracle="""
+    WITH sp AS (
+      SELECT doc_id, string_split(text, '. ') AS s FROM documents
+    ), seg AS (
+      SELECT doc_id, i AS pos, s[i] AS seg
+      FROM (SELECT doc_id, s, unnest(generate_series(1, len(s))) AS i
+            FROM sp)
+    ), dec AS (
+      SELECT doc_id, pos, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1
+               AS kept
+      FROM seg
+    ), built AS (
+      SELECT doc_id,
+             COUNT(*) AS n_seg,
+             CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             COALESCE(string_agg(CASE WHEN kept THEN seg END, '. '
+                                 ORDER BY pos), '') AS t
+      FROM dec GROUP BY doc_id
+    )
+    SELECT doc_id, n_seg, n_kept,
+           length(t) AS clean_len, md5(t) AS clean_md5
+    FROM built ORDER BY doc_id
+    """,
+)
+def d31_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide sentence dedup with reconstruction: split every document
+    on '. ', keep only the GLOBALLY FIRST occurrence of each sentence (by
+    (doc_id, position)), rebuild each document from its surviving
+    sentences, and certify the rebuilt text by md5 BYTE EQUALITY — the
+    full C4-style repeated-sentence removal pass, not just a count report
+    (d31_block_dedup's contract).
+
+    Scale shape: the KEEP/DROP decision runs on a hash-only relation —
+    (doc_id, pos, xxhash64(sentence)) — so the ownership shuffle carries
+    8-byte keys, never sentence text (64-bit collisions are the usual
+    negligible caveat); decisions rejoin the sentences on (doc_id, pos)
+    and the rebuild is one groupBy(doc_id) with an in-group sort, so
+    sentence text crosses the wire exactly twice regardless of corpus
+    size. The Spark split pattern is the ESCAPED regex '\\. ' — split()
+    takes a regex where DuckDB's string_split is literal."""
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).documents
+    segs = d.select(
+        "doc_id", F.posexplode(F.split("text", r"\. ")).alias("pos0", "seg")
+    )
+    hashed = segs.select("doc_id", "pos0", F.xxhash64("seg").alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id", "pos0")
+    dec = hashed.withColumn("kept", F.row_number().over(w) == 1).drop("h")
+    j = segs.join(dec, ["doc_id", "pos0"])
+    built = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_seg"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            ". ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("kept"),
+                            F.struct(
+                                F.col("pos0").alias("pos"), F.col("seg").alias("seg")
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x.seg,
+            ),
+        ).alias("t"),
+    )
+    return built.select(
+        "doc_id",
+        "n_seg",
+        "n_kept",
+        F.length("t").alias("clean_len"),
+        F.md5(F.col("t").cast("binary")).alias("clean_md5"),
+    ).orderBy("doc_id")

@@ -142,9 +142,13 @@ CERT_FIRST: tuple[str, ...] = (
 # d25_cohort_timer_tws (event-time timers) — plus three Spark-4.x API
 # additions: d01_python_stream_source (SimpleDataSourceStreamReader),
 # d24_arrow_native_udtf (pyarrow-native UDTF), and d17_collation
-# (UTF8_LCASE collated grouping). The window was already full with the
-# 50 pre-existing unchecked queries, so these seven are the declared
-# carry-over into the r6 window. The 23 oracle-less queries
+# (UTF8_LCASE collated grouping) — and two LLM-pipeline additions:
+# d10_expectations (declarative data-quality rule battery) and
+# d31_sentence_dedup (C4-style corpus-wide sentence dedup with md5
+# byte-equality document reconstruction). The window was already full
+# with the 50 pre-existing unchecked queries, so these NINE are the
+# declared carry-over into the r6 window (window capacity 50 — the r6
+# rotation closes the ledger completely). The 23 oracle-less queries
 # are pytest-pinned instead (tolerance / recall / determinism /
 # equivalence assertions; see non_oracle_queries()) and are ordered
 # after ALL oracle-backed queries, so a driver oracle window can never
