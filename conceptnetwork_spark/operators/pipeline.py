@@ -1370,3 +1370,100 @@ def repro_fingerprint(d: DataFrame) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# D35 extension (round 5) — VACUUM with retention (completing the table
+# maintenance trio: compact, zorder, vacuum)
+# --------------------------------------------------------------------------
+VACUUM_RETENTION_S = 3600
+VACUUM_LIVE_FILES = 4
+
+
+def vacuum_dir(
+    manifest: set[str], table_dir: str, retention_s: int
+) -> tuple[list[str], list[str]]:
+    """Delete parquet files in ``table_dir`` that are (a) NOT referenced by
+    the committed ``manifest`` and (b) older than ``retention_s``. The
+    retention window is the in-flight-writer protection every real vacuum
+    carries: a file not yet committed to the manifest may belong to a
+    running write, so only files old enough that no writer can still be
+    alive are removed. Returns (removed, kept_orphans)."""
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    removed, kept = [], []
+    for fn in _os.listdir(table_dir):
+        if not fn.endswith(".parquet") or fn in manifest:
+            continue
+        path = _os.path.join(table_dir, fn)
+        if now - _os.path.getmtime(path) > retention_s:
+            _os.remove(path)
+            removed.append(fn)
+        else:
+            kept.append(fn)
+    return removed, kept
+
+
+@register(
+    "d35_vacuum_retention",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT 'live_files_kept' AS metric,
+             CAST({VACUUM_LIVE_FILES} AS BIGINT) AS value
+      UNION ALL SELECT 'orphans_removed', 2
+      UNION ALL SELECT 'recent_orphans_kept', 1
+      UNION ALL SELECT 'table_rows_after', (SELECT COUNT(*) FROM events)
+    ) t(metric, value) ORDER BY metric
+    """,
+)
+def d35_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM with a retention window, end to end: stage a table whose
+    directory holds committed files (in the manifest), two STALE orphans
+    (uncommitted leftovers of failed/overwritten writes, mtime past
+    retention), and one RECENT orphan (a possibly in-flight write, inside
+    retention). Vacuum must remove exactly the stale orphans, keep the
+    recent one, and leave the manifest-committed table byte-identical —
+    the audit row counts and the post-vacuum rowcount are on the oracle
+    hash; the pytest side pins the directory layout.
+
+    Scale shape: vacuum is pure file-listing set-difference against the
+    manifest — O(#files) driver/metadata work, zero data reads; the
+    retention check is an mtime compare. At 100 TB this runs per table
+    partition with the listing parallelized, and the manifest (not the
+    filesystem) remains the source of truth for readers throughout."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    ev = Catalog(spark, sf_dir).events
+    work = _os.path.join(
+        _tempfile.gettempdir(), f"cn_spark_vacuum_{_uuid.uuid4().hex[:8]}"
+    )
+    ev.repartition(VACUUM_LIVE_FILES).write.mode("overwrite").parquet(work)
+    live = sorted(f for f in _os.listdir(work) if f.endswith(".parquet"))
+    assert len(live) == VACUUM_LIVE_FILES
+    now = __import__("time").time()
+    # two stale orphans (well past retention) + one recent orphan
+    for i, age in enumerate((VACUUM_RETENTION_S * 2, VACUUM_RETENTION_S * 3)):
+        orphan = _os.path.join(work, f"orphan_stale_{i}.parquet")
+        _shutil.copyfile(_os.path.join(work, live[0]), orphan)
+        _os.utime(orphan, (now - age, now - age))
+    recent = _os.path.join(work, "orphan_recent.parquet")
+    _shutil.copyfile(_os.path.join(work, live[1]), recent)
+
+    removed, kept_orphans = vacuum_dir(set(live), work, VACUUM_RETENTION_S)
+    # the committed table must be untouched: recount through the manifest
+    n_rows = spark.read.parquet(*[_os.path.join(work, f) for f in live]).count()
+    audit = [
+        ("live_files_kept", len([f for f in _os.listdir(work) if f in live])),
+        ("orphans_removed", len(removed)),
+        ("recent_orphans_kept", len(kept_orphans)),
+        ("table_rows_after", n_rows),
+    ]
+    _shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(audit, "metric string, value long").orderBy(
+        "metric"
+    )

@@ -67,3 +67,35 @@ def test_partitioned_roundtrip_parity(spark, orders_by_year):
         F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
     ).collect()[0]
     assert (a.n, a.s) == (b.n, b.s)
+
+
+def test_vacuum_retention_layout(spark, tmp_path):
+    """vacuum_dir's filesystem contract (the side the oracle can't see):
+    stale orphans deleted, recent orphans and every manifest file kept,
+    manifest-committed content byte-identical after the vacuum."""
+    import os
+    import shutil
+    import time
+
+    from conceptnetwork_spark.operators.pipeline import vacuum_dir
+
+    work = str(tmp_path / "table")
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    df.repartition(2).write.parquet(work)
+    live = sorted(f for f in os.listdir(work) if f.endswith(".parquet"))
+    before = sorted(r.k for r in spark.read.parquet(*[os.path.join(work, f) for f in live]).collect())
+
+    now = time.time()
+    stale = os.path.join(work, "orphan_stale.parquet")
+    shutil.copyfile(os.path.join(work, live[0]), stale)
+    os.utime(stale, (now - 7200, now - 7200))
+    recent = os.path.join(work, "orphan_recent.parquet")
+    shutil.copyfile(os.path.join(work, live[0]), recent)
+
+    removed, kept = vacuum_dir(set(live), work, retention_s=3600)
+    assert removed == ["orphan_stale.parquet"]
+    assert kept == ["orphan_recent.parquet"]
+    assert not os.path.exists(stale) and os.path.exists(recent)
+    assert all(os.path.exists(os.path.join(work, f)) for f in live)
+    after = sorted(r.k for r in spark.read.parquet(*[os.path.join(work, f) for f in live]).collect())
+    assert after == before
