@@ -839,3 +839,156 @@ def d30_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "vec_id", "sim")
         .orderBy("qid", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# D30 extension (round 5) — HYBRID retrieval via Reciprocal-Rank Fusion:
+# the standard way modern search stacks combine a lexical (BM25) leg and a
+# vector (cosine) leg without score calibration.
+# --------------------------------------------------------------------------
+RRF_K = 60
+RRF_LEG_DEPTH = 100
+RRF_TOPN = 20
+RRF_QUERY_VEC_ID = 0
+
+
+def _hybrid_rrf_oracle() -> str:
+    from conceptnetwork_spark.operators.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY_TERMS,
+    )
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), corpus AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN {tuple(BM25_QUERY_TERMS)!r} GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), bm25 AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               ln(1 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / corpus.avgdl))
+             ), 4) AS score
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+      GROUP BY tf.doc_id
+    ), lex AS (
+      SELECT doc_id, r_lex FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_lex
+        FROM bm25
+      ) WHERE r_lex <= {RRF_LEG_DEPTH}
+    ), q AS (
+      SELECT embedding AS qvec FROM embeddings
+      WHERE vec_id = {RRF_QUERY_VEC_ID}
+    ), cos AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(
+               list_sum(list_transform(list_zip(q.qvec, e.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qvec,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+               AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> {RRF_QUERY_VEC_ID}
+    ), vec AS (
+      SELECT doc_id, r_vec FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS r_vec
+        FROM cos
+      ) WHERE r_vec <= {RRF_LEG_DEPTH}
+    ), fused AS (
+      SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             CAST(COALESCE(lex.r_lex, -1) AS BIGINT) AS r_lex,
+             CAST(COALESCE(vec.r_vec, -1) AS BIGINT) AS r_vec,
+             ROUND(
+               CASE WHEN lex.r_lex IS NULL THEN 0.0
+                    ELSE 1.0 / ({RRF_K} + lex.r_lex) END
+               + CASE WHEN vec.r_vec IS NULL THEN 0.0
+                      ELSE 1.0 / ({RRF_K} + vec.r_vec) END, 6) AS rrf
+      FROM lex FULL OUTER JOIN vec USING (doc_id)
+    )
+    SELECT doc_id, r_lex, r_vec, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPN}
+    """
+
+
+@register("d30_hybrid_rrf", oracle=_hybrid_rrf_oracle)
+def d30_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval with Reciprocal-Rank Fusion: a lexical BM25 leg
+    (d31_bm25's exact scorer over BM25_QUERY_TERMS) and a vector cosine leg
+    (one query embedding vs the corpus) each contribute their top-100 RANK
+    list; fused score = Σ 1/(60 + rank) over the legs a document appears
+    in — rank-only fusion, so the incomparable BM25 and cosine scales
+    never need calibration. Ranks break float ties on doc_id AFTER the
+    repo-wide ROUND(·, 4), keeping both engines' rank lists identical;
+    missing-leg ranks surface as -1 so the audit columns stay integer.
+
+    Scale shape: each leg is its existing scale-shaped pipeline (BM25:
+    filtered explode + broadcast stats; cosine: broadcast single query,
+    unshuffled corpus) feeding a top-RRF_LEG_DEPTH rank list — the global
+    rank window only ever orders CANDIDATE lists, which a production stack
+    bounds by its index (ANN buckets / posting lists) long before this
+    final, tiny fusion join."""
+    from conceptnetwork_spark.operators.text import bm25_scores
+
+    d = Catalog(spark, sf_dir).documents
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        bm25_scores(d)
+        .withColumn("r_lex", F.row_number().over(wl))
+        .where(F.col("r_lex") <= RRF_LEG_DEPTH)
+        .select("doc_id", "r_lex")
+    )
+    q = emb.where(F.col("vec_id") == RRF_QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    cos = (
+        emb.where(F.col("vec_id") != RRF_QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot(F.col("qvec"), F.col("embedding"))
+                / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
+                4,
+            ).alias("sim"),
+        )
+    )
+    wv = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+    vec = (
+        cos.withColumn("r_vec", F.row_number().over(wv))
+        .where(F.col("r_vec") <= RRF_LEG_DEPTH)
+        .select("doc_id", "r_vec")
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce("r_lex", F.lit(-1)).cast("long").alias("r_lex"),
+            F.coalesce("r_vec", F.lit(-1)).cast("long").alias("r_vec"),
+            F.round(
+                F.when(
+                    F.col("r_lex").isNotNull(), 1.0 / (RRF_K + F.col("r_lex"))
+                ).otherwise(0.0)
+                + F.when(
+                    F.col("r_vec").isNotNull(), 1.0 / (RRF_K + F.col("r_vec"))
+                ).otherwise(0.0),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOPN)

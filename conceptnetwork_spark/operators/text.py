@@ -480,6 +480,46 @@ BM25_QUERY_TERMS = ("spark", "join", "window")
 BM25_K1, BM25_B = 1.2, 0.75
 
 
+def bm25_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, score): BM25 of each document against BM25_QUERY_TERMS.
+
+    Scale shape: tokenize + explode is map-side; tf is one groupBy on
+    (doc_id, term) AFTER filtering to the |Q| query terms (the explode
+    never shuffles non-query tokens); df (|Q| rows) and the corpus
+    n_docs/avgdl scalars join back via broadcast; the only non-broadcast
+    shuffle joins tf to per-doc length on doc_id. No collect — corpus
+    stats stay plan-side as a broadcast cross join. Shared by d31_bm25
+    and the d30_hybrid_rrf lexical leg."""
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom), 4
+            ).alias("score")
+        )
+    )
+
+
+
 @register(
     "d31_bm25",
     oracle=f"""
@@ -515,43 +555,9 @@ BM25_K1, BM25_B = 1.2, 0.75
     """,
 )
 def d31_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 score of every document against a fixed query-term set.
-
-    Scale shape: tokenize + explode is map-side; tf is one groupBy on
-    (doc_id, term) AFTER filtering to the |Q| query terms (the explode
-    never shuffles non-query tokens); df (|Q| rows) and the corpus
-    n_docs/avgdl scalars join back via broadcast; the only non-broadcast
-    shuffle joins tf to per-doc length on doc_id. No collect — corpus
-    stats stay plan-side as a broadcast cross join."""
-    d = Catalog(spark, sf_dir).documents
-    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
-    dl = toks.select("doc_id", F.size("toks").alias("dl"))
-    corpus = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    tf = (
-        toks.select("doc_id", F.explode("toks").alias("term"))
-        .where(F.col("term").isin(*BM25_QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    denom = F.col("tf") + BM25_K1 * (
-        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
-    )
-    return (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom), 4
-            ).alias("score")
-        )
-        .orderBy("doc_id")
-    )
+    """BM25 score of every document against a fixed query-term set (see
+    bm25_scores for the plan shape)."""
+    return bm25_scores(Catalog(spark, sf_dir).documents).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

@@ -147,10 +147,12 @@ CERT_FIRST: tuple[str, ...] = (
 # d31_sentence_dedup (C4-style corpus-wide sentence dedup with md5
 # byte-equality document reconstruction), and d35_vacuum_retention
 # (manifest-vs-listing vacuum with an in-flight-writer retention
-# window, completing the compact/zorder/vacuum maintenance trio). The
-# window was already full with the 50 pre-existing unchecked queries,
-# so these TEN are the declared carry-over into the r6 window (window
-# capacity 50 — the r6 rotation closes the ledger completely). The 23 oracle-less queries
+# window, completing the compact/zorder/vacuum maintenance trio), and
+# d30_hybrid_rrf (lexical+vector hybrid retrieval via reciprocal-rank
+# fusion). The window was already full with the 50 pre-existing
+# unchecked queries, so these ELEVEN are the declared carry-over into
+# the r6 window (window capacity 50 — the r6 rotation closes the
+# ledger completely). The 23 oracle-less queries
 # are pytest-pinned instead (tolerance / recall / determinism /
 # equivalence assertions; see non_oracle_queries()) and are ordered
 # after ALL oracle-backed queries, so a driver oracle window can never
