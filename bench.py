@@ -152,6 +152,7 @@ HEADLINE = [
     "d31_sentence_dedup",
     "d35_vacuum_retention",
     "d30_hybrid_rrf",
+    "d27_markov_transitions",
     # d33_cross_validation is swept, not headlined: a timed min-of-3 would
     # re-fit 2 folds x 2 grid params three times (training cost, not query
     # cost) — same policy as d33_gbt_mse / the multi-batch stream queries.

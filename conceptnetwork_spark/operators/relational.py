@@ -2897,3 +2897,59 @@ def d10_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.rule", "r.n_checked", "r.n_failed")
         .orderBy("rule")
     )
+
+
+# --------------------------------------------------------------------------
+# D27 extension (round 5) — Markov transition matrix over event journeys
+# --------------------------------------------------------------------------
+@register(
+    "d27_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT src, dst, n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 4)
+             AS p
+    FROM pairs ORDER BY src, dst
+    """,
+)
+def d27_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for every
+    ordered (event_type → next event_type) pair, the count and the
+    conditional probability P(dst | src) — the behavioral model behind
+    next-action prediction, anomaly scoring, and funnel design; rows per
+    src sum to 1 by construction.
+
+    Scale shape: ONE shuffle on user_id for the LEAD window (each user's
+    timeline is processed within its partition), then a partial+final agg
+    to the (|types|²)-row pair table; the probability normalization runs
+    as a window over that tiny table — cost is the one timeline shuffle
+    regardless of event volume, the same shape as d27_attribution."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    pairs = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ws = Window.partitionBy("src")
+    return (
+        pairs.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(ws).cast("double"), 4)
+        )
+        .orderBy("src", "dst")
+    )

@@ -149,8 +149,9 @@ CERT_FIRST: tuple[str, ...] = (
 # (manifest-vs-listing vacuum with an in-flight-writer retention
 # window, completing the compact/zorder/vacuum maintenance trio), and
 # d30_hybrid_rrf (lexical+vector hybrid retrieval via reciprocal-rank
-# fusion). The window was already full with the 50 pre-existing
-# unchecked queries, so these ELEVEN are the declared carry-over into
+# fusion), and d27_markov_transitions (first-order journey transition
+# matrix). The window was already full with the 50 pre-existing
+# unchecked queries, so these TWELVE are the declared carry-over into
 # the r6 window (window capacity 50 — the r6 rotation closes the
 # ledger completely). The 23 oracle-less queries
 # are pytest-pinned instead (tolerance / recall / determinism /
