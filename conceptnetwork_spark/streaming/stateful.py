@@ -608,8 +608,6 @@ def _stage_time_chunks(spark: SparkSession, sf_dir: str, n: int) -> str:
     )
     tmp = f"{stage}.{uuid.uuid4().hex[:8]}.tmp"
     os.makedirs(tmp)
-    import pyarrow.parquet as pq
-
     for i in range(n):
         part = chunked.where(F.col("chunk") == i).drop("rn", "chunk").toPandas()
         # write MICROsecond timestamps: pandas' default ns unit would land
