@@ -1100,7 +1100,7 @@ def d16_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_lines,
-           ROUND(SUM(l_extendedprice), 4) AS revenue
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
@@ -1114,7 +1114,14 @@ def d03_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle proves. This is the manual fallback for skew AQE can't fix
     (single-key hot spots inside one partition); AQE skew-split stays on as
     the first line of defense. Replication costs 8x of the SMALLER side
-    only — choose the salted side accordingly."""
+    only — choose the salted side accordingly.
+
+    Revenue sums as DECIMAL(12,2), not double: at sf0.1 each priority
+    group sums ~120k addends to ~6.4e9, where double summation ORDER
+    (salted plan vs the oracle's plain join) moves the last ulp and a
+    4-decimal round needs 14 exact digits — caught by the cross-sf gate
+    at sf0.1 (green at sf0.01 was luck). Money aggregates at scale are
+    decimal-exact, the d19_decimal_exact convention."""
     t = Catalog(spark, sf_dir)
     S = 8
     li = t.lineitem.select("l_orderkey", "l_extendedprice").withColumn(
@@ -1133,7 +1140,7 @@ def d03_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
