@@ -8,7 +8,9 @@ protobuf, so ``ensure_protobuf()`` falls back to the shim under
 spec (see vendor/google/protobuf/_mini_runtime.py).
 
 Precedence: the REAL google.protobuf always wins; the vendor path is only
-appended after that import fails. The vendor dir is also prepended to
+added after that import fails. The vendor dir is also APPENDED (never
+prepended — PYTHONPATH entries precede site-packages, so a prepend would
+shadow a real protobuf shipped only in worker/executor images) to
 ``PYTHONPATH`` so Spark's Python WORKERS (separate processes spawned by the
 JVM, which inherit the driver environment in local mode and the executor
 environment on a cluster) can import the same shim — the state client runs
@@ -35,11 +37,13 @@ def ensure_protobuf() -> bool:
     except ImportError:
         pass
     if _VENDOR_DIR not in sys.path:
-        sys.path.insert(0, _VENDOR_DIR)
+        sys.path.append(_VENDOR_DIR)
     parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
     if _VENDOR_DIR not in parts:
+        # APPEND: on a cluster where workers ship a real protobuf in
+        # site-packages, a PYTHONPATH prepend would shadow it with the shim
         os.environ["PYTHONPATH"] = os.pathsep.join(
-            [_VENDOR_DIR] + [p for p in parts if p]
+            [p for p in parts if p] + [_VENDOR_DIR]
         )
     try:
         import google.protobuf  # noqa: F401
@@ -86,7 +90,8 @@ def ship_to_workers(spark) -> None:
     # this call, even when the JVM env predates ensure_protobuf().
     parts = sc.environment.get("PYTHONPATH", "").split(os.pathsep)
     if _VENDOR_DIR not in parts:
+        # APPEND, same precedence rationale as ensure_protobuf()
         sc.environment["PYTHONPATH"] = os.pathsep.join(
-            [_VENDOR_DIR] + [p for p in parts if p]
+            [p for p in parts if p] + [_VENDOR_DIR]
         )
     sc._cn_protoshim_shipped = True

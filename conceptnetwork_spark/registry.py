@@ -77,87 +77,70 @@ _LOADED = False
 # and _load_all() pins every oracle-less query to the registry TAIL so no
 # driver window can ever sample one into an oracle comparison.
 #
-# ROUND-5 window: exactly the 50 remaining never-driver-checked oracle
-# queries (cross-checked against CORRECTNESS_r01–r04 hash_match rows by
-# tools/make_certified.py). A green round closes the ledger at 214/214 —
-# every oracle-backed query driver-certified at least once.
+# ROUND-6 window: leads with the TWELVE round-5 additions that have never
+# had a driver row (locally DuckDB-green; cross-checked against
+# CORRECTNESS_r01-r05 hash_match rows by tools/make_certified.py) — a green
+# round closes the ledger at 226/226, every oracle-backed query
+# driver-certified at least once. The remaining 38 slots RE-certify the
+# oldest-certified queries (last green round 1 or 2) so certification
+# freshness also rotates.
 CERT_FIRST: tuple[str, ...] = (
-    "d01_binary_source",
-    "d01_dynamic_pruning",
-    "d01_json_corrupt",
-    "d01_text_source",
-    "d02_group_sample",
-    "d02_temperature_mix",
-    "d03_bucketed_join",
-    "d03_join_hints",
-    "d10_corr_matrix",
-    "d10_histogram",
-    "d10_psi_drift",
-    "d12_grouping_flags",
-    "d12_unpivot",
-    "d14_linear_interpolate",
-    "d14_locf_fill",
-    "d14_mad_outliers",
-    "d14_time_range_sum",
-    "d15_paginate",
-    "d19_decimal_exact",
-    "d19_try_arithmetic",
-    "d21_map_funcs",
-    "d22_arrow_udf",
-    "d23_grouped_arrow",
-    "d24_inline",
-    "d25_stream_full_outer",
-    "d25_stream_right_outer",
-    "d25_stream_semi_join",
-    "d26_chained_agg",
-    "d26_update_mode",
-    "d27_attribution",
-    "d27_top_paths",
-    "d29_incremental_dedup",
-    "d30_filtered_knn",
-    "d30_matryoshka_knn",
-    "d30_range_search",
-    "d31_block_dedup",
-    "d31_gopher_filter",
-    "d31_hash_features",
-    "d31_html_strip",
-    "d31_keywords",
-    "d31_langid_eval",
-    "d31_unicode_clean",
-    "d33_standard_scaler",
-    "d34_dataset_card",
-    "d34_repro_fingerprint",
-    "d34_token_budget",
-    "d35_cdc_deletes",
-    "d35_dynamic_overwrite",
-    "d35_schema_evolution",
-    "d35_write_audit_publish",
+    "d01_python_stream_source",
+    "d10_expectations",
+    "d17_collation",
+    "d24_arrow_native_udtf",
+    "d25_first_seen_tws",
+    "d25_topk_tws",
+    "d25_type_counts_tws",
+    "d25_cohort_timer_tws",
+    "d27_markov_transitions",
+    "d30_hybrid_rrf",
+    "d31_sentence_dedup",
+    "d35_vacuum_retention",
+    "d03_salted_skew_join",
+    "d04_q10_returned",
+    "d04_q18_big_orders",
+    "d04_q5_local_supplier",
+    "d04_q7_volume",
+    "d04_q8_market_share",
+    "d04_star_join",
+    "d05_full_outer_join",
+    "d05_q13_custdist",
+    "d05_right_outer_join",
+    "d06_anti_join",
+    "d06_q22_idle_custs",
+    "d07_q19_disjunctive",
+    "d08_asof_latest_event",
+    "d09_arg_max",
+    "d09_collect_set",
+    "d09_percentiles",
+    "d09_q12_lateness",
+    "d09_q16_supplier_cnt",
+    "d09_q17_small_qty",
+    "d09_q4_priority",
+    "d09_salted_agg",
+    "d10_distinct",
+    "d12_cube",
+    "d12_grouping_sets",
+    "d13_ntile_dist",
+    "d13_rank_dense",
+    "d14_first_last_nth",
+    "d16_except",
+    "d16_intersect",
+    "d16_union_by_name",
+    "d18_gap_fill",
+    "d01_csv_source",
+    "d01_scan_filter",
+    "d02_case_parse",
+    "d04_q3_shipping",
+    "d06_semi_join",
+    "d09_hash_agg",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r4; ledger: CERTIFIED.md) — except the SEVEN queries
-# REGISTERED during round 5: the four transformWithStateInPandas queries
-# unlocked by the vendored pure-Python protobuf runtime
-# (conceptnetwork_spark/vendor/) — d25_first_seen_tws (ValueState),
-# d25_topk_tws (ListState), d25_type_counts_tws (MapState),
-# d25_cohort_timer_tws (event-time timers) — plus three Spark-4.x API
-# additions: d01_python_stream_source (SimpleDataSourceStreamReader),
-# d24_arrow_native_udtf (pyarrow-native UDTF), and d17_collation
-# (UTF8_LCASE collated grouping) — and two LLM-pipeline additions:
-# d10_expectations (declarative data-quality rule battery) and
-# d31_sentence_dedup (C4-style corpus-wide sentence dedup with md5
-# byte-equality document reconstruction), and d35_vacuum_retention
-# (manifest-vs-listing vacuum with an in-flight-writer retention
-# window, completing the compact/zorder/vacuum maintenance trio), and
-# d30_hybrid_rrf (lexical+vector hybrid retrieval via reciprocal-rank
-# fusion), and d27_markov_transitions (first-order journey transition
-# matrix). The window was already full with the 50 pre-existing
-# unchecked queries, so these TWELVE are the declared carry-over into
-# the r6 window (window capacity 50 — the r6 rotation closes the
-# ledger completely). The 23 oracle-less queries
-# are pytest-pinned instead (tolerance / recall / determinism /
-# equivalence assertions; see non_oracle_queries()) and are ordered
-# after ALL oracle-backed queries, so a driver oracle window can never
-# sample them.
+# hash-match (r1-r5; ledger: CERTIFIED.md). The 23 oracle-less queries are
+# pytest-pinned instead (tolerance / recall / determinism / equivalence
+# assertions; see non_oracle_queries()) and are ordered after ALL
+# oracle-backed queries, so a driver oracle window can never sample them.
 
 
 def _load_all() -> None:

@@ -118,8 +118,15 @@ class _SynthRangeStreamReader:
     def read(self, start):
         lo = start["offset"]
         hi = min(lo + self.chunk, self.n)
-        # a LIST, not a generator: the prefetched batch is pickled into the
-        # driver-side cache for replay, and generators don't pickle
+        if hi == lo:
+            # quiesced: pyspark's prefetch cache validates an unchanged
+            # offset by calling next() on the batch — so the empty batch
+            # must be an ITERATOR, not a list (datasource_internal.py
+            # add_result_to_cache)
+            return (iter(()), {"offset": lo})
+        # a LIST, not a generator: the prefetched batch lives in the
+        # driver-side replay cache, which copy.copy()s entries before
+        # chaining — a list copy is position-free and re-iterable
         return ([(i, (i * i) % 97) for i in range(lo, hi)], {"offset": hi})
 
     def readBetweenOffsets(self, start, end):
@@ -185,6 +192,12 @@ def d01_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     deadline = _time.time() + 120
     try:
         while _time.time() < deadline:
+            if not q.isActive:
+                # fail fast with the underlying error instead of spinning
+                # out the deadline and masking it as a TimeoutError
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
             if spark.table(name).count() >= expected:
                 break
             _time.sleep(0.5)

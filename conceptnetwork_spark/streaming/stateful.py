@@ -39,6 +39,26 @@ _OUT_SCHEMA = "user_id long, n_events long, sum_value double"
 _STATE_SCHEMA = "n long, s double"
 
 
+def _src_fingerprint(sf_dir: str) -> str:
+    """Short content fingerprint of the source events.parquet (file names,
+    sizes, mtimes). Baked into every idempotent staging-dir name so that
+    regenerating the testdata at the same path invalidates cached stages
+    instead of silently replaying stale data across sessions."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "events.parquet")
+    h = hashlib.md5()
+    if os.path.isdir(src):
+        for root, _dirs, files in sorted(os.walk(src)):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                h.update(f"{fn}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.exists(src):
+        st = os.stat(src)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:10]
+
+
 def _update_totals(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],
@@ -77,7 +97,7 @@ def run_stateful_totals(
     """
     stage = os.path.join(
         tempfile.gettempdir(),
-        f"stateful_src_{os.path.basename(sf_dir.rstrip('/'))}_{n_files}",
+        f"stateful_src_{os.path.basename(sf_dir.rstrip('/'))}_{_src_fingerprint(sf_dir)}_{n_files}",
     )
     if not os.path.exists(stage):
         tmp = f"{stage}.{uuid.uuid4().hex[:8]}.tmp"
@@ -259,7 +279,7 @@ def _run_tws_update_log(
     # (checkpoints stay unique per run — state stores cannot be shared)
     stage = os.path.join(
         tempfile.gettempdir(),
-        f"tws_src_{os.path.basename(sf_dir.rstrip('/'))}_{n_files}",
+        f"tws_src_{os.path.basename(sf_dir.rstrip('/'))}_{_src_fingerprint(sf_dir)}_{n_files}",
     )
     if not os.path.exists(stage):
         tmp = f"{stage}.{uuid.uuid4().hex[:8]}.tmp"
@@ -596,12 +616,16 @@ def _stage_time_chunks(spark: SparkSession, sf_dir: str, n: int) -> str:
 
     stage = os.path.join(
         tempfile.gettempdir(),
-        f"tws_timechunks_{os.path.basename(sf_dir.rstrip('/'))}_{n}",
+        f"tws_timechunks_{os.path.basename(sf_dir.rstrip('/'))}_{_src_fingerprint(sf_dir)}_{n}",
     )
     if os.path.exists(stage):
         return stage
     ev = Catalog(spark, sf_dir).events
     total = ev.count()
+    # FIXTURE-ONLY: this unpartitioned global-sort window funnels all rows
+    # through one task. Acceptable for staging sf-sized replay fixtures on
+    # the driver; a production time-chunker would repartitionByRange(ts)
+    # and derive chunk ids from range boundaries instead.
     w = Window.orderBy("ts", "event_id")
     chunked = ev.withColumn("rn", F.row_number().over(w) - 1).withColumn(
         "chunk", F.expr(f"(rn * {n}) div {total}")
@@ -653,13 +677,20 @@ def run_cohort_maturation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def handleInputRows(self, key, rows, timerValues):
+            # a key's rows within one micro-batch can span MULTIPLE Arrow
+            # chunks (~10k rows each): accumulate the min across ALL chunks
+            # before touching state, else the timer is registered off the
+            # first chunk's min rather than the batch's true MIN(ts)
+            batch_min = None
             for pdf in rows:
-                if not self._first.exists():
-                    first_ts = pdf["ts"].min()
-                    self._first.update((first_ts,))
-                    self._handle.registerTimer(
-                        int(first_ts.value // 1_000_000) + MATURE_HORIZON_MS
-                    )
+                m = pdf["ts"].min()
+                if batch_min is None or m < batch_min:
+                    batch_min = m
+            if batch_min is not None and not self._first.exists():
+                self._first.update((batch_min,))
+                self._handle.registerTimer(
+                    int(batch_min.value // 1_000_000) + MATURE_HORIZON_MS
+                )
             return iter(())
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):

@@ -113,6 +113,9 @@ def test_oneof_empty_submessage_presence_survives():
 
 
 def test_shim_defers_to_real_protobuf_when_present():
+    import os
+    import sys
+
     import google.protobuf as gp
 
     from conceptnetwork_spark import protoshim
@@ -120,8 +123,17 @@ def test_shim_defers_to_real_protobuf_when_present():
     # whichever runtime is active, a second ensure is a no-op that keeps it
     assert protoshim.ensure_protobuf()
     if protoshim._VENDOR_DIR in gp.__file__:
-        # shim active: the real package was absent in this environment
-        assert gp.descriptor_pool if False else True
+        # shim active (real package absent here). Pin the precedence
+        # contract: the vendor dir is APPENDED, never prepended — a
+        # PYTHONPATH prepend would shadow a real protobuf shipped only in
+        # worker/executor site-packages (PYTHONPATH precedes site-packages)
+        pp = [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep) if p]
+        assert pp and pp[-1] == protoshim._VENDOR_DIR
+        assert pp.index(protoshim._VENDOR_DIR) == len(pp) - 1
+        assert sys.path.index(protoshim._VENDOR_DIR) > 0
+    else:
+        # real runtime present: the shim must not have displaced it
+        assert protoshim._VENDOR_DIR not in gp.__file__
 
 
 def test_twsp_registered_in_this_environment():
