@@ -2882,20 +2882,27 @@ def d10_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rules")
     )
-    orphans = li.join(
-        o.select("o_orderkey"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-        "left_anti",
-    ).agg(F.count(F.lit(1)).alias("n_orphans"))
-    li_total = li.agg(cnt.alias("n_li"))
-    ref_rule = li_total.crossJoin(orphans).select(
-        F.array(
-            row(
-                "lineitem.l_orderkey.references_orders",
-                F.col("n_li"),
-                F.col("n_orphans"),
-            )
-        ).alias("rules")
+    # referential integrity in ONE lineitem pass: a LEFT join against the
+    # orders key column (unique, so no fanout) lets a single aggregate
+    # produce both the checked total and the orphan count — the anti-join
+    # formulation would scan lineitem twice (once for COUNT(*), once for
+    # the anti probe)
+    ref_rule = (
+        li.select("l_orderkey")
+        .join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.array(
+                row(
+                    "lineitem.l_orderkey.references_orders",
+                    cnt,
+                    F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)),
+                )
+            ).alias("rules")
+        )
     )
     return (
         orders_rules.union(li_rules)

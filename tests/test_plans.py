@@ -796,3 +796,56 @@ def test_d24_arrow_udtf_filter_below_python_crossing(spark):
     crossing = plan.index("ArrowEvalPythonUDTF")
     scan = plan.index("Scan parquet")
     assert scan > crossing  # tree prints top-down: scan (leaf) below UDTF
+
+
+def test_d30_hybrid_rrf_limits_below_windows(spark):
+    """Both rank legs must get their top-100 limit pushed BELOW the
+    row_number window (LimitPushDownThroughWindow -> TakeOrderedAndProject
+    under each Window), so the global rank never sorts the full corpus;
+    fusion is a full-outer join of two <=100-row rank lists."""
+    plan = _plan(spark, "d30_hybrid_rrf")
+    # one final top-20 + one pushed top-100 per leg
+    assert plan.count("TakeOrderedAndProject") >= 3
+    assert plan.count("Window [") == 2
+    assert "FullOuter" in plan
+    # the pushed limits sit BELOW their windows (tree prints top-down)
+    first_window = plan.index("Window [")
+    assert plan.index("TakeOrderedAndProject(limit=100", first_window) > first_window
+
+
+def test_d27_markov_single_user_exchange(spark):
+    """The journey sequence (lead window) is the only per-user shuffle;
+    the pair counting partial-aggregates map-side before its exchange and
+    the row-probability window runs over the tiny (src,dst) table."""
+    import re
+
+    plan = _plan(spark, "d27_markov_transitions")
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1
+    assert "partial_count" in plan  # map-side combine before the pair agg
+    assert plan.count("Window [") == 2  # lead + per-src sum, nothing more
+
+
+def test_d10_expectations_fused_scans(spark):
+    """All single-table rules fuse into one conditional-aggregation scan
+    per table; referential integrity computes checked+orphans in ONE
+    lineitem pass via a left join. No per-rule rescans: exactly 2 scans
+    of orders (rules + join build) and 2 of lineitem (rules + ref leg)."""
+    plan = _plan(spark, "d10_expectations")
+    assert plan.count("orders.parquet") == 2
+    assert plan.count("lineitem.parquet") == 2
+    assert "partial_sum" in plan  # conditional aggs combine map-side
+
+
+def test_d31_sentence_dedup_hash_only_ownership_exchange(spark):
+    """The global sentence-ownership shuffle must carry only (doc_id, pos,
+    xxhash64) — the sentence text itself never rides the ownership
+    exchange; reconstruction re-reads it colocated with the doc."""
+    import re
+
+    plan = _plan(spark, "d31_sentence_dedup")
+    m = re.search(
+        r"Project \[doc_id#\d+L, pos0#\d+, xxhash64\(seg#\d+, 42\) AS h#\d+L\]",
+        plan,
+    )
+    assert m, "ownership exchange input must be the 3-column hash projection"
+    assert "Exchange hashpartitioning(h#" in plan
