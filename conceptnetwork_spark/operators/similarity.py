@@ -218,43 +218,55 @@ def d30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scale path for clustered embedding spaces: the corpus is
     partitioned (and at 100 TB physically bucketed) by centroid id, so a
-    query touches nprobe/k of the data. The centroid table is k rows —
-    driver-side probe selection is O(k^2), never touching the corpus.
-    Non-oracle (centroid assignment is engine-defined); pytest checks
-    recall@10 vs d30_knn_exact. On the near-uniform synthetic vectors
-    recall ~= nprobe/k (no cluster structure to exploit); on genuinely
-    clustered data (the real use case) nprobe=4 of k=64 recovers ~all
-    true neighbors.
+    query touches ~nprobe/k of the data. Probe cells are selected by the
+    QUERY VECTOR's own distance to each centroid (the FAISS/IVF contract),
+    not by its assigned cell's neighbor list — a boundary query probes the
+    cells its true neighbors actually live in, which at the same probed
+    fraction lifts recall@10 from 0.58 to ~0.86 on the near-uniform
+    synthetic vectors (measured at sf0.1, r6). The centroid table is k
+    rows and broadcast; per-query probe selection is a k-row ranked
+    cross-join, never touching the corpus. Non-oracle (centroid
+    assignment is engine-defined); pytest checks recall@10 vs
+    d30_knn_exact. On genuinely clustered data (the real use case) a far
+    smaller nprobe/k recovers ~all true neighbors.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    k, nprobe = 16, 8
+    k, nprobe = 32, 14
     e = Catalog(spark, sf_dir).embeddings
     vecs = e.withColumn("fv", array_to_vector(F.col("embedding").cast("array<double>")))
     # maxIter=8: the quantizer only needs coarse cells, not converged
-    # centroids — recall is governed by nprobe/k, and each iteration is a
-    # full corpus pass
+    # centroids — recall is governed by probe coverage, and each iteration
+    # is a full corpus pass
     km = KMeans(k=k, seed=42, maxIter=8, featuresCol="fv", predictionCol="cell")
     model = km.fit(vecs)
     assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
 
-    # driver-side probe map: k x k centroid distances (k rows — tiny)
+    # k-row centroid table, broadcast to rank probe cells per query
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])
-    d2 = ((centers[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
-    probes = [
-        (int(c), [int(x) for x in np.argsort(d2[c])[:nprobe]]) for c in range(k)
-    ]
-    probe_df = spark.createDataFrame(probes, "cell int, probe_cells array<int>")
-
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in centers[c]]) for c in range(k)],
+        "cell int, cvec array<double>",
+    )
+    d2q = F.aggregate(
+        F.zip_with(
+            F.col("qvec").cast("array<double>"),
+            F.col("cvec"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cell"))
     q = (
-        assigned.where(F.col("vec_id") < 5)
-        .join(F.broadcast(probe_df), "cell")
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("qvec"),
-            F.explode("probe_cells").alias("cell"),
-        )
+        e.where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("d2", d2q)
+        .withColumn("prank", F.row_number().over(wp))
+        .where(F.col("prank") <= nprobe)
+        .select("qid", "qvec", "cell")
     )
     cand = (
         assigned.join(F.broadcast(q), ["cell"])
@@ -373,10 +385,14 @@ def d30_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # D30 extension — product quantization (PQ) ANN with ADC scoring + exact
 # re-rank: the memory-compression scale path (64 doubles -> M bytes/vector)
 # --------------------------------------------------------------------------
-PQ_M, PQ_K = 8, 16  # 8 subspaces x 16 centroids -> 8 bytes per vector
+PQ_M, PQ_K = 8, 256  # 8 subspaces x 256 centroids -> 8 uint8 bytes per
+#   vector: the standard PQ configuration. K=256 over K=16 costs nothing in
+#   code footprint and an M x 256 distance table per query (2 KB) in the
+#   ADC scan, but cuts quantization error enough to lift recall@10 from
+#   0.46 to ~1.0 at the same rerank budget (measured at sf0.1, r6)
 PQ_TRAIN_CAP = 2048  # codebook training sample ceiling (see docstring)
-PQ_RERANK = 50  # floor of ADC candidates re-ranked exactly per query
-PQ_RERANK_FRAC = 0.05  # rerank budget as a corpus fraction (recall knob)
+PQ_RERANK = 200  # floor of ADC candidates re-ranked exactly per query
+PQ_RERANK_FRAC = 0.1  # rerank budget as a corpus fraction (recall knob)
 PQ_RERANK_CAP = 1000  # hydration-join ceiling: beyond this, recall comes
 #   from finer codes (raise PQ_M/PQ_K) or IVF cell confinement, never from
 #   an unbounded exact re-rank
@@ -407,12 +423,17 @@ def _pq_train_codebooks(emb: DataFrame, seed: int = 42) -> np.ndarray:
     books = np.empty((PQ_M, PQ_K, dsub))
     for m in range(PQ_M):
         xs = x[:, m * dsub : (m + 1) * dsub]
-        # seeded k-means++ init then 10 Lloyd rounds — deterministic
-        centers = xs[rng.choice(len(xs), 1)]
-        while len(centers) < PQ_K:
-            d2 = ((xs[:, None, :] - centers[None, :, :]) ** 2).sum(-1).min(1)
-            p = d2 / d2.sum()
-            centers = np.vstack([centers, xs[rng.choice(len(xs), 1, p=p)]])
+        # seeded k-means++ init then 10 Lloyd rounds — deterministic.
+        # The init keeps a RUNNING min-distance (classic k-means++): each
+        # new center only pays one n x dsub distance pass, so K=256 init
+        # is O(K n dsub), not O(K^2 n dsub)
+        centers = np.empty((PQ_K, dsub))
+        centers[0] = xs[rng.choice(len(xs))]
+        min_d2 = ((xs - centers[0]) ** 2).sum(-1)
+        for j in range(1, PQ_K):
+            p = min_d2 / min_d2.sum()
+            centers[j] = xs[rng.choice(len(xs), p=p)]
+            min_d2 = np.minimum(min_d2, ((xs - centers[j]) ** 2).sum(-1))
         for _ in range(10):
             assign = ((xs[:, None, :] - centers[None, :, :]) ** 2).sum(-1).argmin(1)
             for c in range(PQ_K):

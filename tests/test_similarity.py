@@ -75,9 +75,9 @@ def test_ivf_ann_recall_vs_exact(spark):
         for q in exact_sets
     ]
     avg = sum(recalls) / len(recalls)
-    # near-uniform vectors: expected recall ~= nprobe/k = 0.5; assert a
-    # conservative floor (clustered data recovers ~all neighbors)
-    assert avg >= 0.3, f"IVF avg recall@10 {avg:.2f}"
+    # query-relative probe selection (r6): measured 0.86 at sf0.01 and
+    # sf0.1; floor leaves headroom for KMeans seed sensitivity
+    assert avg >= 0.7, f"IVF avg recall@10 {avg:.2f}"
 
 
 def test_pq_ann_recall_vs_exact(spark):
@@ -94,10 +94,9 @@ def test_pq_ann_recall_vs_exact(spark):
         for q in exact_sets
     ]
     avg = sum(recalls) / len(recalls)
-    # ADC keeps 50 of 500 candidates, then exact re-rank: on near-uniform
-    # vectors the 8x16 codebook approximation should still place most true
-    # neighbors inside the re-rank set
-    assert avg >= 0.5, f"PQ avg recall@10 {avg:.2f}"
+    # 8x256 codebooks + 200-deep exact re-rank (r6): measured 1.0 at both
+    # sf0.01 and sf0.1; floor leaves headroom for codebook seed sensitivity
+    assert avg >= 0.85, f"PQ avg recall@10 {avg:.2f}"
 
 
 def test_pq_codes_shape(spark, emb):
@@ -123,9 +122,11 @@ def test_ann_recall_holds_at_largest_local_sf(spark):
         exact_sets.setdefault(r.qid, set()).add(r.vec_id)
     assert exact_sets, "exact kNN returned nothing at sf0.1"
     for name, floor in [
-        ("d30_lsh_ann", 0.4),
-        ("d30_ivf_ann", 0.25),
-        ("d30_pq_ann", 0.4),
+        # r6 floors, raised to the tuned paths' measured quality (0.96 /
+        # 0.86 / 1.0 at sf0.1) minus seed-sensitivity headroom
+        ("d30_lsh_ann", 0.8),
+        ("d30_ivf_ann", 0.7),
+        ("d30_pq_ann", 0.85),
     ]:
         ann_sets = {}
         for r in qs[name](spark, sf).collect():
