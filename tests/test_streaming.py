@@ -322,3 +322,24 @@ def test_stream_stream_join_skewed_key_eight_batches(spark, tmp_path):
         for op in p.get("stateOperators", [])
     )
     assert removed > 0, "watermark advance across batches must evict join state"
+
+
+def test_pinned_spark_minor_for_measured_streaming_semantics():
+    """Version sentinel (VERDICT r5 item 4): several streaming oracles
+    encode MEASURED Spark 4.1 behaviors rather than documented contracts —
+    the stream-stream outer-join eviction bounds and emission model
+    (streaming/ops.py: d25_stream_full_outer / _right_outer / _semi_join,
+    "Emission model (measured, Spark 4.1)" comments), the TWS event-time
+    timer firing rule W = max(ts) - delay on the final availableNow batch
+    (streaming/stateful.py: run_cohort_maturation), and the late-agg
+    admission nuance (d26 late-data metrics). A Spark minor bump can
+    legitimately change any of them; fail HERE with a pointer instead of
+    mysteriously in five closed-form oracles."""
+    import pyspark
+
+    major_minor = ".".join(pyspark.__version__.split(".")[:2])
+    assert major_minor == "4.1", (
+        f"pyspark {pyspark.__version__}: re-measure the empirically-pinned "
+        "streaming semantics (grep 'measured, Spark 4.1' in "
+        "conceptnetwork_spark/streaming/) and update this pin"
+    )

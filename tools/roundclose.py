@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""One-command round close (VERDICT r5 item 6): run the standing per-round
+gates — driver-window rehearsal, cross-SF parity sweeps, plan-drift radar,
+and the full pytest suite — each in a FRESH subprocess (their individual
+contracts), and write a single machine-readable ROUNDCLOSE_r{N}.json the
+judge can read instead of scraping BASELINE.md prose.
+
+Usage (from the repo root, once per round, ~20-30 min):
+    python tools/roundclose.py <round_number> [--skip-suite] [--skip-parity]
+
+Artifact shape:
+    {"round": 6, "window": {"green": 50, "total": 50, "ok": true},
+     "parity": {"sf0.001": {...}, "sf0.1": {...}},
+     "plan_drift": {"changed": 0, "added": 0, "removed": 0, "ok": true},
+     "suite": {"exit": 0, "ok": true}, "ok": true}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PARITY_SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
+
+
+def _run(cmd: list[str], timeout: int = 3600) -> tuple[int, str]:
+    """Run a gate in a fresh subprocess; return (exit, combined output)."""
+    p = subprocess.run(
+        cmd,
+        cwd=ROOT,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        timeout=timeout,
+    )
+    return p.returncode, p.stdout
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if not args or not args[0].isdigit():
+        sys.exit("usage: python tools/roundclose.py <round_number> [flags]")
+    rnd = int(args[0])
+    skip_suite = "--skip-suite" in args
+    skip_parity = "--skip-parity" in args
+    py = sys.executable
+    report: dict = {"round": rnd, "started_unix": int(time.time())}
+    ok = True
+
+    # 1. driver-window rehearsal: the exact first-50 registry slice, driver
+    # order, one process (catches cross-query interference)
+    code, out = _run([py, "tools/window_rehearsal.py"])
+    m = re.search(r"(\d+)/(\d+) green", out)
+    report["window"] = {
+        "green": int(m.group(1)) if m else None,
+        "total": int(m.group(2)) if m else None,
+        "ok": code == 0,
+    }
+    ok &= code == 0
+    print(f"window: {'OK' if code == 0 else 'FAIL'} "
+          f"({report['window']['green']}/{report['window']['total']})")
+
+    # 2. cross-SF parity at the scale factors pytest does NOT use
+    report["parity"] = {}
+    if not skip_parity:
+        for sf_dir in PARITY_SFS:
+            code, out = _run([py, "tools/crosssf_parity.py", sf_dir])
+            m = re.search(r"(\d+)/(\d+) oracle queries match", out)
+            key = os.path.basename(sf_dir)
+            report["parity"][key] = {
+                "match": int(m.group(1)) if m else None,
+                "total": int(m.group(2)) if m else None,
+                "ok": code == 0,
+            }
+            ok &= code == 0
+            print(f"parity {key}: {'OK' if code == 0 else 'FAIL'} "
+                  f"({report['parity'][key]['match']}/"
+                  f"{report['parity'][key]['total']})")
+
+    # 3. plan-drift radar vs HEAD (explain_audit must have been re-run and
+    # committed whenever a plan legitimately changed, so drift here = a
+    # silent physical-plan regression)
+    code, out = _run([py, "tools/plan_drift.py", "HEAD"])
+    m = re.search(r"(\d+) changed, (\d+) added, (\d+) removed", out)
+    report["plan_drift"] = {
+        "changed": int(m.group(1)) if m else None,
+        "added": int(m.group(2)) if m else None,
+        "removed": int(m.group(3)) if m else None,
+        "ok": code == 0 and bool(m) and m.group(1) == "0",
+    }
+    ok &= report["plan_drift"]["ok"]
+    print(f"plan drift: {'OK' if report['plan_drift']['ok'] else 'FAIL'} "
+          f"({report['plan_drift']})")
+
+    # 4. full pytest suite
+    if not skip_suite:
+        code, out = _run([py, "-m", "pytest", "tests/", "-q"], timeout=5400)
+        m = re.search(r"(\d+) passed", out)
+        report["suite"] = {
+            "exit": code,
+            "passed": int(m.group(1)) if m else None,
+            "ok": code == 0,
+        }
+        ok &= code == 0
+        print(f"suite: {'OK' if code == 0 else 'FAIL'} "
+              f"(exit {code}, {report['suite']['passed']} passed)")
+
+    # 5. full one-shot bench sweep at sf0.1 -> BENCHSWEEP_r{N}.json
+    # (VERDICT r5 item 7: the headline BENCH_r{N}.json times ~120 of the
+    # registered queries; the sweep artifact covers every one)
+    if "--skip-bench" not in args:
+        code, out = _run([py, "bench.py", "--sweep"], timeout=3600)
+        last_json = None
+        for line in out.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    last_json = json.loads(line)
+                except json.JSONDecodeError:
+                    pass
+        # persist the FULL-detail record (the line before the compact
+        # summary), falling back to whatever parsed last
+        detail = None
+        for line in out.splitlines():
+            line = line.strip()
+            if line.startswith("{") and "_detail" in line[:120]:
+                try:
+                    detail = json.loads(line)
+                except json.JSONDecodeError:
+                    pass
+        sweep_rec = detail or last_json
+        if sweep_rec is not None:
+            spath = os.path.join(ROOT, f"BENCHSWEEP_r{rnd:02d}.json")
+            with open(spath, "w") as f:
+                json.dump(sweep_rec, f)
+                f.write("\n")
+            print(f"wrote {spath}")
+        report["sweep"] = {
+            "exit": code,
+            "total_sec": (sweep_rec or {}).get("value"),
+            "n_queries": (sweep_rec or {}).get("n_queries"),
+            "failures": (sweep_rec or {}).get("failures"),
+            "ok": code == 0,
+        }
+        ok &= code == 0
+        print(f"sweep: {'OK' if code == 0 else 'FAIL'} ({report['sweep']})")
+
+    report["ok"] = bool(ok)
+    report["finished_unix"] = int(time.time())
+    path = os.path.join(ROOT, f"ROUNDCLOSE_r{rnd:02d}.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=1)
+        f.write("\n")
+    print(f"wrote {path}: {'ALL GREEN' if ok else 'FAILURES PRESENT'}")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
