@@ -153,6 +153,13 @@ HEADLINE = [
     "d35_vacuum_retention",
     "d30_hybrid_rrf",
     "d27_markov_transitions",
+    # round-6 additions (d30_ivf_pq is swept, not headlined — KMeans + PQ
+    # codebook training cost, same policy as d33_gbt; d25_rate_source is
+    # swept — multi-micro-batch machinery)
+    "d30_hamming_topk",
+    "d14_date_bin_rollup",
+    "d06_lateral_topn",
+    "d33_fpgrowth_pairs",
     # d33_cross_validation is swept, not headlined: a timed min-of-3 would
     # re-fit 2 folds x 2 grid params three times (training cost, not query
     # cost) — same policy as d33_gbt_mse / the multi-batch stream queries.

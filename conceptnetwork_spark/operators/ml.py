@@ -523,3 +523,75 @@ def d33_als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("recommendations")[0]["item"].alias("top_item"),
         F.round(F.col("recommendations")[0]["rating"], 4).alias("score"),
     ).orderBy("user")
+
+
+# --------------------------------------------------------------------------
+# D33 extension (round 6) — frequent-itemset mining (parallel FP-growth)
+# --------------------------------------------------------------------------
+@register(
+    "d33_fpgrowth_pairs",
+    oracle="""
+    WITH cb AS (
+      SELECT DISTINCT o.o_custkey, p.p_brand
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+    ), n AS (SELECT COUNT(DISTINCT o_custkey) AS n_cust FROM cb)
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           COUNT(*) AS supp
+    FROM cb a JOIN cb b
+      ON a.o_custkey = b.o_custkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= CEIL(0.6 * (SELECT n_cust FROM n))
+    ORDER BY brand_a, brand_b
+    """,
+)
+def d33_fpgrowth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent brand PAIRS across customer purchase baskets via MLlib
+    FPGrowth (the distributed PFP algorithm of Li et al. 2008): basket =
+    the distinct part brands a customer has ever ordered; mine all
+    frequent itemsets, keep size-2 sets with support >= 60% of customers.
+
+    FPGrowth support counts are EXACT (the algorithm prunes, never
+    approximates), so the result is hash-comparable against a SQL
+    pair-counting self-join — the oracle for the whole mine-prune path.
+    FPGrowth runs with minSupport=0.5, strictly below the 0.6 output
+    filter applied identically in both engines, so MLlib's internal
+    ceil-vs-floor threshold rounding can never decide membership.
+
+    Scale shape: PFP shards the FP-tree by item-suffix groups across
+    executors (one groupBy shuffle of conditional transactions); the
+    basket build is a distinct-agg over an ids-only projection of the
+    join. The 25-brand universe keeps itemset space tiny here; real
+    basket mining bounds it with minSupport exactly as done here."""
+    from pyspark.ml.fpm import FPGrowth
+
+    t = Catalog(spark, sf_dir)
+    cb = (
+        t.lineitem.select("l_orderkey", "l_partkey")
+        .join(t.orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.part.select("p_partkey", "p_brand"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select("o_custkey", "p_brand")
+        .distinct()
+    )
+    n_cust = cb.select("o_custkey").distinct().count()
+    baskets = cb.groupBy("o_custkey").agg(
+        F.collect_set("p_brand").alias("items")
+    )
+    fp = FPGrowth(itemsCol="items", minSupport=0.5, minConfidence=0.5)
+    model = fp.fit(baskets)
+    import math
+
+    threshold = math.ceil(0.6 * n_cust)
+    return (
+        model.freqItemsets.where(F.size("items") == 2)
+        .where(F.col("freq") >= threshold)
+        .select(
+            F.array_min("items").alias("brand_a"),
+            F.array_max("items").alias("brand_b"),
+            F.col("freq").alias("supp"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )

@@ -2967,3 +2967,49 @@ def d27_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+# --------------------------------------------------------------------------
+# D14 extension (round 6) — hypertable-style time-bucket rollup (batch
+# window(): the continuous-aggregate primitive, TimescaleDB time_bucket /
+# ClickHouse toStartOfInterval analogue)
+# --------------------------------------------------------------------------
+@register(
+    "d14_date_bin_rollup",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY bucket_start, event_type
+    """,
+)
+def d14_date_bin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket rollup in BATCH via ``F.window`` (the same tumbling
+    operator d26 uses in streaming, applied to a static frame): 6-hour
+    buckets x event_type with count / distinct users / value sum — the
+    hypertable continuous-aggregate shape every metrics store
+    materializes. Spark's window() origin is the epoch; DuckDB
+    time_bucket's sub-week origin (2000-01-03 00:00) lands on the same
+    6-hour grid, so bucket boundaries agree by construction.
+
+    Scale shape: ONE partial+final hash agg keyed on (bucket, type) — the
+    bucket expression is codegen'd arithmetic on the scan, no window
+    exchange, no join; distinct-user counting expands to the standard
+    two-level agg. At 100 TB this is the query you'd run per ingest
+    partition and MERGE into the rollup MV (d35_mv_merge)."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(
+            F.window("ts", "6 hours").start.alias("bucket_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )

@@ -282,6 +282,68 @@ def d30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d30_hamming_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    )
+    SELECT qid, rank, vec_id, ham FROM (
+      SELECT qid, vec_id, ham,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY ham, vec_id) AS INTEGER) AS rank
+      FROM (
+        SELECT q.qid, e.vec_id,
+               CAST(list_sum(list_transform(list_zip(e.embedding, q.qvec),
+                 s -> CASE WHEN (CAST(s[1] AS DOUBLE) > 0)
+                            <> (CAST(s[2] AS DOUBLE) > 0)
+                      THEN 1 ELSE 0 END)) AS BIGINT) AS ham
+        FROM embeddings e JOIN q ON e.vec_id <> q.qid
+      )
+    ) WHERE rank <= 10
+    ORDER BY qid, rank
+    """,
+)
+def d30_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized retrieval: pack each 64-dim embedding's SIGN BITS
+    into ONE BIGINT and rank candidates by Hamming distance — one
+    ``bit_count(sig XOR qsig)`` per comparison. The 32x-compressed fast
+    path of modern binary-embedding search (the re-rank stage then uses
+    full vectors, as in d30_pq_ann).
+
+    The oracle computes the same distance as an explicit per-position
+    sign-disagreement count over the raw vectors, so the hash certifies
+    the bit packing itself (a wrong shift or sign test diverges
+    immediately). Fully deterministic integers — no float in any compared
+    quantity.
+
+    Scale shape: the signature build is map-only codegen; the corpus-side
+    scan carries 8 bytes per vector; queries broadcast. At 100 TB the
+    signature column is what you'd persist (and Z-order), keeping the
+    vector table out of the scan entirely until re-rank."""
+    e = Catalog(spark, sf_dir).embeddings
+    pack = F.expr(
+        "aggregate(zip_with(embedding, sequence(0, 63), "
+        "(x, i) -> IF(CAST(x AS DOUBLE) > 0D, shiftleft(1L, i), 0L)), "
+        "0L, (a, b) -> a | b)"
+    )
+    sigs = e.select("vec_id", pack.alias("sig"))
+    q = sigs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("sig").alias("qsig")
+    )
+    scored = (
+        sigs.join(F.broadcast(q), F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", F.bit_count(F.expr("sig ^ qsig")).alias("ham"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("ham"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("qid", "rank", "vec_id", "ham")
+        .orderBy("qid", "rank")
+    )
+
+
 @register("d30_embedding_near_dup", oracle=None)
 def d30_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed. Non-oracle
@@ -525,6 +587,99 @@ def d30_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "qvec", "vec_id")
     )
     # exact re-rank: hydrate candidate vectors (PQ_RERANK x |queries| rows)
+    rer = cand.join(
+        e.select(F.col("vec_id"), F.col("embedding").alias("cvec")), "vec_id"
+    ).withColumn("sim", F.round(_cosine_batch("qvec", "cvec"), 4))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= 10)
+        .select("qid", "rank", "vec_id", "sim")
+        .orderBy("qid", "rank")
+    )
+
+
+@register("d30_ivf_pq", oracle=None)
+def d30_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed (the FAISS ``IVFx,PQy`` index, simplified to
+    raw-vector codebooks): a KMeans coarse quantizer confines the search
+    to the query's nprobe nearest cells, the ADC scan inside those cells
+    reads ONLY 8-byte PQ codes, and the survivors are exactly re-ranked
+    from hydrated vectors. Each stage reuses the standalone operator's
+    machinery (d30_ivf_ann cells + probe ranking, d30_pq_ann codebooks +
+    ADC + re-rank), so this is the composition test: at 100 TB the corpus
+    is bucketed by cell, each query reads nprobe/k of the CODE table
+    (nprobe/k x corpus/32 bytes), and full vectors surface only for the
+    rerank-budget x |queries| hydration join.
+
+    Non-oracle (cell + codebook assignment are engine/seed-defined);
+    pytest checks recall@10 vs d30_knn_exact."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    k, nprobe = 32, 14
+    e = Catalog(spark, sf_dir).embeddings
+    vecs = e.withColumn("fv", array_to_vector(F.col("embedding").cast("array<double>")))
+    km = KMeans(k=k, seed=42, maxIter=8, featuresCol="fv", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
+
+    books = _pq_train_codebooks(e)
+    codes = pq_encode(e, books).join(assigned.select("vec_id", "cell"), "vec_id")
+    rerank = min(PQ_RERANK_CAP, max(PQ_RERANK, int(e.count() * PQ_RERANK_FRAC)))
+
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in centers[c]]) for c in range(k)],
+        "cell int, cvec array<double>",
+    )
+    d2q = F.aggregate(
+        F.zip_with(
+            F.col("qvec").cast("array<double>"),
+            F.col("cvec"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cell"))
+    q = (
+        e.where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("d2", d2q)
+        .withColumn("prank", F.row_number().over(wp))
+        .where(F.col("prank") <= nprobe)
+        .select("qid", "qvec", "cell")
+    )
+
+    b_books = spark.sparkContext.broadcast(books)
+
+    @F.pandas_udf(DoubleType())
+    def adc_dist(qvec: pd.Series, codes_s: pd.Series) -> pd.Series:
+        bk = b_books.value
+        dsub = bk.shape[2]
+        qm = np.vstack(qvec.to_numpy()).astype(np.float64)
+        c = np.vstack(codes_s.to_numpy()).astype(np.int64)
+        out = np.zeros(len(qm))
+        for m in range(PQ_M):
+            qs = qm[:, m * dsub : (m + 1) * dsub]
+            d2 = ((qs[:, None, :] - bk[m][None, :, :]) ** 2).sum(-1)
+            out += d2[np.arange(len(qm)), c[:, m]]
+        return pd.Series(out)
+
+    # cell-confined ADC: the join key is the probed cell, so each query
+    # only scores codes inside its nprobe cells
+    scored = codes.join(F.broadcast(q), ["cell"]).where(
+        F.col("qid") != F.col("vec_id")
+    )
+    wc = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("adc", adc_dist("qvec", "codes"))
+        .withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= rerank)
+        .select("qid", "qvec", "vec_id")
+    )
     rer = cand.join(
         e.select(F.col("vec_id"), F.col("embedding").alias("cvec")), "vec_id"
     ).withColumn("sim", F.round(_cosine_batch("qvec", "cvec"), 4))

@@ -326,3 +326,55 @@ def d09_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# D6/D24 extension (round 6) — correlated LATERAL join (top-N-per-group as
+# a join operator rather than a window)
+# --------------------------------------------------------------------------
+@register(
+    "d06_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           ROUND(o.o_totalprice, 4) AS o_totalprice
+    FROM customer c
+    JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) o ON TRUE
+    WHERE c.c_mktsegment = 'BUILDING'
+    ORDER BY c.c_custkey, o.o_orderkey
+    """,
+)
+def d06_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per BUILDING-segment customer expressed as a
+    correlated ``JOIN LATERAL`` with per-row ORDER BY + LIMIT — the SQL
+    operator form of top-N-per-group (vs the d13 window form). Spark 4
+    decorrelates the lateral subquery into a ranked join (DomainJoin →
+    window over the correlation key), so the declared per-row re-execution
+    NEVER happens physically — the plan is the same single shuffle the
+    window form produces, which is exactly the rewrite you want at 100 TB:
+    orders shuffles once on o_custkey, customers prune to the segment
+    first. Identical semantics pinned against DuckDB's native LATERAL."""
+    t = Catalog(spark, sf_dir)
+    t.customer.createOrReplaceTempView("_lat_customer")
+    t.orders.createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey,
+               ROUND(o.o_totalprice, 4) AS o_totalprice
+        FROM _lat_customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM _lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, o.o_orderkey
+        """
+    )

@@ -137,7 +137,15 @@ CERT_FIRST: tuple[str, ...] = (
     "d09_hash_agg",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md). The 23 oracle-less queries are
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the FIVE oracle
+# queries REGISTERED during round 6 (the window was already full with the
+# r5 carry-over): d30_hamming_topk (bit-packed binary retrieval),
+# d14_date_bin_rollup (hypertable-style time-bucket rollup),
+# d33_fpgrowth_pairs (PFP frequent-itemset mining), d25_rate_source
+# (deterministic rate-micro-batch source), d06_lateral_topn (correlated
+# LATERAL decorrelation). All five pass the local DuckDB gate and are the
+# declared carry-over into the r7 window. d30_ivf_pq (composed IVFPQ) is
+# oracle-less by design (recall-tested). The 23 oracle-less queries are
 # pytest-pinned instead (tolerance / recall / determinism / equivalence
 # assertions; see non_oracle_queries()) and are ordered after ALL
 # oracle-backed queries, so a driver oracle window can never sample them.

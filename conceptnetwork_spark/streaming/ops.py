@@ -2138,3 +2138,87 @@ def d26_late_drop_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(dropped, emitted)], "late_rows_dropped long, windows_emitted long"
     )
+
+
+# --------------------------------------------------------------------------
+# D25 extension (round 6) — the built-in rate-micro-batch source: Spark's
+# deterministic load-generator connector (the third source family after
+# file and custom-Python sources)
+# --------------------------------------------------------------------------
+RATE_ROWS_PER_BATCH = 100
+RATE_TARGET_ROWS = 500
+
+
+@register(
+    "d25_rate_source",
+    oracle=f"""
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + (v // {RATE_ROWS_PER_BATCH}) * INTERVAL 1 SECOND AS batch_ts,
+           COUNT(*) AS n,
+           CAST(SUM(v) AS BIGINT) AS sum_value
+    FROM (SELECT UNNEST(range(0, {RATE_TARGET_ROWS})) AS v)
+    GROUP BY 1
+    ORDER BY batch_ts
+    """,
+)
+def d25_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in ``rate-micro-batch`` streaming source with a PINNED
+    clock: startTimestamp=0 and advanceMillisPerBatch=1000 make both the
+    value sequence AND the event timestamps closed-form (batch b carries
+    values [b*R, (b+1)*R) all stamped epoch+b seconds), so a per-batch
+    aggregate of the ingested stream is hash-comparable against pure SQL
+    over range() — source determinism, partitioned generation
+    (numPartitions=4) and stream-side timestamp typing all on the hash.
+    The final select restricts to value < target so trailing batches the
+    poll loop may or may not have admitted can never change the result.
+
+    Scale shape: the rate source is the standard backpressure/throughput
+    rig — on a cluster you point it at the real sink config and measure
+    steady-state micro-batch latency; generation is partitioned and
+    driver-free (unlike the Python SimpleDataSourceStreamReader's
+    driver-prefetch path, the contrast documented there)."""
+    import time as _time
+
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", str(RATE_ROWS_PER_BATCH))
+        .option("numPartitions", "4")
+        .option("startTimestamp", "0")
+        .option("advanceMillisPerBatch", "1000")
+        .load()
+    )
+    table = f"rate_src_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = _time.time() + 120
+    try:
+        while _time.time() < deadline:
+            if not q.isActive:
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
+            if (
+                spark.table(table).where(F.col("value") < RATE_TARGET_ROWS).count()
+                >= RATE_TARGET_ROWS
+            ):
+                break
+            _time.sleep(0.3)
+        else:
+            raise TimeoutError(f"rate source never reached {RATE_TARGET_ROWS} rows")
+    finally:
+        q.stop()
+    return (
+        spark.table(table)
+        .where(F.col("value") < RATE_TARGET_ROWS)
+        .groupBy(F.col("timestamp").alias("batch_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .orderBy("batch_ts")
+    )

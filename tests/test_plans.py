@@ -849,3 +849,36 @@ def test_d31_sentence_dedup_hash_only_ownership_exchange(spark):
     )
     assert m, "ownership exchange input must be the 3-column hash projection"
     assert "Exchange hashpartitioning(h#" in plan
+
+
+def test_d06_lateral_decorrelated_to_ranked_join(spark):
+    """The correlated LATERAL (ORDER BY + LIMIT 2 per customer) must be
+    decorrelated into a ranked join — WindowGroupLimit top-2 on the orders
+    side, broadcast of the pruned customer segment — never a per-row
+    re-execution or a cartesian."""
+    plan = _plan(spark, "d06_lateral_topn")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan and "BUILDING" in plan  # segment at scan
+
+
+def test_d14_date_bin_single_agg_no_window_exchange(spark):
+    """The 6-hour bucket is codegen'd arithmetic on the scan; the rollup is
+    hash aggregation only (the distinct-user expansion adds the standard
+    second level) — no window operator, no join."""
+    plan = _plan(spark, "d14_date_bin_rollup")
+    assert "Window [" not in plan
+    assert "Join" not in plan
+    assert "partial_count" in plan  # map-side combine
+    assert plan.count("HashAggregate") >= 4  # two-level distinct expansion
+
+
+def test_d30_hamming_partial_topk_pushdown(spark):
+    """The Hamming scan must keep the 8-byte signature form: sig built in
+    the scan-side project, top-10 rank limited map-side (partial
+    WindowGroupLimit) before the single qid exchange."""
+    plan = _plan(spark, "d30_hamming_topk")
+    assert "bit_count" in plan
+    assert plan.count("WindowGroupLimit") == 2  # Partial + Final
+    assert "BroadcastNestedLoopJoin" in plan  # 5-query side broadcast

@@ -205,3 +205,21 @@ def test_matryoshka_prefix_recall_vs_full(spark):
     ]
     avg = sum(recalls) / len(recalls)
     assert avg >= 0.15, f"prefix recall@10 {avg:.2f} below floor"
+
+
+def test_ivf_pq_recall_vs_exact(spark):
+    """Composed IVF+PQ: recall is bounded above by the IVF probe coverage
+    (~0.86 measured) and below by the PQ rerank quality (~1.0 within the
+    probed cells) — floor matches the standalone IVF floor."""
+    qs = queries()
+    exact_sets, sets = {}, {}
+    for r in qs["d30_knn_exact"](spark, SF_ORACLE).collect():
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    for r in qs["d30_ivf_pq"](spark, SF_ORACLE).collect():
+        sets.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.7, f"IVFPQ avg recall@10 {avg:.2f}"
