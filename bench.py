@@ -160,6 +160,9 @@ HEADLINE = [
     "d14_date_bin_rollup",
     "d06_lateral_topn",
     "d33_fpgrowth_pairs",
+    "d24_udtf_analyze",
+    "d01_nested_pruning",
+    "d21_xml_roundtrip",
     # d33_cross_validation is swept, not headlined: a timed min-of-3 would
     # re-fit 2 folds x 2 grid params three times (training cost, not query
     # cost) — same policy as d33_gbt_mse / the multi-batch stream queries.

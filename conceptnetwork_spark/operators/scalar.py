@@ -442,3 +442,48 @@ def d17_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lower(F.col("k")).alias("word_lc"), "n", "n_upper")
         .orderBy("word_lc")
     )
+
+
+# --------------------------------------------------------------------------
+# D21 extension (round 6) — XML codec round-trip (to_xml/from_xml, the
+# Spark-4 built-in XML support; DuckDB has no XML so the oracle pins the
+# round-trip IDENTITY on the base relation, the TFRecord-codec pattern)
+# --------------------------------------------------------------------------
+@register(
+    "d21_xml_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(o_totalprice, 4) AS totalprice
+    FROM orders WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+    """,
+)
+def d21_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize each order to an XML document (``to_xml``) and parse it
+    back (``from_xml``) with an explicit row schema — the semi-structured
+    codec surface Spark 4 ships natively (the spark-xml package folded
+    in). The oracle is the identity on the base relation, so element
+    encoding, escaping, numeric round-trip and schema projection are all
+    on the hash; a lossy codec (truncated double, swallowed status char)
+    diverges immediately. Both directions are JVM expressions inside
+    whole-stage codegen — no Python crossing.
+
+    Scale shape: map-only (one row in, one row out), the same per-row
+    codec cost profile as the TFRecord Example round-trip in
+    sources/tfrecord.py; the bounded key filter is pushed to the scan."""
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 2000)
+    xml = o.select(
+        F.to_xml(
+            F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+        ).alias("doc")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "doc", "o_orderkey long, o_orderstatus string, o_totalprice double"
+        ).alias("r")
+    )
+    return parsed.select(
+        F.col("r.o_orderkey").alias("o_orderkey"),
+        F.col("r.o_orderstatus").alias("o_orderstatus"),
+        F.round("r.o_totalprice", 4).alias("totalprice"),
+    ).orderBy("o_orderkey")

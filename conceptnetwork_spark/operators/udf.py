@@ -760,3 +760,75 @@ def d24_arrow_native_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name", "p_retailprice")
     )
     return PartStats(p.asTable()).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# D24 extension (round 6) — POLYMORPHIC UDTF: output schema computed by a
+# static analyze() from a literal argument (the Spark-4 table-function
+# analogue of schema-on-read)
+# --------------------------------------------------------------------------
+def _make_split_fields_udtf():
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class SplitFields:
+        """Splits a space-delimited string into named columns — the COLUMN
+        NAMES (and arity) come from the first literal argument, resolved at
+        plan time by analyze(). 'grade finish material' -> 3 string cols."""
+
+        @staticmethod
+        def analyze(fields: AnalyzeArgument, s: AnalyzeArgument) -> AnalyzeResult:
+            if fields.value is None:
+                raise ValueError("fields spec must be a foldable literal")
+            schema = StructType()
+            for name in str(fields.value).split(" "):
+                schema = schema.add(name, StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, fields: str, s: str):
+            n = len(fields.split(" "))
+            parts = (s or "").split(" ")
+            # pad/truncate to the declared arity — schema is fixed at
+            # plan time, rows must conform
+            yield tuple((parts + [None] * n)[:n])
+
+    return udtf(SplitFields)
+
+
+@register(
+    "d24_udtf_analyze",
+    oracle="""
+    SELECT p_partkey,
+           string_split(p_type, ' ')[1] AS grade,
+           string_split(p_type, ' ')[2] AS finish,
+           string_split(p_type, ' ')[3] AS material
+    FROM part
+    WHERE p_partkey < 400
+    ORDER BY p_partkey
+    """,
+)
+def d24_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POLYMORPHIC Python UDTF surface: ``analyze()`` computes the
+    output schema at PLAN TIME from a literal argument — here the field
+    spec 'grade finish material' turns p_type ('STANDARD ANODIZED TIN')
+    into three named string columns. This is the schema-on-read table
+    function: one UDTF serves any delimited layout, with Catalyst seeing
+    concrete, prunable columns. Completes the D24 ladder beyond the
+    fixed-schema d24_python_udtf and the Arrow-native d24_arrow_native_udtf.
+
+    The id filter bounds the Python crossing and is pushed to the scan
+    before the UDTF (same contract as the other ladder rungs)."""
+    SplitFields = _make_split_fields_udtf()
+    p = (
+        Catalog(spark, sf_dir)
+        .part.where(F.col("p_partkey") < 400)
+        .select("p_partkey", "p_type")
+    )
+    return (
+        p.lateralJoin(
+            SplitFields(F.lit("grade finish material"), F.col("p_type").outer())
+        )
+        .select("p_partkey", "grade", "finish", "material")
+        .orderBy("p_partkey")
+    )

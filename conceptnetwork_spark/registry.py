@@ -137,15 +137,17 @@ CERT_FIRST: tuple[str, ...] = (
     "d09_hash_agg",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md) — except the FIVE oracle
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the EIGHT oracle
 # queries REGISTERED during round 6 (the window was already full with the
 # r5 carry-over): d30_hamming_topk (bit-packed binary retrieval),
 # d14_date_bin_rollup (hypertable-style time-bucket rollup),
 # d33_fpgrowth_pairs (PFP frequent-itemset mining), d25_rate_source
 # (deterministic rate-micro-batch source), d06_lateral_topn (correlated
-# LATERAL decorrelation). All five pass the local DuckDB gate and are the
-# declared carry-over into the r7 window. d30_ivf_pq (composed IVFPQ) is
-# oracle-less by design (recall-tested). The 23 oracle-less queries are
+# LATERAL decorrelation), d24_udtf_analyze (polymorphic analyze() UDTF),
+# d01_nested_pruning (nested-subfield-pruned parquet scan), and
+# d21_xml_roundtrip (to_xml/from_xml codec). All eight pass the local
+# DuckDB gate and are the declared carry-over into the r7 window.
+# d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested). The 23 oracle-less queries are
 # pytest-pinned instead (tolerance / recall / determinism / equivalence
 # assertions; see non_oracle_queries()) and are ordered after ALL
 # oracle-backed queries, so a driver oracle window can never sample them.

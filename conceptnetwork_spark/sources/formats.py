@@ -745,3 +745,102 @@ def d01_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# nested-schema parquet source (round 6) — NESTED COLUMN PRUNING: the scan
+# must read only the referenced struct SUBFIELDS (spark.sql.optimizer
+# .nestedSchemaPruning.enabled, on by default in Spark 4)
+# --------------------------------------------------------------------------
+def stage_nested_orders(sf_dir: str) -> str:
+    """Stage a bounded orders extract as ONE parquet file with NESTED
+    struct columns (customer{o_custkey,o_orderstatus},
+    pricing{o_totalprice,o_orderpriority,o_comment}) via pyarrow.
+    Idempotent per sf_dir; pyarrow filter pushdown bounds the read."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    path = _stage_dir(sf_dir, "nested")
+    out = os.path.join(path, "orders_nested.parquet")
+    if not os.path.exists(out):
+        t = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=[
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderpriority",
+                "o_orderdate",
+            ],
+            filters=pc.field("o_orderkey") < 2000,
+        ).sort_by("o_orderkey")
+        if len(t) > _STAGE_ROW_CEILING:
+            raise ValueError(
+                f"refusing to stage {len(t)} rows (ceiling "
+                f"{_STAGE_ROW_CEILING}); staging is for bounded fixtures"
+            )
+        customer = pa.StructArray.from_arrays(
+            [t["o_custkey"].combine_chunks(), t["o_orderstatus"].combine_chunks()],
+            names=["o_custkey", "o_orderstatus"],
+        )
+        pricing = pa.StructArray.from_arrays(
+            [
+                t["o_totalprice"].combine_chunks(),
+                t["o_orderpriority"].combine_chunks(),
+                t["o_orderdate"].combine_chunks(),
+            ],
+            names=["o_totalprice", "o_orderpriority", "o_orderdate"],
+        )
+        nested = pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "customer": customer,
+                "pricing": pricing,
+            }
+        )
+        os.makedirs(path, exist_ok=True)
+        tmp = out + ".tmp"
+        pq.write_table(nested, tmp)
+        os.replace(tmp, out)
+    return out
+
+
+def _nested_oracle() -> str:
+    path = stage_nested_orders(_oracle_sf_dir())
+    return f"""
+    SELECT o_orderkey,
+           customer.o_custkey AS custkey,
+           ROUND(pricing.o_totalprice, 4) AS totalprice
+    FROM '{path}'
+    WHERE customer.o_orderstatus = 'O'
+    ORDER BY o_orderkey
+    """
+
+
+@register("d01_nested_pruning", oracle=_nested_oracle)
+def d01_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema parquet scan with SUBFIELD pruning and a pushed
+    nested-field predicate: the query touches 2 of 5 struct subfields
+    plus a filter on a third, and the scan's ReadSchema must contain
+    exactly those subfields — pricing.o_orderpriority and
+    pricing.o_orderdate never leave the file. Both engines read the SAME staged nested file, so
+    struct decoding and field access are on the hash.
+
+    Scale shape: event/log tables at 100 TB are overwhelmingly nested
+    (request{...}, context{...}, payload{...}); subfield pruning is the
+    difference between scanning 3% of the file and 100% of it. The plan
+    test pins the pruned ReadSchema so a regression (e.g. a UDF forcing
+    full-struct materialization) fails loudly."""
+    path = stage_nested_orders(sf_dir)
+    df = spark.read.parquet(path)
+    return (
+        df.where(F.col("customer.o_orderstatus") == "O")
+        .select(
+            "o_orderkey",
+            F.col("customer.o_custkey").alias("custkey"),
+            F.round("pricing.o_totalprice", 4).alias("totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -882,3 +882,58 @@ def test_d30_hamming_partial_topk_pushdown(spark):
     assert "bit_count" in plan
     assert plan.count("WindowGroupLimit") == 2  # Partial + Final
     assert "BroadcastNestedLoopJoin" in plan  # 5-query side broadcast
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime bloom-filter join pruning (Spark's row-level runtime
+    filtering): with a selective filter on the orders side of a shuffle
+    join, the optimizer must inject a bloom_filter_agg on the build side
+    and a might_contain probe into the lineitem scan filter — at 100 TB
+    this prunes most of the fact-side shuffle before it happens. Scoped
+    confs lower the size thresholds the sf0.01 inputs can't meet."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sf = SF_ORACLE
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet").where(
+            "o_totalprice > 400000"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan.lower()
+        assert j.count() > 0  # the filtered join still returns rows
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_d01_nested_schema_pruning(spark):
+    """The nested scan must read ONLY the referenced struct subfields:
+    customer.o_custkey + the filtered customer.o_orderstatus +
+    pricing.o_totalprice — pricing.o_orderpriority / pricing.o_orderdate
+    never appear in ReadSchema, and the nested predicate reaches
+    PushedFilters."""
+    plan = _plan(spark, "d01_nested_pruning")
+    assert "ReadSchema" in plan
+    assert "o_orderpriority" not in plan
+    assert "o_orderdate" not in plan
+    assert "o_custkey" in plan and "o_totalprice" in plan
+    assert "PushedFilters" in plan and "customer.o_orderstatus" in plan
