@@ -1467,3 +1467,116 @@ def d35_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(audit, "metric string, value long").orderBy(
         "metric"
     )
+
+
+# --------------------------------------------------------------------------
+# D35 extension (round 6) — MERGE-ON-READ deletes via deletion vectors:
+# positional (file, row_index) tombstones applied at scan time with
+# Spark's _metadata.row_index, no base-file rewrite (the Delta
+# deletion-vector / Iceberg positional-delete pattern)
+# --------------------------------------------------------------------------
+DV_N_FILES = 4
+
+
+def stage_dv_table(sf_dir: str) -> tuple[str, str]:
+    """Stage a bounded orders extract as DV_N_FILES parquet files (sorted
+    by o_orderkey, contiguous slices — so each row's (file, row_index) is
+    closed-form) plus a deletion-vector parquet of the POSITIONS of rows
+    with o_orderkey % 7 == 0. Idempotent per sf_dir; pyarrow only."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from conceptnetwork_spark.sources.formats import _stage_dir
+
+    base = _stage_dir(sf_dir, "dv")
+    base_dir = os.path.join(base, "orders_base")
+    dv_path = os.path.join(base, "deletes.parquet")
+    if not (os.path.isdir(base_dir) and os.path.exists(dv_path)):
+        t = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+            filters=pc.field("o_orderkey") < 4000,
+        ).sort_by("o_orderkey")
+        tmp = f"{base_dir}.{uuid.uuid4().hex[:8]}.tmp"
+        os.makedirs(tmp)
+        files, positions = [], {"file_name": [], "row_index": []}
+        n = len(t)
+        for i in range(DV_N_FILES):
+            lo, hi = i * n // DV_N_FILES, (i + 1) * n // DV_N_FILES
+            part = t.slice(lo, hi - lo)
+            fname = f"part-{i}.parquet"
+            pq.write_table(part, os.path.join(tmp, fname))
+            keys = part["o_orderkey"].to_pylist()
+            for pos, k in enumerate(keys):
+                if k % 7 == 0:
+                    positions["file_name"].append(fname)
+                    positions["row_index"].append(pos)
+        try:
+            os.rename(tmp, base_dir)
+        except OSError:  # concurrent stager won
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        dv_tmp = dv_path + f".{uuid.uuid4().hex[:8]}.tmp"
+        pq.write_table(
+            pa.table(
+                {
+                    "file_name": pa.array(positions["file_name"]),
+                    "row_index": pa.array(positions["row_index"], pa.int64()),
+                }
+            ),
+            dv_tmp,
+        )
+        os.replace(dv_tmp, dv_path)
+    return base_dir, dv_path
+
+
+def _dv_oracle() -> str:
+    from conceptnetwork_spark.sources.formats import _oracle_sf_dir
+
+    base_dir, _ = stage_dv_table(_oracle_sf_dir())
+    return f"""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 4) AS totalprice
+    FROM '{base_dir}/*.parquet'
+    WHERE o_orderkey % 7 <> 0
+    ORDER BY o_orderkey
+    """
+
+
+@register("d35_deletion_vectors", oracle=_dv_oracle)
+def d35_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletes: the live table = base parquet files MINUS a
+    positional deletion vector, applied at scan time as a LEFT ANTI join
+    on (`_metadata.file_name`, `_metadata.row_index`) — no base-file
+    rewrite, the Delta-DV / Iceberg-positional-delete read path. The
+    Spark side never sees the delete PREDICATE, only positions; the
+    oracle recomputes the survivors from the predicate — so the hash
+    certifies that positional application reproduces predicate deletion
+    exactly (any row_index misalignment diverges).
+
+    Scale shape: the DV side is tiny-per-file and broadcast; the base
+    scan streams with two metadata columns appended; compaction
+    (d35_compact_files) eventually folds DVs into rewritten files. At
+    100 TB this is how deletes ship daily without rewriting petabytes."""
+    base_dir, dv_path = stage_dv_table(sf_dir)
+    base = spark.read.parquet(base_dir).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    dv = spark.read.parquet(dv_path)
+    return (
+        base.join(F.broadcast(dv), ["file_name", "row_index"], "left_anti")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 4).alias("totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )

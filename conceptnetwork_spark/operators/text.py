@@ -1433,3 +1433,57 @@ def d31_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("t").alias("clean_len"),
         F.md5(F.col("t").cast("binary")).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# D31 extension (round 6) — URL parsing (crawl-metadata normalization:
+# host / path / query-param extraction with Spark's parse_url)
+# --------------------------------------------------------------------------
+@register(
+    "d31_url_parse",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+           CAST(doc_id % 10 AS VARCHAR) AS ref,
+           lang AS reg_domain_label
+    FROM documents
+    WHERE doc_id < 2000
+    ORDER BY doc_id
+    """,
+)
+def d31_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-URL normalization: deterministic URLs are BUILT from document
+    metadata (source, lang, doc_id), then decomposed with ``parse_url``
+    (HOST, PATH, a QUERY parameter). The oracle reconstructs each
+    component directly from the base columns, so the build→parse
+    round-trip certifies Spark's URL decomposition — a parser that
+    swallows the query string or mis-splits the path diverges. The
+    trailing column re-derives the path's language label with
+    regexp_extract (the per-language routing key a crawl pipeline
+    partitions on), pinning regex group extraction on the same hash.
+
+    Scale shape: map-only codegen'd string work — the normalize step that
+    precedes host-level dedup (d29) and per-domain token budgets (d34) in
+    a crawl pipeline."""
+    d = Catalog(spark, sf_dir).documents.where(F.col("doc_id") < 2000)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    with_url = d.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        F.regexp_extract(
+            F.parse_url("url", F.lit("PATH")), r"^/([a-z]+)/", 1
+        ).alias("reg_domain_label"),
+    ).orderBy("doc_id")

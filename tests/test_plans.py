@@ -937,3 +937,23 @@ def test_d01_nested_schema_pruning(spark):
     assert "o_orderdate" not in plan
     assert "o_custkey" in plan and "o_totalprice" in plan
     assert "PushedFilters" in plan and "customer.o_orderstatus" in plan
+
+
+def test_d35_deletion_vectors_broadcast_anti(spark):
+    """DV application must be a broadcast LEFT ANTI on (file_name,
+    row_index) — the base files stream through one scan, the tombstone
+    side broadcasts; no shuffle of the base table."""
+    plan = _plan(spark, "d35_deletion_vectors")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "row_index" in plan and "file_name" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_d31_url_parse_map_only(spark):
+    """URL build + parse_url decomposition is embarrassingly parallel:
+    no join, no aggregate, no exchange before the presentation sort."""
+    plan = _plan(spark, "d31_url_parse")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "ParseUrlEvaluator" in plan  # parse_url prints as its evaluator
+    assert "PushedFilters" in plan and "2000" in plan  # id bound at the scan
