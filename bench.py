@@ -153,13 +153,16 @@ HEADLINE = [
     "d35_vacuum_retention",
     "d30_hybrid_rrf",
     "d27_markov_transitions",
-    # round-6 additions (d30_ivf_pq is swept, not headlined — KMeans + PQ
-    # codebook training cost, same policy as d33_gbt; d25_rate_source is
-    # swept — multi-micro-batch machinery)
+    # round-6 additions. d33_fpgrowth_pairs and d25_rate_source are swept,
+    # not headlined (FPGrowth re-fit = training cost, same policy as
+    # d33_cross_validation; rate source = multi-micro-batch machinery).
+    # The ANN queries ARE headlined: their PQ/IVF index builds are cached
+    # per (session, corpus) like a production index, so the headline times
+    # the serve path and the one-shot sweep shows the cold build.
     "d30_hamming_topk",
     "d14_date_bin_rollup",
     "d06_lateral_topn",
-    "d33_fpgrowth_pairs",
+    "d30_ivf_pq",
     "d24_udtf_analyze",
     "d01_nested_pruning",
     "d21_xml_roundtrip",

@@ -18,6 +18,8 @@ import sys
 def _normalize(body: str) -> str:
     body = re.sub(r"#\d+", "#N", body)
     body = re.sub(r"plan_id=\d+", "plan_id=N", body)
+    # RDD lineage ids vary with session history (e.g. MapPartitionsRDD[234])
+    body = re.sub(r"RDD\[\d+\]", "RDD[N]", body)
     body = re.sub(r"Location: \S+", "Location: X", body)
     return body
 
