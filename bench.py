@@ -168,6 +168,7 @@ HEADLINE = [
     "d21_xml_roundtrip",
     "d35_deletion_vectors",
     "d31_url_parse",
+    "d01_python_datasink",
     # d33_cross_validation is swept, not headlined: a timed min-of-3 would
     # re-fit 2 folds x 2 grid params three times (training cost, not query
     # cost) — same policy as d33_gbt_mse / the multi-batch stream queries.

@@ -548,14 +548,16 @@ def pq_encode(emb: DataFrame, books: np.ndarray) -> DataFrame:
 # list) to storage; rebuilding them per query would be architectural
 # nonsense at any scale. Cold-build cost stays visible in the one-shot
 # bench sweep; the headline bench times the serve path, as production
-# would. Keyed by (session id, sf_dir); DataFrames are persisted and
-# bounded (8-byte codes / cell ids per vector).
+# would. Keyed by (applicationId, sf_dir) — applicationId is unique per
+# JVM app, so a recycled Python object id can never alias a dead
+# session's persisted index. DataFrames are persisted and bounded
+# (8-byte codes / cell ids per vector).
 _PQ_INDEX_CACHE: dict = {}
 _IVF_INDEX_CACHE: dict = {}
 
 
 def _pq_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PQ_INDEX_CACHE:
         books = _pq_train_codebooks(emb)
         codes = pq_encode(emb, books).persist()
@@ -568,7 +570,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_INDEX_CACHE:
         vecs = emb.withColumn(
             "fv", array_to_vector(F.col("embedding").cast("array<double>"))

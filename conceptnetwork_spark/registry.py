@@ -137,7 +137,7 @@ CERT_FIRST: tuple[str, ...] = (
     "d09_hash_agg",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md) — except the TEN oracle
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the ELEVEN oracle
 # queries REGISTERED during round 6 (the window was already full with the
 # r5 carry-over): d30_hamming_topk (bit-packed binary retrieval),
 # d14_date_bin_rollup (hypertable-style time-bucket rollup),
@@ -147,8 +147,9 @@ CERT_FIRST: tuple[str, ...] = (
 # d01_nested_pruning (nested-subfield-pruned parquet scan), and
 # d21_xml_roundtrip (to_xml/from_xml codec), d35_deletion_vectors
 # (merge-on-read positional deletes via _metadata.row_index), and
-# d31_url_parse (parse_url crawl normalization). All ten pass the local
-# DuckDB gate and are the declared carry-over into the r7 window.
+# d31_url_parse (parse_url crawl normalization), and d01_python_datasink
+# (custom Python WRITE path with two-phase commit). All eleven pass the
+# local DuckDB gate and are the declared carry-over into the r7 window.
 # d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested). The 23 oracle-less queries are
 # pytest-pinned instead (tolerance / recall / determinism / equivalence
 # assertions; see non_oracle_queries()) and are ordered after ALL

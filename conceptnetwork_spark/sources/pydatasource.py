@@ -206,3 +206,142 @@ def d01_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("i")
+
+
+# --------------------------------------------------------------------------
+# D1 extension (round 6) — the WRITE side of the Python data source API:
+# DataSourceWriter with a real two-phase commit (task temp files -> commit
+# messages -> driver-side atomic publish), completing the custom-connector
+# surface (batch read + stream read + batch WRITE)
+# --------------------------------------------------------------------------
+def _make_jsonl_sink():
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Committed(WriterCommitMessage):
+        def __init__(self, tmp_name: str, n_rows: int):
+            self.tmp_name = tmp_name
+            self.n_rows = n_rows
+
+    class JsonlWriter(DataSourceWriter):
+        """Task side: write rows to an uncommitted .tmp file, report it in
+        the commit message. Driver side: commit() publishes every reported
+        temp file with an atomic rename (abort() removes them) — the same
+        two-phase protocol FileOutputCommitter implements, so a failed/
+        speculative task can never leave a half-visible file."""
+
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            name = f"part-{_uuid.uuid4().hex}.jsonl.tmp"
+            n = 0
+            with open(_os.path.join(self.path, name), "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
+                    n += 1
+            return _Committed(name, n)
+
+        def commit(self, messages):
+            import os as _os
+
+            for m in messages:
+                final = _os.path.join(self.path, m.tmp_name[: -len(".tmp")])
+                _os.rename(_os.path.join(self.path, m.tmp_name), final)
+
+        def abort(self, messages):
+            import glob as _glob
+            import os as _os
+
+            # messages holds None for tasks that never completed, and the
+            # FAILING task's own temp file was never reported at all — so
+            # clean reported temps first, then sweep any stragglers by
+            # pattern (the path is job-scoped, so the sweep cannot touch
+            # another job's files)
+            for m in messages:
+                if m is None:
+                    continue
+                try:
+                    _os.remove(_os.path.join(self.path, m.tmp_name))
+                except OSError:
+                    pass
+            for leftover in _glob.glob(_os.path.join(self.path, "*.jsonl.tmp")):
+                try:
+                    _os.remove(leftover)
+                except OSError:
+                    pass
+
+    class JsonlSinkSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonlsink"
+
+        def writer(self, schema, overwrite):
+            return JsonlWriter(self.options)
+
+    return JsonlSinkSource
+
+
+@register(
+    "d01_python_datasink",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 4) AS price
+    FROM orders WHERE o_orderkey < 3000
+    ORDER BY o_orderkey
+    """,
+)
+def d01_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the custom Python WRITE path: a bounded orders
+    extract is written by the ``jsonlsink`` source (per-task temp files,
+    driver-side two-phase commit with atomic renames), then read back
+    with the built-in json reader and compared against the base relation
+    — partitioned write, commit-message plumbing, JSON encoding and the
+    publish step are all on the hash. Only committed ``.jsonl`` files are
+    read, so an uncommitted straggler file could only ever surface as a
+    hash mismatch.
+
+    Scale shape: the commit protocol is the point — per-task temp +
+    driver publish is how every real sink avoids partial visibility
+    under task retries and speculation; the Python writer itself is the
+    escape hatch for sinks Spark lacks a connector for (internal APIs,
+    bespoke formats), with the same executor parallelism as any write."""
+    import atexit as _atexit
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    key = "_cn_jsonlsink_registered"
+    if not getattr(spark, key, False):
+        spark.dataSource.register(_make_jsonl_sink())
+        setattr(spark, key, True)
+
+    # unique dir per call (every invocation exercises the real write +
+    # commit), removed at interpreter exit so the returned scan stays LAZY
+    # — no driver-side collect of the result
+    outdir = _tempfile.mkdtemp(prefix="cn_jsonlsink_")
+    _atexit.register(_shutil.rmtree, outdir, ignore_errors=True)
+    o = (
+        spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+        .where(F.col("o_orderkey") < 3000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    o.write.format("jsonlsink").option("path", outdir).mode("append").save()
+    committed = _os.path.join(outdir, "*.jsonl")
+    assert _glob.glob(committed), "sink committed no files"
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).json(committed)
+    return back.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 4).alias("price"),
+    ).orderBy("o_orderkey")

@@ -50,3 +50,37 @@ def test_staging_is_idempotent_and_spark_free():
     p2 = formats.stage_nation_csv(SF_ORACLE)
     assert p1 == p2
     assert p1 in formats._csv_oracle()
+
+
+def test_python_datasink_abort_leaves_nothing_committed(spark, tmp_path):
+    """Two-phase commit, failure leg: when a task fails mid-job the sink's
+    abort() must remove every temp file and commit nothing — no partial
+    visibility, the invariant the whole protocol exists for."""
+    import glob
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from conceptnetwork_spark.sources.pydatasource import _make_jsonl_sink
+
+    key = "_cn_jsonlsink_registered"
+    if not getattr(spark, key, False):
+        spark.dataSource.register(_make_jsonl_sink())
+        setattr(spark, key, True)
+
+    outdir = str(tmp_path / "sink_abort")
+    (tmp_path / "sink_abort").mkdir()
+
+    @F.udf("long")
+    def boom(v):
+        if v == 7:
+            raise RuntimeError("injected task failure")
+        return v
+
+    df = spark.range(0, 16, 1, 4).select(boom(F.col("id")).alias("id"))
+    with _pytest.raises(Exception):
+        df.write.format("jsonlsink").option("path", outdir).mode(
+            "append"
+        ).save()
+    assert glob.glob(outdir + "/*.jsonl") == []  # nothing published
+    assert glob.glob(outdir + "/*.tmp") == []  # aborted temps removed
