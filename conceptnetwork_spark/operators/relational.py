@@ -3013,3 +3013,167 @@ def d14_date_bin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_start", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# D15 (cont.) — distributed skyline / D16 (cont.) — recursive CTE /
+# D10 (cont.) — Benford first-digit drift   [round-6 wave 3]
+# --------------------------------------------------------------------------
+def _skyline_pdf(pdf):
+    """Exact 2-D skyline of one pandas block: minimize price, maximize size.
+    a dominates b iff a.price<=b.price AND a.size>=b.size with one strict;
+    equal (price,size) duplicates survive (nothing strictly beats them).
+
+    Vectorized: per price LEVEL keep only rows at the level's max size,
+    then drop any level whose max size is <= the running max over strictly
+    cheaper levels (cummax shifted by one)."""
+    if len(pdf) == 0:
+        return pdf
+    level_max = pdf.groupby("price")["p_size"].transform("max")
+    levels = pdf.groupby("price")["p_size"].max().sort_index()
+    prev_strict = levels.cummax().shift(1)  # max size among cheaper prices
+    pm = pdf["price"].map(prev_strict.to_dict())
+    keep = (pdf["p_size"] == level_max) & ~(pm >= pdf["p_size"])
+    return pdf[keep]
+
+
+@register(
+    "d15_skyline",
+    oracle="""
+    SELECT p_partkey, p_size, ROUND(p_retailprice, 4) AS price
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    ORDER BY p_partkey
+    """,
+)
+def d15_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of parts: cheapest-for-their-size — no other
+    part is both <= price and >= size with one strict. The classic
+    two-phase distributed skyline: (1) LOCAL skyline per Arrow batch via
+    mapInPandas — dominance is transitive, so every globally dominated row
+    is dominated by some local survivor and local pruning is lossless;
+    (2) GLOBAL exact pass over the tiny candidate union via applyInPandas
+    on a single group (the whole candidate set as ONE pandas frame, immune
+    to Arrow batch splitting that would make a mapInPandas pass inexact).
+
+    Scale shape (100 TB): phase 1 is map-only and for anticorrelated-at-
+    random data shrinks each partition to O(log n) candidates; only those
+    survivors cross the wire (3 narrow columns), so the single-group final
+    pass sees KBs, not TBs. Worst case (fully correlated columns) degrades
+    to the true skyline size, which IS the output. Result is independent of
+    partitioning: the final pass applies exact dominance on the union.
+    Deliberately NOT a global window over price levels — that would
+    exchange every distinct price to one task before pruning."""
+    sch = "p_partkey long, p_size int, price double"
+    cand = (
+        Catalog(spark, sf_dir)
+        .part.select("p_partkey", "p_size", F.col("p_retailprice").alias("price"))
+        .mapInPandas(lambda it: (_skyline_pdf(pdf) for pdf in it), schema=sch)
+    )
+    sky = cand.groupBy(F.lit(1).alias("g")).applyInPandas(
+        lambda key, pdf: _skyline_pdf(pdf), schema=sch
+    )
+    return sky.select(
+        "p_partkey", "p_size", F.round("price", 4).alias("price")
+    ).orderBy("p_partkey")
+
+
+@register(
+    "d16_recursive_cte",
+    oracle="""
+    WITH RECURSIVE up(custkey, cur, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer
+      UNION ALL
+      SELECT custkey, cur // 10, depth + 1 FROM up WHERE cur >= 10
+    )
+    SELECT custkey, MAX(depth) AS depth,
+           MAX(CASE WHEN cur < 10 THEN cur END) AS root
+    FROM up GROUP BY custkey ORDER BY custkey
+    """,
+)
+def d16_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative UNION via WITH RECURSIVE (Spark 4's recursive CTE): walk a
+    synthetic reporting chain custkey -> custkey div 10 up to its single-
+    digit root, emitting chain depth and root per customer — the org-chart
+    ancestor query, expressed in the query language instead of a driver
+    loop.
+
+    Scale shape (100 TB): each recursion step is one codegen'd
+    filter+project over the previous step's output — no join, no window —
+    and the working set SHRINKS monotonically (rows exit when cur < 10), so
+    the fixpoint runs in O(log10(max key)) steps; the only shuffle is the
+    final per-customer aggregate. This is the declarative replacement for
+    collect()-driven driver iteration (the anti-pattern the engine bans)."""
+    t = Catalog(spark, sf_dir)
+    t.customer.createOrReplaceTempView("cns_rc_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE up(custkey, cur, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM cns_rc_customer
+          UNION ALL
+          SELECT custkey, cur DIV 10, depth + 1 FROM up WHERE cur >= 10
+        )
+        SELECT custkey, MAX(depth) AS depth,
+               MAX(CASE WHEN cur < 10 THEN cur END) AS root
+        FROM up GROUP BY custkey ORDER BY custkey
+        """
+    )
+
+
+@register(
+    "d10_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 0.01
+    ), c AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    )
+    SELECT digit, n,
+           ROUND(n / CAST(SUM(n) OVER () AS DOUBLE), 4)      AS obs,
+           ROUND(LOG10(1.0 + 1.0 / digit), 4)                AS expected,
+           ROUND(ABS(n / CAST(SUM(n) OVER () AS DOUBLE)
+                     - LOG10(1.0 + 1.0 / digit)), 4)         AS abs_dev
+    FROM c ORDER BY digit
+    """,
+)
+def d10_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law drift check: first-significant-digit distribution of
+    order totals vs the log10(1 + 1/d) expectation — the forensic data-
+    quality test for fabricated or truncated numeric columns. The digit is
+    extracted from INTEGER CENTS rendered as a string (first char), not
+    from floor(log10(x)) arithmetic, so the Spark and DuckDB results can
+    never diverge on log-of-a-power-of-ten float dust.
+
+    Scale shape (100 TB): one partial+final hash agg to <= 9 digit rows;
+    the share computation is a window over those 9 rows (single-task by
+    construction, bytes of state). The scan reads one column."""
+    o = Catalog(spark, sf_dir).orders
+    c = (
+        o.where(F.col("o_totalprice") >= 0.01)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    share = F.col("n") / F.sum("n").over(Window.partitionBy())
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return c.select(
+        "digit",
+        "n",
+        F.round(share, 4).alias("obs"),
+        F.round(expected, 4).alias("expected"),
+        F.round(F.abs(share - expected), 4).alias("abs_dev"),
+    ).orderBy("digit")
