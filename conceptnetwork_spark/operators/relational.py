@@ -3177,3 +3177,153 @@ def d10_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(expected, 4).alias("expected"),
         F.round(F.abs(share - expected), 4).alias("abs_dev"),
     ).orderBy("digit")
+
+
+# --------------------------------------------------------------------------
+# D27 (cont.) — position-based multi-touch attribution / D14 (cont.) —
+# CUSUM change-point detection   [round-6 wave 3]
+# --------------------------------------------------------------------------
+@register(
+    "d27_multi_touch",
+    oracle="""
+    WITH fp AS (
+      SELECT user_id, MIN(ts) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), touch AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id
+      FROM events e JOIN fp ON e.user_id = fp.user_id
+      WHERE e.event_type IN ('view', 'click') AND e.ts < fp.first_purchase
+    ), pos AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             COUNT(*)    OVER (PARTITION BY user_id)                        AS n
+      FROM touch
+    ), credit AS (
+      SELECT event_type,
+             CAST(ROUND(CASE WHEN n = 1 THEN 1.0
+                             WHEN n = 2 THEN 0.5
+                             WHEN rn = 1 OR rn = n THEN 0.4
+                             ELSE 0.2 / (n - 2) END, 8) AS DECIMAL(18,8)) AS w
+      FROM pos
+    )
+    SELECT event_type, COUNT(*) AS n_touches,
+           CAST(ROUND(SUM(w), 4) AS DOUBLE) AS credit
+    FROM credit GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d27_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every view/click
+    before a user's FIRST purchase shares that conversion's credit — 40%
+    first touch, 40% last, 20% split across the middle (degenerate
+    journeys: 1 touch -> 100%, 2 -> 50/50). Complements the last-touch
+    model (d27_attribution) with the fractional-credit family.
+
+    Scale shape (100 TB): one shuffle on user_id serves BOTH the
+    first-purchase aggregate and the journey windows (Catalyst reuses the
+    exchange); per-touch credit is scalar arithmetic; the final channel
+    rollup partially aggregates to #channels rows. Credits are rounded to
+    8dp and summed as DECIMAL(18,8) — exact integer arithmetic — because a
+    many-addend DOUBLE sum diverges from the oracle in the 4th decimal
+    purely on summation order (the d03 lesson, BASELINE.md)."""
+    ev = Catalog(spark, sf_dir).events
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    touch = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .join(fp, "user_id")
+        .where(F.col("ts") < F.col("first_purchase"))
+    )
+    wspec = Window.partitionBy("user_id")
+    pos = touch.select(
+        "event_type",
+        F.row_number()
+        .over(wspec.orderBy("ts", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wspec).alias("n"),
+    )
+    w = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        pos.select("event_type", F.round(w, 8).cast("decimal(18,8)").alias("w"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("w"), 4).cast("double").alias("credit"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "d14_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM orders GROUP BY 1
+    ), c AS (
+      SELECT day, rev,
+             SUM(rev) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS s,
+             ROW_NUMBER() OVER (ORDER BY day) AS t,
+             COUNT(*) OVER ()                 AS n_days,
+             SUM(rev) OVER ()                 AS total
+      FROM daily
+    )
+    SELECT day, CAST(rev AS DOUBLE) AS rev,
+           ROUND(ABS(CAST(s AS DOUBLE)
+                     - t * CAST(total AS DOUBLE) / n_days), 4) AS cusum_dev
+    FROM c
+    ORDER BY ROUND(ABS(CAST(s AS DOUBLE)
+                       - t * CAST(total AS DOUBLE) / n_days), 4) DESC, day
+    LIMIT 10
+    """,
+)
+def d14_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan over the daily revenue series: the statistic
+    |S_t − t·S_N/N| (cumulative sum's deviation from the uniform-rate
+    line) peaks at the most likely level-shift day; report the top-10
+    candidates. Daily sums accumulate as DECIMAL(12,2) — exact — so the
+    cumulative sums are order-independent; the deviation is then identical
+    per-row double arithmetic on identical exact inputs, making the
+    ranking deterministic (rounded before ORDER BY per the house rule).
+
+    Scale shape (100 TB): the heavy lift is the per-day partial+final hash
+    agg (map-side combine on the scan); the windowed cumsum runs over the
+    ~#days rows that survive — a single-task window over KBs by
+    construction, not a data-sized exchange. Top-10 is TakeOrdered."""
+    o = Catalog(spark, sf_dir).orders
+    daily = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"))
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.select(
+        "day",
+        "rev",
+        F.sum("rev").over(wcum).alias("s"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.count(F.lit(1)).over(wall).alias("n_days"),
+        F.sum("rev").over(wall).alias("total"),
+    )
+    dev = F.round(
+        F.abs(
+            F.col("s").cast("double")
+            - F.col("t") * F.col("total").cast("double") / F.col("n_days")
+        ),
+        4,
+    )
+    return (
+        c.select("day", F.col("rev").cast("double").alias("rev"), dev.alias("cusum_dev"))
+        .orderBy(F.desc("cusum_dev"), "day")
+        .limit(10)
+    )

@@ -832,3 +832,85 @@ def d24_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "grade", "finish", "material")
         .orderBy("p_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# D24 (cont.) — UDTF over a partitioned TABLE argument   [round-6 wave 3]
+# --------------------------------------------------------------------------
+def _make_gap_stats_udtf():
+    from pyspark.sql.functions import udtf
+
+    class GapStats:
+        """Per-partition streaming accumulator: rows arrive in (user_id)
+        groups ordered by tsu; state is O(1) — prev timestamp, running
+        max gap, count."""
+
+        def __init__(self):
+            self.uid = None
+            self.prev = None
+            self.mx = None
+            self.n = 0
+
+        def eval(self, row):
+            self.uid = row["user_id"]
+            self.n += 1
+            if self.prev is not None:
+                g = row["tsu"] - self.prev
+                if self.mx is None or g > self.mx:
+                    self.mx = g
+            self.prev = row["tsu"]
+
+        def terminate(self):
+            yield self.uid, self.n, self.mx
+
+    return udtf(
+        GapStats, returnType="user_id bigint, n_events int, max_gap_us bigint"
+    )
+
+
+@register(
+    "d24_udtf_table_partition",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS gap
+      FROM events WHERE user_id < 40
+    )
+    SELECT user_id, CAST(COUNT(*) AS INTEGER) AS n_events,
+           MAX(gap) AS max_gap_us
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)
+def d24_udtf_table_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TABLE-argument UDTF surface (Spark 4): ``f(TABLE(t) PARTITION BY
+    user_id ORDER BY tsu)`` hands each user's rows, time-ordered, to ONE
+    UDTF instance — eval() streams rows with O(1) state, terminate() emits
+    the per-user summary (max inter-event gap). This is the imperative
+    per-group escape hatch with the engine owning the shuffle and the
+    sort, completing the D24 ladder's input-table dimension (the other
+    rungs take scalar/lateral arguments).
+
+    Timestamps cross into Python as integer MICROSECONDS (unix_micros on
+    the scan) — exact arithmetic, no tz or chunking hazard; the user_id
+    filter bounds the Python crossing and is pushed to the parquet scan.
+
+    Scale shape (100 TB): one exchange on user_id + in-partition sort —
+    identical movement to the equivalent window query; the UDTF adds no
+    second shuffle. Rows stream through eval() without buffering the
+    group (contrast applyInPandas, which materializes each group as one
+    pandas frame), so a single hot user cannot OOM an executor."""
+    ev = Catalog(spark, sf_dir).events
+    ev.where(F.col("user_id") < 40).select(
+        "user_id", F.unix_micros("ts").alias("tsu"), "event_id"
+    ).createOrReplaceTempView("cns_gap_events")
+    spark.udtf.register("cns_gap_udtf", _make_gap_stats_udtf())
+    return spark.sql(
+        """
+        SELECT user_id, n_events, max_gap_us
+        FROM cns_gap_udtf(TABLE(cns_gap_events)
+                          PARTITION BY user_id ORDER BY (tsu, event_id))
+        ORDER BY user_id
+        """
+    )
