@@ -26,7 +26,7 @@ no corpus operators (SURVEY §2.1 "not present" list).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from conceptnetwork_spark.catalog import Catalog
@@ -1579,4 +1579,118 @@ def d35_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 4).alias("totalprice"),
         )
         .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# D34 (cont.) — curriculum ordering via DISTRIBUTED row numbering
+# [round-6 wave 3]
+# --------------------------------------------------------------------------
+CURR_BUCKETS = 4
+
+
+@register(
+    "d34_curriculum_order",
+    oracle=f"""
+    WITH s AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN mx = mn THEN 1
+                  ELSE LEAST({CURR_BUCKETS},
+                             CAST(1 + ({CURR_BUCKETS} * (n_chars - mn))
+                                      // (mx - mn) AS INTEGER)) END AS bucket
+      FROM documents, s
+    ), w AS (
+      SELECT doc_id, bucket,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS wave
+      FROM b
+    )
+    SELECT doc_id, CAST(bucket AS INTEGER) AS bucket, wave,
+           (wave - 1) * {CURR_BUCKETS} + bucket AS sched_pos
+    FROM w ORDER BY sched_pos
+    """,
+)
+def d34_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved curriculum schedule: docs fall into CURR_BUCKETS
+    difficulty tiers (integer width-bucket over n_chars — exact integer
+    arithmetic, no float quantiles), then the schedule cycles
+    tier 1,2,..,B,1,2,.. so every training wave sees the full difficulty
+    mix (the anti-forgetting interleave). sched_pos is a total order.
+
+    The per-tier wave number is computed with the DISTRIBUTED two-pass
+    row-number pattern, not a global window: repartitionByRange on
+    (bucket, doc_id) gives non-overlapping sorted ranges; pass 1 counts
+    rows per range (tiny agg), a cumulative offset per range is broadcast
+    back, and pass 2 adds the offset to a WITHIN-RANGE row_number — every
+    partition numbers its rows in parallel. Correct for ANY range
+    boundaries (offsets come from actual counts), so the range sampler
+    can't perturb results.
+
+    Scale shape (100 TB): a global-window row_number would drag the whole
+    table through ONE task; this plan's only global structure is the
+    range exchange (Spark's scalable sort machinery) plus two KB-sized
+    broadcast joins (range offsets, tier offsets). This is how you
+    materialize a reproducible training order for a trillion-token corpus."""
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "n_chars")
+    s = d.agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+    b = d.crossJoin(F.broadcast(s)).select(
+        "doc_id",
+        F.when(F.col("mx") == F.col("mn"), F.lit(1))
+        .otherwise(
+            F.least(
+                F.lit(CURR_BUCKETS),
+                (
+                    F.lit(1)
+                    + F.expr(
+                        f"({CURR_BUCKETS} * (n_chars - mn)) div (mx - mn)"
+                    )
+                ).cast("int"),
+            )
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    # pass 1+2: distributed row number in (bucket, doc_id) order
+    rp = b.repartitionByRange(8, "bucket", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        rp.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"))
+    )
+    local = rp.withColumn(
+        "lrn",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy("bucket", "doc_id")
+        ),
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "doc_id", "bucket", (F.col("off") + F.col("lrn")).alias("grank")
+    )
+    # tier offsets: rows in earlier buckets; wave = grank - tier_offset
+    w_tier = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    tier_off = (
+        ranked.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("cnt").over(w_tier), F.lit(0)).alias("toff"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(tier_off), "bucket")
+        .select(
+            "doc_id",
+            "bucket",
+            (F.col("grank") - F.col("toff")).alias("wave"),
+            (
+                (F.col("grank") - F.col("toff") - 1) * CURR_BUCKETS
+                + F.col("bucket")
+            ).alias("sched_pos"),
+        )
+        .orderBy("sched_pos")
     )

@@ -1487,3 +1487,113 @@ def d31_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.parse_url("url", F.lit("PATH")), r"^/([a-z]+)/", 1
         ).alias("reg_domain_label"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# D31 (cont.) — directional n-gram containment (doc-inside-doc detection)
+# [round-6 wave 3]
+# --------------------------------------------------------------------------
+CONT_N = 5        # word-gram width (same tokenization as d29_decontaminate)
+CONT_DFMAX = 5    # grams in more docs than this are "stopword shingles"
+# integer threshold: keep a pair iff 2*shared >= n_rare on EITHER side
+# (containment >= 0.5 in at least one direction) — no float comparison.
+
+
+@register(
+    "d31_containment",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(trim(
+               regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + {CONT_N - 1}), ' ') AS g
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - {CONT_N - 1})) AS i
+            FROM tok)
+    ),
+    df AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+    rare AS (SELECT doc_id, g FROM grams JOIN df USING (g)
+             WHERE df <= {CONT_DFMAX}),
+    nr AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM rare a JOIN rare b USING (g)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared,
+           ROUND(shared / CAST(na.n AS DOUBLE), 4) AS cont_a,
+           ROUND(shared / CAST(nb.n AS DOUBLE), 4) AS cont_b
+    FROM p
+    JOIN nr na ON p.doc_a = na.doc_id
+    JOIN nr nb ON p.doc_b = nb.doc_id
+    WHERE 2 * shared >= na.n OR 2 * shared >= nb.n
+    ORDER BY doc_a, doc_b
+    """,
+)
+def d31_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment |rare(A) ∩ rare(B)| / |rare(A)| — the
+    asymmetric cousin of Jaccard that catches a small document EMBEDDED in
+    a larger one (quote farms, boilerplate wrappers), which symmetric
+    similarity dilutes away. The gram universe is df-bounded: shingles in
+    more than CONT_DFMAX docs are stopword phrases that both poison the
+    measure and create quadratic join fanout, so they are excluded BEFORE
+    the pair join — the candidate generator and the measure share one
+    universe, making the score exact over it.
+
+    Scale shape (100 TB): grams travel as xxhash64 LONGS; the df filter
+    caps per-gram fanout at CONT_DFMAX^2 pairs, so the self-join is
+    linear in gram count with a hard constant, never all-pairs; the pair
+    aggregate carries (two ids, one count). The >=0.5 gate compares
+    2*shared to integer denominators — no float threshold can disagree
+    between engines. Same two-sided-count shape as the MinHash banding in
+    d29 (dedup.py) but EXACT over the rare-gram universe."""
+    from conceptnetwork_spark.operators.dedup import shingles
+
+    d = Catalog(spark, sf_dir).documents
+    grams = (
+        d.select(
+            "doc_id", F.explode(shingles(F.col("text"), CONT_N)).alias("g")
+        )
+        .select("doc_id", F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    df_counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    rare = grams.join(
+        df_counts.where(F.col("df") <= CONT_DFMAX).select("gh"), "gh"
+    )
+    nr = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = rare.select(F.col("doc_id").alias("doc_a"), "gh")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "gh")
+    pairs = (
+        a.join(b, "gh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = nr.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = nr.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(
+            (2 * F.col("shared") >= F.col("n_a"))
+            | (2 * F.col("shared") >= F.col("n_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(F.col("shared") / F.col("n_a").cast("double"), 4).alias(
+                "cont_a"
+            ),
+            F.round(F.col("shared") / F.col("n_b").cast("double"), 4).alias(
+                "cont_b"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
