@@ -1621,13 +1621,15 @@ def d34_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-number pattern, not a global window: repartitionByRange on
     (bucket, doc_id) gives non-overlapping sorted ranges; pass 1 counts
     rows per range (tiny agg), a cumulative offset per range is broadcast
-    back, and pass 2 adds the offset to a WITHIN-RANGE row_number — every
-    partition numbers its rows in parallel. Correct for ANY range
-    boundaries (offsets come from actual counts), so the range sampler
-    can't perturb results.
+    back, and pass 2 numbers rows with a MAP-ONLY mapInPandas counter
+    that streams the sorted partition (carrying the running count across
+    Arrow batches) — not a Window.partitionBy(pid), which would re-hash
+    the freshly-range-partitioned data into a second exchange. Correct
+    for ANY range boundaries (offsets come from actual counts), so the
+    range sampler can't perturb results.
 
     Scale shape (100 TB): a global-window row_number would drag the whole
-    table through ONE task; this plan's only global structure is the
+    table through ONE task; this plan's only global structures are the
     range exchange (Spark's scalable sort machinery) plus two KB-sized
     broadcast joins (range offsets, tier offsets). This is how you
     materialize a reproducible training order for a trillion-token corpus."""
@@ -1652,21 +1654,33 @@ def d34_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bucket"),
     )
-    # pass 1+2: distributed row number in (bucket, doc_id) order
-    rp = b.repartitionByRange(8, "bucket", "doc_id").withColumn(
-        "pid", F.spark_partition_id()
+    # pass 1+2: distributed row number in (bucket, doc_id) order. The
+    # numbering itself is MAP-ONLY: each range partition streams through
+    # a mapInPandas counter in sorted order (running count carried across
+    # Arrow batches), so no second exchange follows the range exchange.
+    def _number_partition(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = 0
+        for pdf in it:
+            n = len(pdf)
+            yield pdf.assign(pid=pid, lrn=range(base + 1, base + n + 1))
+            base += n
+
+    local = (
+        b.repartitionByRange(8, "bucket", "doc_id")
+        .sortWithinPartitions("bucket", "doc_id")
+        .mapInPandas(
+            _number_partition,
+            schema="doc_id long, bucket int, pid int, lrn long",
+        )
     )
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        rp.groupBy("pid")
+        local.groupBy("pid")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"))
-    )
-    local = rp.withColumn(
-        "lrn",
-        F.row_number().over(
-            Window.partitionBy("pid").orderBy("bucket", "doc_id")
-        ),
     )
     ranked = local.join(F.broadcast(offsets), "pid").select(
         "doc_id", "bucket", (F.col("off") + F.col("lrn")).alias("grank")

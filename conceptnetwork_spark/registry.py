@@ -137,23 +137,31 @@ CERT_FIRST: tuple[str, ...] = (
     "d09_hash_agg",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md) — except the ELEVEN oracle
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the NINETEEN oracle
 # queries REGISTERED during round 6 (the window was already full with the
-# r5 carry-over): d30_hamming_topk (bit-packed binary retrieval),
-# d14_date_bin_rollup (hypertable-style time-bucket rollup),
+# r5 carry-over). Wave 1-2: d30_hamming_topk (bit-packed binary
+# retrieval), d14_date_bin_rollup (hypertable-style time-bucket rollup),
 # d33_fpgrowth_pairs (PFP frequent-itemset mining), d25_rate_source
 # (deterministic rate-micro-batch source), d06_lateral_topn (correlated
 # LATERAL decorrelation), d24_udtf_analyze (polymorphic analyze() UDTF),
-# d01_nested_pruning (nested-subfield-pruned parquet scan), and
+# d01_nested_pruning (nested-subfield-pruned parquet scan),
 # d21_xml_roundtrip (to_xml/from_xml codec), d35_deletion_vectors
-# (merge-on-read positional deletes via _metadata.row_index), and
-# d31_url_parse (parse_url crawl normalization), and d01_python_datasink
-# (custom Python WRITE path with two-phase commit). All eleven pass the
-# local DuckDB gate and are the declared carry-over into the r7 window.
-# d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested). The 23 oracle-less queries are
-# pytest-pinned instead (tolerance / recall / determinism / equivalence
-# assertions; see non_oracle_queries()) and are ordered after ALL
-# oracle-backed queries, so a driver oracle window can never sample them.
+# (merge-on-read positional deletes via _metadata.row_index),
+# d31_url_parse (parse_url crawl normalization), d01_python_datasink
+# (custom Python WRITE path with two-phase commit). Wave 3: d15_skyline
+# (two-phase distributed Pareto frontier), d16_recursive_cte (Spark 4
+# WITH RECURSIVE fixpoint), d10_benford (first-digit drift),
+# d27_multi_touch (U-shaped fractional attribution), d14_cusum
+# (change-point scan), d24_udtf_table_partition (TABLE-argument UDTF),
+# d34_curriculum_order (distributed two-pass row numbering),
+# d31_containment (directional rare-shingle containment). All nineteen
+# pass the local DuckDB gate and are the declared carry-over into the
+# r7 window.
+# d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested).
+# The 24 oracle-less queries are pytest-pinned instead (tolerance /
+# recall / determinism / equivalence assertions; see non_oracle_queries())
+# and are ordered after ALL oracle-backed queries, so a driver oracle
+# window can never sample them.
 
 
 def _load_all() -> None:

@@ -957,3 +957,77 @@ def test_d31_url_parse_map_only(spark):
     assert "HashAggregate" not in plan
     assert "ParseUrlEvaluator" in plan  # parse_url prints as its evaluator
     assert "PushedFilters" in plan and "2000" in plan  # id bound at the scan
+
+
+def test_d15_skyline_map_only_candidate_pruning(spark):
+    """Distributed skyline: phase 1 MUST be a map-only MapInPandas on the
+    scan (no exchange below it — local pruning happens before any data
+    crosses the wire); phase 2 is the single-group FlatMapGroupsInPandas
+    over the tiny candidate set. No join anywhere — a NOT-EXISTS spelling
+    would show a nested-loop join."""
+    plan = _plan(spark, "d15_skyline")
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # the local-skyline MapInPandas sits directly on the scan (map-only):
+    # the plan prints top-down, so nothing between the MapInPandas node
+    # and the FileScan below it may be an Exchange
+    seg = plan[plan.index("MapInPandas") : plan.index("FileScan")]
+    assert "Exchange" not in seg
+
+
+def test_d16_recursive_cte_no_join_fixpoint(spark):
+    """The recursive-CTE walk is filter+project iteration: the physical
+    plan must contain a recursion node (UnionLoop) and NO join — a
+    driver-loop translation would materialize joins per step."""
+    plan = _plan(spark, "d16_recursive_cte")
+    assert "UnionLoop" in plan or "Recursion" in plan or "CTE" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_d14_cusum_agg_before_window(spark):
+    """CUSUM: the per-day hash agg (partial+final) must run BEFORE the
+    single-task window — the window sees #days rows, never raw orders."""
+    plan = _plan(spark, "d14_cusum")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+    # windows operate on the agg output: the agg appears below the window
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_d27_multi_touch_single_user_exchange(spark):
+    """Multi-touch attribution: journeys shuffle on user_id ONCE — the
+    first-purchase aggregate and the position windows reuse the same
+    hashpartitioning(user_id) exchange."""
+    plan = _plan(spark, "d27_multi_touch")
+    import re
+
+    user_exchanges = re.findall(r"hashpartitioning\(user_id", plan)
+    assert len(user_exchanges) <= 2  # one per side of the self-join max
+    assert "CartesianProduct" not in plan
+
+
+def test_d31_containment_no_cartesian_hashed_grams(spark):
+    """Containment: the pair join must be an equi-join on the gram hash
+    (xxhash64 LONG), never a cartesian; raw text must not appear in any
+    exchange (only hashes and ids cross the wire)."""
+    plan = _plan(spark, "d31_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan
+
+
+def test_d34_curriculum_distributed_row_number(spark):
+    """Curriculum order: the wave numbering must use the two-pass pattern —
+    a RANGE exchange on (bucket, doc_id) plus per-range window — never a
+    single global-window row_number over the whole table (which would show
+    an Exchange SinglePartition directly under the big Window)."""
+    plan = _plan(spark, "d34_curriculum_order")
+    assert "rangepartitioning(bucket" in plan
+    # pass-2 numbering is a map-only mapInPandas directly on the range
+    # exchange — no second exchange (a Window.partitionBy(pid) spelling
+    # would re-hash on pid right after the range shuffle)
+    end = plan.rfind("\n", 0, plan.index("rangepartitioning(bucket"))
+    seg = plan[plan.index("MapInPandas") : end]
+    assert "Exchange" not in seg
+    assert "Window [row_number()" not in plan
