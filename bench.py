@@ -169,6 +169,18 @@ HEADLINE = [
     "d35_deletion_vectors",
     "d31_url_parse",
     "d01_python_datasink",
+    # round-6 wave 3
+    "d15_skyline",
+    "d16_recursive_cte",
+    "d10_benford",
+    "d27_multi_touch",
+    "d14_cusum",
+    "d24_udtf_table_partition",
+    "d34_curriculum_order",
+    "d31_containment",
+    "d20_sparse_dot",
+    "d17_soundex",
+    "d30_mmr_rerank",
     # d33_cross_validation is swept, not headlined: a timed min-of-3 would
     # re-fit 2 folds x 2 grid params three times (training cost, not query
     # cost) — same policy as d33_gbt_mse / the multi-batch stream queries.

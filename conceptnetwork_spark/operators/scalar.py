@@ -487,3 +487,120 @@ def d21_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.o_orderstatus").alias("o_orderstatus"),
         F.round("r.o_totalprice", 4).alias("totalprice"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# D20 (cont.) — sparse-vector dot via map ops / D17 (cont.) — phonetic
+# soundex certification   [round-6 wave 3]
+# --------------------------------------------------------------------------
+SPARSE_TAU = 0.5  # |x| > tau -> the entry survives sparsification
+
+
+@register(
+    "d20_sparse_dot",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN ABS(CAST(embedding[pos] AS DOUBLE)) > {SPARSE_TAU}
+                         THEN 1 ELSE 0 END) AS INTEGER) AS nnz,
+           ROUND(COALESCE(SUM(CASE
+             WHEN ABS(CAST(embedding[pos] AS DOUBLE)) > {SPARSE_TAU}
+              AND ABS(CAST(embedding[65 - pos] AS DOUBLE)) > {SPARSE_TAU}
+             THEN CAST(embedding[pos] AS DOUBLE)
+                  * CAST(embedding[65 - pos] AS DOUBLE) END), 0.0), 4) AS sdot
+    FROM embeddings, (SELECT UNNEST(range(1, 65)) AS pos)
+    GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def d20_sparse_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector algebra with MAP columns, zero UDFs: each embedding is
+    sparsified to a map<pos,double> of entries with |x| > tau, and the dot
+    with its reversal's sparse form runs as ``map_zip_with`` (union of
+    keys, missing -> 0) + ``aggregate`` over map_values — the
+    sparse-embedding primitive (SPLADE-style retrieval) expressed entirely
+    in JVM map functions. The oracle recomputes the same dot positionally,
+    certifying the map round-trip.
+
+    Scale shape (100 TB): map-only — build, zip, reduce all inside
+    whole-stage-adjacent expression eval on the scan; the only exchange is
+    the presentation sort. nnz certifies the sparsification mask itself,
+    so a threshold drift can't hide inside a near-zero dot."""
+    e = Catalog(spark, sf_dir).embeddings
+    seq = F.sequence(F.lit(1), F.lit(64))
+
+    def sparse_map(vec):
+        entries = F.filter(
+            F.transform(
+                seq,
+                lambda i: F.struct(
+                    i.alias("k"),
+                    F.element_at(vec, i).cast("double").alias("v"),
+                ),
+            ),
+            lambda s: F.abs(s["v"]) > SPARSE_TAU,
+        )
+        return F.map_from_entries(entries)
+
+    ma = sparse_map(F.col("embedding"))
+    mb = sparse_map(F.reverse(F.col("embedding")))
+    # reversal: position p of reverse(v) holds v[65-p], matching the oracle
+    inter = F.map_zip_with(
+        ma,
+        mb,
+        lambda k, x, y: F.coalesce(x, F.lit(0.0)) * F.coalesce(y, F.lit(0.0)),
+    )
+    sdot = F.aggregate(F.map_values(inter), F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.size(F.map_keys(ma)).alias("nnz"),
+        F.round(sdot, 4).alias("sdot"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "d17_soundex",
+    oracle=r"""
+    WITH w AS (
+      SELECT DISTINCT UPPER(string_split(p_name, ' ')[1]) AS word FROM part
+    ), coded AS (
+      SELECT word,
+             -- RE2 has no backreferences: collapse each digit run explicitly
+             regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(
+               translate(translate(translate(word, 'HW', ''),
+                         'BFPVCGJKQSXZDTLMNR', '111122222222334556'),
+                         'AEIOUY', '......'),
+               '1{2,}', '1', 'g'), '2{2,}', '2', 'g'), '3{2,}', '3', 'g'),
+               '4{2,}', '4', 'g'), '5{2,}', '5', 'g'), '6{2,}', '6', 'g')
+               AS collapsed
+      FROM w
+    ), tail AS (
+      SELECT word,
+             CASE WHEN substr(word, 1, 1) NOT IN
+                       ('A','E','I','O','U','Y','H','W')
+                  THEN substr(collapsed, 2) ELSE collapsed END AS t
+      FROM coded
+    )
+    SELECT word,
+           substr(word, 1, 1) || substr(translate(t, '.', '') || '000', 1, 3)
+             AS sdx
+    FROM tail ORDER BY word
+    """,
+)
+def d17_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic normalization: Spark's BUILT-IN ``soundex`` on the distinct
+    first words of part names, certified against an oracle that implements
+    the published American Soundex algorithm from scratch (NARA rules:
+    consonant classes 1-6, H/W transparent to adjacency, vowels break
+    runs, first letter literal, zero-padded to 4). A hash match means the
+    engine's phonetic blocker follows the published spec on this corpus —
+    the precondition for using soundex as a fuzzy-join blocking key
+    (d29's LSH families, but for names).
+
+    Scale shape (100 TB): distinct over a bounded word universe then
+    map-only codegen string ops; as a blocking key this feeds an equi-join
+    on sdx, never an all-pairs comparison."""
+    p = Catalog(spark, sf_dir).part
+    w = p.select(
+        F.upper(F.split(F.col("p_name"), " ").getItem(0)).alias("word")
+    ).distinct()
+    return w.select("word", F.soundex("word").alias("sdx")).orderBy("word")

@@ -1217,3 +1217,74 @@ def d30_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOPN)
+
+
+# --------------------------------------------------------------------------
+# D30 (cont.) — MMR diversified re-ranking   [round-6 wave 3]
+# --------------------------------------------------------------------------
+MMR_QUERY_VEC_ID = 0
+MMR_POOL = 50      # relevance-ranked candidate pool fed to the re-ranker
+MMR_K = 10         # diversified results returned
+MMR_LAMBDA = 0.7   # relevance weight; (1-lambda) penalizes redundancy
+
+
+def _mmr_select(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy maximal-marginal-relevance over one (small) candidate pool.
+    All comparisons run on values rounded to 6dp with vec_id tiebreaks, so
+    the selection is bit-deterministic across partitionings and platforms."""
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = np.round(V @ V.T, 6)  # candidate-candidate cosine
+    rel = np.round(pdf["sim"].to_numpy().astype(np.float64), 6)
+    ids = pdf["vec_id"].to_numpy()
+    selected: list[int] = []
+    remaining = list(range(len(pdf)))
+    scores: list[float] = []
+    while remaining and len(selected) < MMR_K:
+        if selected:
+            red = C[np.ix_(remaining, selected)].max(axis=1)
+        else:
+            red = np.zeros(len(remaining))
+        sc = np.round(MMR_LAMBDA * rel[remaining] - (1 - MMR_LAMBDA) * red, 6)
+        best = max(range(len(remaining)), key=lambda i: (sc[i], -ids[remaining[i]]))
+        selected.append(remaining[best])
+        scores.append(float(sc[best]))
+        remaining.pop(best)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+            "vec_id": ids[selected],
+            "rel": np.round(rel[selected], 4),
+            "mmr": np.round(scores, 4),
+        }
+    )
+
+
+@register("d30_mmr_rerank")  # greedy argmax chain: not SQL-expressible —
+# pytest pins exact equivalence vs an independent numpy reference plus the
+# diversity property (tests/test_similarity.py)
+def d30_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: fetch a relevance-ranked pool
+    (exact cosine top-MMR_POOL, same scale path as d30_knn_exact), then
+    greedily pick MMR_K results maximizing λ·relevance − (1−λ)·max-sim-to-
+    already-picked — the standard redundancy-removal stage between ANN
+    retrieval and an LLM context window.
+
+    Scale shape (100 TB): the corpus-sized work is the pooled top-k scan
+    (broadcast query, corpus never shuffles, TakeOrdered-style window
+    top-k); the re-rank is O(POOL²) on a ≤50-row pandas frame inside ONE
+    applyInPandas group — bounded by construction, never corpus-sized.
+    The greedy chain is inherently sequential, so pushing it into a
+    bounded single group is the honest distributed decomposition."""
+    e = Catalog(spark, sf_dir).embeddings
+    q = e.where(F.col("vec_id") == MMR_QUERY_VEC_ID).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pool = cosine_topk(q, e, k=MMR_POOL).select("vec_id", "sim")
+    cand = pool.join(e.select("vec_id", "embedding"), "vec_id")
+    out = cand.groupBy(F.lit(1).alias("g")).applyInPandas(
+        lambda key, pdf: _mmr_select(pdf),
+        schema="rank int, vec_id long, rel double, mmr double",
+    )
+    return out.orderBy("rank")

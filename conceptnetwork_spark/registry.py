@@ -137,7 +137,7 @@ CERT_FIRST: tuple[str, ...] = (
     "d09_hash_agg",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md) — except the NINETEEN oracle
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the TWENTY-ONE oracle
 # queries REGISTERED during round 6 (the window was already full with the
 # r5 carry-over). Wave 1-2: d30_hamming_topk (bit-packed binary
 # retrieval), d14_date_bin_rollup (hypertable-style time-bucket rollup),
@@ -154,11 +154,14 @@ CERT_FIRST: tuple[str, ...] = (
 # d27_multi_touch (U-shaped fractional attribution), d14_cusum
 # (change-point scan), d24_udtf_table_partition (TABLE-argument UDTF),
 # d34_curriculum_order (distributed two-pass row numbering),
-# d31_containment (directional rare-shingle containment). All nineteen
-# pass the local DuckDB gate and are the declared carry-over into the
-# r7 window.
+# d31_containment (directional rare-shingle containment), d20_sparse_dot
+# (map_zip_with sparse algebra), d17_soundex (built-in soundex vs
+# from-scratch NARA oracle). All twenty-one pass the local DuckDB gate
+# and are the declared carry-over into the r7 window. d30_mmr_rerank
+# (greedy MMR re-rank) is oracle-less by design (numpy-equivalence +
+# diversity pytest).
 # d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested).
-# The 24 oracle-less queries are pytest-pinned instead (tolerance /
+# The 25 oracle-less queries are pytest-pinned instead (tolerance /
 # recall / determinism / equivalence assertions; see non_oracle_queries())
 # and are ordered after ALL oracle-backed queries, so a driver oracle
 # window can never sample them.

@@ -223,3 +223,62 @@ def test_ivf_pq_recall_vs_exact(spark):
     ]
     avg = sum(recalls) / len(recalls)
     assert avg >= 0.7, f"IVFPQ avg recall@10 {avg:.2f}"
+
+
+def test_mmr_matches_numpy_reference_and_diversifies(spark):
+    """d30_mmr_rerank: (1) the engine's greedy selection must equal an
+    INDEPENDENT numpy re-implementation run directly on the parquet file;
+    (2) the MMR-10 set must be no more redundant than plain top-10
+    (strictly less redundant in the generic case)."""
+    import numpy as np
+    import pandas as pd
+
+    from conceptnetwork_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+        MMR_QUERY_VEC_ID,
+    )
+
+    got = queries()["d30_mmr_rerank"](spark, SF_ORACLE).collect()
+    got_ids = [r.vec_id for r in got]
+    assert len(got_ids) == MMR_K and [r.rank for r in got] == list(
+        range(1, MMR_K + 1)
+    )
+
+    # independent reference: pandas + numpy straight off the parquet
+    pdf = pd.read_parquet(f"{SF_ORACLE}/embeddings.parquet")
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    qv = V[ids == MMR_QUERY_VEC_ID][0]
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    rel_all = np.round(Vn @ (qv / np.linalg.norm(qv)), 4)
+    mask = ids != MMR_QUERY_VEC_ID
+    order = sorted(
+        np.flatnonzero(mask), key=lambda i: (-rel_all[i], ids[i])
+    )[:MMR_POOL]
+    pool = sorted(order, key=lambda i: ids[i])
+    C = np.round(Vn[pool] @ Vn[pool].T, 6)
+    rel = np.round(rel_all[pool], 6)
+    pids = ids[pool]
+    sel, rem = [], list(range(len(pool)))
+    while rem and len(sel) < MMR_K:
+        red = (
+            C[np.ix_(rem, sel)].max(axis=1) if sel else np.zeros(len(rem))
+        )
+        sc = np.round(MMR_LAMBDA * rel[rem] - (1 - MMR_LAMBDA) * red, 6)
+        best = max(range(len(rem)), key=lambda i: (sc[i], -pids[rem[i]]))
+        sel.append(rem[best])
+        rem.pop(best)
+    ref_ids = [int(pids[i]) for i in sel]
+    assert got_ids == ref_ids, f"{got_ids} != {ref_ids}"
+
+    # diversity: MMR set no more redundant than the plain top-k prefix
+    def mean_pairwise(id_list):
+        idx = [int(np.flatnonzero(ids == i)[0]) for i in id_list]
+        M = Vn[idx] @ Vn[idx].T
+        n = len(idx)
+        return (M.sum() - n) / (n * (n - 1))
+
+    topk_ids = [int(ids[i]) for i in order[:MMR_K]]
+    assert mean_pairwise(got_ids) <= mean_pairwise(topk_ids) + 1e-9
