@@ -181,6 +181,9 @@ HEADLINE = [
     "d20_sparse_dot",
     "d17_soundex",
     "d30_mmr_rerank",
+    "d13_cume_dist",
+    "d09_conditional_agg",
+    "d18_calendar_dim",
     # d33_cross_validation is swept, not headlined: a timed min-of-3 would
     # re-fit 2 folds x 2 grid params three times (training cost, not query
     # cost) — same policy as d33_gbt_mse / the multi-batch stream queries.

@@ -3327,3 +3327,139 @@ def d14_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cusum_dev"), "day")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# D13 (cont.) — cumulative distribution / D9 (cont.) — conditional
+# aggregate battery / D18 (cont.) — calendar dimension   [round-6 wave 3]
+# --------------------------------------------------------------------------
+@register(
+    "d13_cume_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice), 4) AS cd
+    FROM orders WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+    """,
+)
+def d13_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist — the ties-inclusive cumulative share rank, completing the
+    D13 ranking family (rank/dense_rank/percent_rank/ntile). Tied order
+    totals receive identical cd in both engines by definition (count of
+    rows <= current over partition size), so no tiebreak column is needed
+    in the rank itself; the key filter bounds the output."""
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "d09_conditional_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+             AS n_big,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                      FILTER (WHERE o_orderstatus = 'F'), 4) AS DOUBLE)
+             AS filled_rev,
+           BOOL_OR(o_orderstatus = 'F')  AS any_filled,
+           BOOL_AND(o_totalprice > 900)  AS all_above_min
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def d09_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conditional-aggregate battery: FILTER-clause count and sum plus
+    BOOL_OR/BOOL_AND quantifiers in one grouped pass — the idiom that
+    replaces N per-predicate scans with one conditional scan (same fusion
+    principle as d10_expectations, here as the user-facing surface).
+    Money sums accumulate as DECIMAL(12,2) (the d03 order-independence
+    rule).
+
+    Scale shape (100 TB): ONE partial+final hash agg on a 5-value key;
+    every predicate is codegen'd on the scan. Adding a 10th conditional
+    metric costs zero additional data movement."""
+    o = Catalog(spark, sf_dir).orders
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+            F.round(
+                F.sum(F.when(F.col("o_orderstatus") == "F", dec)), 4
+            )
+            .cast("double")
+            .alias("filled_rev"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_filled"),
+            F.bool_and(F.col("o_totalprice") > 900).alias("all_above_min"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "d18_calendar_dim",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+             CAST(MAX(o_orderdate) AS DATE) AS hi
+      FROM orders
+    ), spine AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+      FROM bounds
+    ), daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(s.d, '%Y-%m-%d') AS day,
+           CAST(EXTRACT(month FROM s.d) AS INTEGER)   AS month,
+           CAST(EXTRACT(quarter FROM s.d) AS INTEGER) AS quarter,
+           CAST(EXTRACT(isodow FROM s.d) AS INTEGER)  AS isodow,
+           EXTRACT(isodow FROM s.d) >= 6              AS is_weekend,
+           CAST(COALESCE(daily.n, 0) AS BIGINT)       AS n_orders
+    FROM spine s LEFT JOIN daily ON s.d = daily.d
+    ORDER BY day
+    """,
+)
+def d18_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generation: a gap-free date spine spanning the
+    fact table's range (sequence + explode — generated, not stored),
+    decorated with month/quarter/ISO-dow/weekend flags and left-joined to
+    daily order counts so silent zero-activity days surface as explicit
+    rows. ISO day-of-week is computed as weekday()+1 because Spark's
+    dayofweek() is Sunday-1 while DuckDB's isodow is Monday-1 — the
+    classic cross-engine calendar trap, resolved to the ISO convention.
+
+    Scale shape (100 TB): the spine is O(#days) rows built from a one-row
+    min/max aggregate and BROADCAST to the daily-counts join; the fact
+    table is touched once for the bounds and once for the per-day partial
+    agg. The dimension never materializes on disk."""
+    o = Catalog(spark, sf_dir).orders
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    isodow = F.weekday("d") + 1
+    return (
+        F.broadcast(spine)
+        .join(daily, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.month("d").alias("month"),
+            F.quarter("d").alias("quarter"),
+            isodow.cast("int").alias("isodow"),
+            (isodow >= 6).alias("is_weekend"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"),
+        )
+        .orderBy("day")
+    )
