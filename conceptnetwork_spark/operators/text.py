@@ -1552,9 +1552,13 @@ def d31_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     2*shared to integer denominators — no float threshold can disagree
     between engines. Same two-sided-count shape as the MinHash banding in
     d29 (dedup.py) but EXACT over the rare-gram universe."""
+    from conceptnetwork_spark.catalog import ensure_parallelism
     from conceptnetwork_spark.operators.dedup import shingles
 
-    d = Catalog(spark, sf_dir).documents
+    # fan the doc scan out first: interpreted-HOF shingling on the single
+    # local file partition would otherwise serialize the whole pipeline
+    # (no-op at scale where the scan already has thousands of splits)
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
     grams = (
         d.select(
             "doc_id", F.explode(shingles(F.col("text"), CONT_N)).alias("g")
@@ -1566,6 +1570,11 @@ def d31_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = grams.join(
         df_counts.where(F.col("df") <= CONT_DFMAX).select("gh"), "gh"
     )
+    # recompute accounting: the pair self-join's two sides are the SAME
+    # exchange (Catalyst ReuseExchange), so `rare` is built once for the
+    # pair leg; the fanned-out shingle pass is cheap enough that the two
+    # denominator consumers recompute rather than cache (corpus-sized gram
+    # relations are NEVER cached: at 100 TB they exceed cluster memory).
     nr = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = rare.select(F.col("doc_id").alias("doc_a"), "gh")
     b = rare.select(F.col("doc_id").alias("doc_b"), "gh")
