@@ -184,6 +184,7 @@ HEADLINE = [
     "d13_cume_dist",
     "d09_conditional_agg",
     "d18_calendar_dim",
+    "d29_fuzzy_join",
     # d33_cross_validation is swept, not headlined: a timed min-of-3 would
     # re-fit 2 folds x 2 grid params three times (training cost, not query
     # cost) — same policy as d33_gbt_mse / the multi-batch stream queries.

@@ -538,3 +538,82 @@ def d29_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.coalesce("admit", F.lit(False)).alias("admit"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D29 (cont.) — fuzzy string join: q-gram blocking + edit-distance verify
+# [round-6 wave 3]
+# --------------------------------------------------------------------------
+FUZZY_Q = 3        # character q-gram width for the blocking key
+FUZZY_MAXDIST = 2  # Levenshtein acceptance threshold
+
+
+@register(
+    "d29_fuzzy_join",
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT string_split(p_name, ' ')[1] AS word FROM part
+    ), g AS (
+      SELECT word, substr(word, i, {FUZZY_Q}) AS q
+      FROM (SELECT word, UNNEST(generate_series(1, len(word) - {FUZZY_Q - 1}))
+                     AS i
+            FROM w WHERE len(word) >= {FUZZY_Q})
+    ), cand AS (
+      SELECT DISTINCT a.word AS word_a, b.word AS word_b
+      FROM g a JOIN g b ON a.q = b.q AND a.word < b.word
+    )
+    SELECT word_a, word_b,
+           CAST(levenshtein(word_a, word_b) AS INTEGER) AS dist
+    FROM cand
+    WHERE levenshtein(word_a, word_b) <= {FUZZY_MAXDIST}
+    ORDER BY word_a, word_b
+    """,
+)
+def d29_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical fuzzy string join: q-gram BLOCKING (words sharing any
+    character 3-gram become candidates) followed by exact Levenshtein
+    VERIFICATION (edit distance <= 2) — never an all-pairs distance
+    matrix. This is the scalable spelling of 'join on approximately equal
+    strings'; the same block-then-verify shape as the MinHash (set) and
+    SimHash (vector) families, here for edit distance.
+
+    Blocking is sound for this threshold family: two words within edit
+    distance k share at least one q-gram whenever min_len >= q*(k+1)
+    isn't violated by the distance — and the oracle applies the IDENTICAL
+    candidate generator, so the comparison certifies block+verify as a
+    unit, not an approximation against ground truth.
+
+    Scale shape (100 TB): grams explode map-side; the candidate join is an
+    equi-join on the q-gram key whose fanout is bounded by gram frequency
+    (names, not stopwords — skew would be salted per d03); Levenshtein
+    runs ONLY on candidates, codegen'd JVM-side. The distinct-pair dedup
+    shuffles (word_a, word_b) ids once."""
+    w = (
+        Catalog(spark, sf_dir)
+        .part.select(F.split(F.col("p_name"), " ").getItem(0).alias("word"))
+        .distinct()
+        .where(F.length("word") >= FUZZY_Q)
+    )
+    g = w.select(
+        "word",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - (FUZZY_Q - 1)),
+                lambda i: F.col("word").substr(i, F.lit(FUZZY_Q)),
+            )
+        ).alias("q"),
+    )
+    a = g.select(F.col("word").alias("word_a"), "q")
+    b = g.select(F.col("word").alias("word_b"), "q")
+    cand = (
+        a.join(b, "q")
+        .where(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b")
+        .distinct()
+    )
+    dist = F.levenshtein("word_a", "word_b")
+    return (
+        cand.where(dist <= FUZZY_MAXDIST)
+        .select("word_a", "word_b", dist.cast("int").alias("dist"))
+        .orderBy("word_a", "word_b")
+    )
