@@ -3463,3 +3463,67 @@ def d18_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# D10 (cont.) — equi-depth histogram (quantile-cut profile)  [round-6 wave 3]
+# --------------------------------------------------------------------------
+@register(
+    "d10_equidepth",
+    oracle="""
+    WITH cuts AS (
+      SELECT ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS c1,
+             ROUND(QUANTILE_CONT(o_totalprice, 0.50), 4) AS c2,
+             ROUND(QUANTILE_CONT(o_totalprice, 0.75), 4) AS c3
+      FROM orders
+    ), b AS (
+      SELECT CASE WHEN o_totalprice <= c1 THEN 1
+                  WHEN o_totalprice <= c2 THEN 2
+                  WHEN o_totalprice <= c3 THEN 3
+                  ELSE 4 END AS bucket,
+             o_totalprice
+      FROM orders, cuts
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 4) AS lo,
+           ROUND(MAX(o_totalprice), 4) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def d10_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram: quartile cutpoints (exact interpolated
+    percentiles, rounded to 4dp on BOTH sides so boundary comparisons are
+    bit-identical) bucket the column into four equal-population bins with
+    per-bin count/min/max — the profiling complement to the equi-width
+    d10_histogram, and the statistic behind range-partitioning boundaries
+    and CBO histograms.
+
+    Scale shape (100 TB): pass 1 is one exact-percentile aggregate (the
+    documented scale swap is approx_percentile's mergeable t-digest,
+    d11); the 3-value cut row BROADCASTS back; pass 2 is codegen'd CASE
+    bucketing + a 4-group partial+final agg. The fact table never
+    shuffles on data values."""
+    o = Catalog(spark, sf_dir).orders
+    cuts = o.agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("c1"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("c2"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("c3"),
+    )
+    v = F.col("o_totalprice")
+    bucket = (
+        F.when(v <= F.col("c1"), 1)
+        .when(v <= F.col("c2"), 2)
+        .when(v <= F.col("c3"), 3)
+        .otherwise(4)
+    )
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), v.alias("p"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("p"), 4).alias("lo"),
+            F.round(F.max("p"), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
