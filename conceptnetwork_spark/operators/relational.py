@@ -3503,11 +3503,21 @@ def d10_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     d11); the 3-value cut row BROADCASTS back; pass 2 is codegen'd CASE
     bucketing + a 4-group partial+final agg. The fact table never
     shuffles on data values."""
-    o = Catalog(spark, sf_dir).orders
-    cuts = o.agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("c1"),
-        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("c2"),
-        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("c3"),
+    from conceptnetwork_spark.catalog import ensure_parallelism
+
+    # fan the scan out first: exact percentile's partial state is a
+    # per-partition value buffer, so a single local file partition would
+    # serialize the whole sort (no-op at scale; measured 3.3 s -> 0.9 s)
+    o = ensure_parallelism(Catalog(spark, sf_dir).orders)
+    # ONE percentile aggregate evaluating all three fractions over a single
+    # sort of the group — three scalar percentile() calls would sort thrice
+    qarr = F.percentile(
+        "o_totalprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    )
+    cuts = o.agg(qarr.alias("qs")).select(
+        F.round(F.col("qs")[0], 4).alias("c1"),
+        F.round(F.col("qs")[1], 4).alias("c2"),
+        F.round(F.col("qs")[2], 4).alias("c3"),
     )
     v = F.col("o_totalprice")
     bucket = (
