@@ -186,6 +186,9 @@ HEADLINE = [
     "d18_calendar_dim",
     "d29_fuzzy_join",
     "d10_equidepth",
+    "d32_image_ahash",
+    "d27_rfm_segmentation",
+    "d14_seasonal_profile",
     # d33_cross_validation is swept, not headlined: a timed min-of-3 would
     # re-fit 2 folds x 2 grid params three times (training cost, not query
     # cost) — same policy as d33_gbt_mse / the multi-batch stream queries.

@@ -21,7 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from conceptnetwork_spark.catalog import Catalog
@@ -654,3 +654,75 @@ def d32_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, width int, height int, n_components int",
     )
     return out.orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# D32 (cont.) — perceptual average-hash near-dup blocking  [round-6 wave 3]
+# --------------------------------------------------------------------------
+@register(
+    "d32_image_ahash",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 9 + 2 AS h FROM documents
+    ), v AS (
+      SELECT doc_id,
+             (0 * h) // 4 + 1 AS v0, (1 * h) // 4 + 1 AS v1,
+             (2 * h) // 4 + 1 AS v2, (3 * h) // 4 + 1 AS v3
+      FROM d
+    ), b AS (
+      SELECT doc_id,
+             CAST(15 * (
+                    (CASE WHEN v0 > (v0+v1+v2+v3)/4.0 THEN 1 ELSE 0 END)
+             + 16 * (CASE WHEN v1 > (v0+v1+v2+v3)/4.0 THEN 1 ELSE 0 END)
+            + 256 * (CASE WHEN v2 > (v0+v1+v2+v3)/4.0 THEN 1 ELSE 0 END)
+           + 4096 * (CASE WHEN v3 > (v0+v1+v2+v3)/4.0 THEN 1 ELSE 0 END))
+             AS BIGINT) AS ahash
+      FROM v
+    )
+    SELECT doc_id, ahash,
+           CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS cluster_size
+    FROM b ORDER BY doc_id
+    """,
+)
+def d32_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) near-dup blocking over REAL image
+    bytes: decode the netpbm payload, grayscale, nearest-neighbor resample
+    to the canonical 4x4 grid, threshold each cell against the grid mean,
+    pack the 16 sign bits into a LONG, then block by hash equality — the
+    image twin of SimHash text blocking (d29). The oracle recomputes the
+    full decode→gray→resample→threshold→pack chain in closed form from
+    doc_id (the synthesized pixel grammar, synth_ppm_payloads), so ANY
+    kernel slip — channel averaging, resample index map, strict-vs-lax
+    threshold, bit order — breaks the hash.
+
+    Scale shape (100 TB of images): decode+hash is map-only mapInPandas
+    (numpy per Arrow batch, bytes never shuffle); only (doc_id, 8-byte
+    hash) reaches the one blocking exchange. Hamming-radius widening
+    reuses d30_hamming_topk's bit-count machinery on these longs."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    payloads = synth_ppm_payloads(docs)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = 1 << np.arange(16, dtype=np.int64)
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                a = decode_ppm(bytes(payload))
+                gray = a.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                rows = (np.arange(4) * h) // 4
+                cols = (np.arange(4) * w) // 4
+                g4 = gray[np.ix_(rows, cols)]
+                bits = (g4 > g4.mean()).flatten()
+                hashes.append(int((bits * weights).sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": hashes})
+
+    hashed = payloads.mapInPandas(hash_batches, schema="doc_id long, ahash long")
+    w = Window.partitionBy("ahash")
+    return hashed.select(
+        "doc_id",
+        "ahash",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+    ).orderBy("doc_id")

@@ -3537,3 +3537,182 @@ def d10_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# D27 (cont.) — RFM customer segmentation / D14 (cont.) — day-of-week
+# seasonal profile   [round-6 wave 3]
+# --------------------------------------------------------------------------
+@register(
+    "d27_rfm_segmentation",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, MAX(ts) AS last_ts,
+             CAST(COUNT(*) AS BIGINT) AS f,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS m
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), ref AS (SELECT MAX(last_ts) AS ref_ts FROM p),
+    rfm AS (
+      SELECT user_id,
+             CAST(epoch_us(ref_ts) - epoch_us(last_ts) AS BIGINT)
+               // 86400000000 AS r_days, f, m
+      FROM p, ref
+    ), cuts AS (
+      SELECT ROUND(QUANTILE_CONT(r_days, 0.2), 4) AS r1,
+             ROUND(QUANTILE_CONT(r_days, 0.4), 4) AS r2,
+             ROUND(QUANTILE_CONT(r_days, 0.6), 4) AS r3,
+             ROUND(QUANTILE_CONT(r_days, 0.8), 4) AS r4,
+             ROUND(QUANTILE_CONT(f, 0.2), 4) AS f1,
+             ROUND(QUANTILE_CONT(f, 0.4), 4) AS f2,
+             ROUND(QUANTILE_CONT(f, 0.6), 4) AS f3,
+             ROUND(QUANTILE_CONT(f, 0.8), 4) AS f4,
+             ROUND(QUANTILE_CONT(m, 0.2), 4) AS m1,
+             ROUND(QUANTILE_CONT(m, 0.4), 4) AS m2,
+             ROUND(QUANTILE_CONT(m, 0.6), 4) AS m3,
+             ROUND(QUANTILE_CONT(m, 0.8), 4) AS m4
+      FROM rfm
+    ), scored AS (
+      SELECT user_id, r_days, f, ROUND(m, 4) AS m,
+             1 + CAST(r_days > r1 AS INT) + CAST(r_days > r2 AS INT)
+               + CAST(r_days > r3 AS INT) + CAST(r_days > r4 AS INT) AS r_q,
+             1 + CAST(f > f1 AS INT) + CAST(f > f2 AS INT)
+               + CAST(f > f3 AS INT) + CAST(f > f4 AS INT) AS f_q,
+             1 + CAST(m > m1 AS INT) + CAST(m > m2 AS INT)
+               + CAST(m > m3 AS INT) + CAST(m > m4 AS INT) AS m_q
+      FROM rfm, cuts
+    )
+    SELECT user_id, r_days, f, m, r_q, f_q, m_q,
+           CASE WHEN f_q >= 4 AND m_q >= 4 AND r_q <= 2 THEN 'champion'
+                WHEN r_q >= 4 AND f_q >= 3 THEN 'at_risk'
+                WHEN f_q <= 2 AND r_q <= 2 THEN 'new'
+                ELSE 'regular' END AS segment
+    FROM scored ORDER BY user_id
+    """,
+)
+def d27_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user Recency (integer days since last
+    purchase, measured against the corpus max), Frequency and Monetary
+    (decimal-exact sum), each scored into quintiles against BROADCAST
+    quantile cutpoints (the d10_equidepth pattern — NOT an ntile window,
+    which would drag every user through one task), then a rule-based
+    segment label. Quintile membership is `v > cut` on 4dp-rounded cuts:
+    identical comparisons in both engines, ties resolved by value not by
+    row order.
+
+    Scale shape (100 TB): one shuffle on user_id for the RFM aggregate;
+    one 12-value cut row broadcast back; scoring is codegen'd CASE
+    arithmetic. Recency uses integer microsecond arithmetic (no tz/float
+    hazard)."""
+    ev = Catalog(spark, sf_dir).events
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("m"),
+        )
+    )
+    ref = p.agg(F.max("last_ts").alias("ref_ts"))
+    rfm = p.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        (
+            (F.unix_micros("ref_ts") - F.unix_micros("last_ts"))
+            / F.lit(86400000000)
+        )
+        .cast("long")
+        .alias("r_days"),
+        "f",
+        "m",
+    )
+
+    def quints(col):
+        return F.percentile(
+            col, F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])
+        )
+
+    cuts = rfm.agg(
+        quints("r_days").alias("rq"), quints("f").alias("fq"), quints("m").alias("mq")
+    ).select(
+        *[F.round(F.col("rq")[i], 4).alias(f"r{i+1}") for i in range(4)],
+        *[F.round(F.col("fq")[i], 4).alias(f"f{i+1}") for i in range(4)],
+        *[F.round(F.col("mq")[i], 4).alias(f"m{i+1}") for i in range(4)],
+    )
+
+    def score(v, pre):
+        s = F.lit(1)
+        for i in range(1, 5):
+            s = s + (F.col(v) > F.col(f"{pre}{i}")).cast("int")
+        return s
+
+    scored = rfm.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        "r_days",
+        "f",
+        F.round("m", 4).alias("m"),
+        score("r_days", "r").alias("r_q"),
+        score("f", "f").alias("f_q"),
+        score("m", "m").alias("m_q"),
+    )
+    seg = (
+        F.when((F.col("f_q") >= 4) & (F.col("m_q") >= 4) & (F.col("r_q") <= 2), "champion")
+        .when((F.col("r_q") >= 4) & (F.col("f_q") >= 3), "at_risk")
+        .when((F.col("f_q") <= 2) & (F.col("r_q") <= 2), "new")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg).orderBy("user_id")
+
+
+@register(
+    "d14_seasonal_profile",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(EXTRACT(isodow FROM o_orderdate) AS INTEGER) AS isodow,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ), prof AS (
+      SELECT isodow,
+             CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS dow_mean
+      FROM daily GROUP BY isodow
+    )
+    SELECT d.day, d.isodow, CAST(d.rev AS DOUBLE) AS rev,
+           ROUND(p.dow_mean, 4) AS dow_mean,
+           ROUND(CAST(d.rev AS DOUBLE) - p.dow_mean, 4) AS dev
+    FROM daily d JOIN prof p ON d.isodow = p.isodow
+    ORDER BY d.day
+    """,
+)
+def d14_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition: daily revenue (decimal-exact
+    sums) against its ISO-weekday mean — the seasonal-naive baseline whose
+    residual (dev) is what an anomaly detector should consume instead of
+    the raw series (d14_zscore/d14_mad flag level shifts, this removes the
+    weekly rhythm first). The weekday mean divides an exact decimal sum
+    cast to double by an integer count, sidestepping cross-engine decimal
+    division scale rules.
+
+    Scale shape (100 TB): one partial+final agg to #days rows; the 7-row
+    weekday profile broadcasts back onto the daily table. The fact scan is
+    touched once."""
+    o = Catalog(spark, sf_dir).orders
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("isodow"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"))
+    prof = daily.groupBy("isodow").agg(
+        (F.sum("rev").cast("double") / F.count(F.lit(1))).alias("dow_mean")
+    )
+    return (
+        daily.join(F.broadcast(prof), "isodow")
+        .select(
+            "day",
+            "isodow",
+            F.col("rev").cast("double").alias("rev"),
+            F.round("dow_mean", 4).alias("dow_mean"),
+            F.round(F.col("rev").cast("double") - F.col("dow_mean"), 4).alias(
+                "dev"
+            ),
+        )
+        .orderBy("day")
+    )
