@@ -189,6 +189,7 @@ HEADLINE = [
     "d32_image_ahash",
     "d27_rfm_segmentation",
     "d14_seasonal_profile",
+    "d18_interval_arith",
     # d33_cross_validation is swept, not headlined: a timed min-of-3 would
     # re-fit 2 folds x 2 grid params three times (training cost, not query
     # cost) — same policy as d33_gbt_mse / the multi-batch stream queries.

@@ -604,3 +604,46 @@ def d17_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.split(F.col("p_name"), " ").getItem(0)).alias("word")
     ).distinct()
     return w.select("word", F.soundex("word").alias("sdx")).orderBy("word")
+
+
+# --------------------------------------------------------------------------
+# D18 (cont.) — calendar interval arithmetic battery   [round-6 wave 3]
+# --------------------------------------------------------------------------
+@register(
+    "d18_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')           AS d,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH,
+                    '%Y-%m-%d')                                      AS plus_1m,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+           strftime(date_trunc('quarter', CAST(o_orderdate AS DATE)),
+                    '%Y-%m-%d')                                      AS qtr_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '2025-01-01') AS INTEGER)             AS days_to_2025
+    FROM orders WHERE o_orderkey < 1200
+    ORDER BY o_orderkey
+    """,
+)
+def d18_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic battery: month addition (with the
+    month-end clamp — Jan 31 + 1 month = Feb 28 in BOTH engines'
+    Postgres-style calendars), end-of-month, quarter truncation, and day
+    distance to a fixed horizon. Dates leave as strings per the house
+    rule (Spark DATE -> pandas date vs DuckDB DATE -> Timestamp would
+    hash-mismatch). Everything is map-only codegen on the scan; the key
+    filter is pushed down."""
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 1200)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("d"),
+        F.date_format(F.add_months(d, 1), "yyyy-MM-dd").alias("plus_1m"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("eom"),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias(
+            "qtr_start"
+        ),
+        F.datediff(F.lit("2025-01-01").cast("date"), d)
+        .cast("int")
+        .alias("days_to_2025"),
+    ).orderBy("o_orderkey")

@@ -137,7 +137,7 @@ CERT_FIRST: tuple[str, ...] = (
     "d09_hash_agg",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md) — except the TWENTY-NINE oracle
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the THIRTY oracle
 # queries REGISTERED during round 6 (the window was already full with the
 # r5 carry-over). Wave 1-2: d30_hamming_topk (bit-packed binary
 # retrieval), d14_date_bin_rollup (hypertable-style time-bucket rollup),
@@ -163,9 +163,10 @@ CERT_FIRST: tuple[str, ...] = (
 # (quantile-cut equi-depth histogram), d32_image_ahash (perceptual
 # average-hash blocking over decoded image bytes),
 # d27_rfm_segmentation (broadcast-quintile RFM scoring),
-# d14_seasonal_profile (ISO-weekday seasonal baseline). All twenty-nine
-# pass the local DuckDB gate and are the declared carry-over into the
-# r7 window. d30_mmr_rerank
+# d14_seasonal_profile (ISO-weekday seasonal baseline),
+# d18_interval_arith (calendar-interval arithmetic with month-end
+# clamps). All thirty pass the local DuckDB gate and are the declared
+# carry-over into the r7 window. d30_mmr_rerank
 # (greedy MMR re-rank) is oracle-less by design (numpy-equivalence +
 # diversity pytest).
 # d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested).
