@@ -468,3 +468,101 @@ def test_unicode_clean_idempotent():
         assert once == twice
 
     check()
+
+
+# --------------------------------------------------------------------------
+# d15_skyline's vectorized local-skyline kernel vs brute-force dominance
+# --------------------------------------------------------------------------
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),   # price level (coarse -> ties)
+            st.integers(min_value=0, max_value=9),   # size
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_skyline_kernel_matches_bruteforce(points):
+    """_skyline_pdf (cummax-over-price-levels vectorization) must equal the
+    O(n^2) dominance definition on arbitrary multisets, including duplicate
+    points (which survive: nothing strictly dominates them) and all-tied
+    inputs."""
+    import pandas as pd
+
+    from conceptnetwork_spark.operators.relational import _skyline_pdf
+
+    pdf = pd.DataFrame(
+        {
+            "p_partkey": range(len(points)),
+            "p_size": [s for _, s in points],
+            "price": [float(p) for p, _ in points],
+        }
+    )
+    got = set(_skyline_pdf(pdf)["p_partkey"])
+    brute = set()
+    for i, (pi, si) in enumerate(points):
+        dominated = any(
+            (pj <= pi and sj >= si and (pj < pi or sj > si))
+            for j, (pj, sj) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            brute.add(i)
+    assert got == brute, (sorted(got), sorted(brute), points)
+
+
+def test_soundex_oracle_algorithm_matches_spark_builtin(spark, ddb):
+    """d17_soundex's from-scratch NARA-rules oracle must agree with Spark's
+    built-in soundex beyond the corpus vocabulary: 300 seeded random alpha
+    words, including H/W-initial, vowel-initial, single-letter, and
+    repeated-consonant shapes."""
+    import random
+
+    rng = random.Random(20260814)
+    words = sorted(
+        {
+            "".join(
+                rng.choice("abcdefghijklmnopqrstuvwxyz")
+                for _ in range(rng.randint(1, 12))
+            )
+            for _ in range(300)
+        }
+        | {"white", "ashcraft", "tymczak", "pfister", "small", "honeydew", "a", "h", "w"}
+    )
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame([(w,) for w in words], "word string").select(
+        "word", F.soundex(F.upper("word")).alias("sdx")
+    )
+    got = {r.word: r.sdx for r in sdf.collect()}
+    vals = ", ".join(f"('{w}')" for w in words)
+    oracle = f"""
+    WITH w AS (SELECT UPPER(word) AS word FROM (VALUES {vals}) t(word)),
+    coded AS (
+      SELECT word,
+             regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(
+               translate(translate(translate(word, 'HW', ''),
+                         'BFPVCGJKQSXZDTLMNR', '111122222222334556'),
+                         'AEIOUY', '......'),
+               '1{{2,}}', '1', 'g'), '2{{2,}}', '2', 'g'), '3{{2,}}', '3', 'g'),
+               '4{{2,}}', '4', 'g'), '5{{2,}}', '5', 'g'), '6{{2,}}', '6', 'g')
+               AS collapsed
+      FROM w
+    ), tail AS (
+      SELECT word,
+             CASE WHEN substr(word, 1, 1) NOT IN
+                       ('A','E','I','O','U','Y','H','W')
+                  THEN substr(collapsed, 2) ELSE collapsed END AS t
+      FROM coded
+    )
+    SELECT word,
+           substr(word, 1, 1) || substr(translate(t, '.', '') || '000', 1, 3)
+             AS sdx
+    FROM tail
+    """.replace("{{", "{").replace("}}", "}")
+    want = {w.lower(): s for w, s in ddb.execute(oracle).fetchall()}
+    mismatches = {w: (got[w], want[w]) for w in got if got[w] != want[w]}
+    assert not mismatches, dict(list(mismatches.items())[:10])
