@@ -1626,7 +1626,12 @@ def d34_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batches) — not a Window.partitionBy(pid), which would re-hash
     the freshly-range-partitioned data into a second exchange. Correct
     for ANY range boundaries (offsets come from actual counts), so the
-    range sampler can't perturb results.
+    range sampler can't perturb results. The two consumers of the
+    numbered relation (offset aggregate, offset join) are guaranteed to
+    see the SAME boundaries: the range exchange is reused across them
+    (ReuseExchange/AQE stage reuse), and independently the boundary
+    sampler is seeded by partition index over a deterministic input, so
+    even a re-execution reproduces identical ranges.
 
     Scale shape (100 TB): a global-window row_number would drag the whole
     table through ONE task; this plan's only global structures are the
