@@ -3716,3 +3716,238 @@ def d14_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# D10 — two-sample Kolmogorov–Smirnov drift (round 6, wave 6)
+# --------------------------------------------------------------------------
+@register(
+    "d10_ks_drift",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value, (date_part('day', ts) <= 15) AS is_ref
+      FROM events
+    ), pv AS (
+      SELECT event_type, value,
+             SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+      FROM e GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type,
+             SUM(n_ref) OVER (PARTITION BY event_type ORDER BY value)
+               AS c_ref,
+             SUM(n_cur) OVER (PARTITION BY event_type ORDER BY value)
+               AS c_cur,
+             SUM(n_ref) OVER (PARTITION BY event_type) AS t_ref,
+             SUM(n_cur) OVER (PARTITION BY event_type) AS t_cur
+      FROM pv
+    )
+    SELECT event_type,
+           CAST(MAX(t_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(t_cur) AS BIGINT) AS n_cur,
+           ROUND(MAX(ABS(CAST(c_ref AS DOUBLE) / t_ref
+                         - CAST(c_cur AS DOUBLE) / t_cur)), 4) AS ks_stat
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d10_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per event type between the
+    first and second half of the month: D = sup_v |ECDF_ref(v) −
+    ECDF_cur(v)|. The distribution-free companion to d10_psi_drift — PSI
+    needs a binning choice, KS does not, so a drift gate typically runs
+    both (KS flags any shape change, PSI localizes which mass moved).
+
+    The supremum over a continuous ECDF is attained at a sample point, so
+    the exact statistic needs only the DISTINCT observed values with
+    side-tagged counts: one conditional-count aggregate to (type, value),
+    a cumulative-sum window ordered by value, then max of the ECDF gap.
+    Every division is exact-int / exact-int in IEEE double — identical in
+    both engines — so round(4) carries no summation-order risk.
+
+    Scale shape (100 TB): one fact scan, one shuffle to (type, distinct
+    value) — the same cardinality a sort-based percentile would shuffle —
+    then a per-type sort window over distinct values only. No all-pairs,
+    no second scan; the final agg collapses to #types rows."""
+    e = Catalog(spark, sf_dir).events.select(
+        "event_type", "value", (F.dayofmonth("ts") <= 15).alias("is_ref")
+    )
+    pv = e.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("value")
+    wa = Window.partitionBy("event_type")
+    c = pv.select(
+        "event_type",
+        F.sum("n_ref").over(wo).alias("c_ref"),
+        F.sum("n_cur").over(wo).alias("c_cur"),
+        F.sum("n_ref").over(wa).alias("t_ref"),
+        F.sum("n_cur").over(wa).alias("t_cur"),
+    )
+    gap = F.abs(
+        F.col("c_ref").cast("double") / F.col("t_ref")
+        - F.col("c_cur").cast("double") / F.col("t_cur")
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.max("t_ref").alias("n_ref"),
+            F.max("t_cur").alias("n_cur"),
+            F.round(F.max(gap), 4).alias("ks_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# D9 — weighted percentiles via exact decimal cumulative weight
+# --------------------------------------------------------------------------
+@register(
+    "d09_weighted_median",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag, l_quantity,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, l_quantity,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM g
+    )
+    SELECT l_returnflag,
+           ROUND(MIN(CASE WHEN cw * 2 >= tw THEN l_quantity END), 4)
+             AS w_median,
+           ROUND(MIN(CASE WHEN cw * 10 >= tw * 9 THEN l_quantity END), 4)
+             AS w_p90
+    FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def d09_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted quantity percentiles per return flag: the median /
+    p90 quantity when each line item counts proportionally to its
+    extended price (lower-bound convention: smallest v with cumW(v) >=
+    q * totalW). percentile_approx cannot express weights; the exact
+    distributed form is a cumulative-weight window over pre-aggregated
+    distinct values.
+
+    Weights are summed as DECIMAL(12,2) on BOTH sides, so the threshold
+    comparisons (cw*2 >= tw, cw*10 >= tw*9) are exact integer-scaled
+    arithmetic — no float-dust boundary flip at any SF (the
+    d03_salted_skew_join lesson applied preemptively).
+
+    Scale shape (100 TB): partial+final agg to (flag, distinct quantity) —
+    tiny — then a 3-partition window and a #flags-row readout. The fact
+    is scanned once; nothing but (flag, qty, decimal) ever shuffles."""
+    li = Catalog(spark, sf_dir).lineitem
+    g = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("w")
+    )
+    wo = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wa = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("w").over(wo).alias("cw"),
+        F.sum("w").over(wa).alias("tw"),
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.min(
+                    F.when(F.col("cw") * 2 >= F.col("tw"), F.col("l_quantity"))
+                ),
+                4,
+            ).alias("w_median"),
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cw") * 10 >= F.col("tw") * 9, F.col("l_quantity")
+                    )
+                ),
+                4,
+            ).alias("w_p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# D14 — autocorrelation function of the daily revenue series
+# --------------------------------------------------------------------------
+@register(
+    "d14_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS rev
+      FROM orders GROUP BY 1
+    ), d AS (
+      SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+    )
+    SELECT l.lag AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(corr(a.rev, b.rev), 4) AS acf
+    FROM (SELECT CAST(UNNEST(range(1, 8)) AS INT) AS lag) l
+    JOIN d a ON TRUE
+    JOIN d b ON a.rn = b.rn + l.lag
+    GROUP BY l.lag ORDER BY lag
+    """,
+)
+def d14_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily-revenue series at lags 1..7 — the
+    seasonality probe (a weekly rhythm shows as a spike at lag 7) that
+    motivates d14_seasonal_profile's weekday model. `F.lag` only takes a
+    CONSTANT offset, so rather than a row_number self-join (which planned
+    as a BroadcastNestedLoopJoin — the equi-key rn = prn + lag mixes both
+    sides and defeats hash-join extraction), the seven shifted series are
+    seven constant-offset lag columns over ONE window pass, unpivoted
+    map-side into (lag, rev, prev) rows. Pearson corr is
+    normalization-invariant, so sample-vs-population variance conventions
+    cannot diverge between engines; the oracle keeps the relational
+    formulation (rn self-join) precisely because it is an independent
+    derivation of the same pairs.
+
+    Scale shape (100 TB): the fact collapses to #days rows (exact decimal
+    sums) before anything else happens; the one ordered window, the
+    7-column lag shift, and the inline unpivot all run on that bounded
+    daily table (a single-partition window over #days rows is deliberate
+    and safe — the series is small by construction, ~365 rows/year). One
+    fact scan, one shuffle, no join at all."""
+    o = Catalog(spark, sf_dir).orders
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "rev",
+        *[F.lag("rev", k).over(w).alias(f"p{k}") for k in range(1, 8)],
+    )
+    shifted = lagged.select(
+        "rev",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"p{k}").alias("prev")
+                    )
+                    for k in range(1, 8)
+                ]
+            )
+        ),
+    ).where(F.col("prev").isNotNull())
+    return (
+        shifted.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("rev", "prev"), 4).alias("acf"),
+        )
+        .orderBy("lag")
+    )

@@ -647,3 +647,100 @@ def d18_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("days_to_2025"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# D19 — bitwise aggregate + scalar battery (round 6, wave 6)
+# --------------------------------------------------------------------------
+@register(
+    "d19_bitwise",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(event_id) AS BIGINT) AS b_and,
+           CAST(bit_or(event_id) AS BIGINT) AS b_or,
+           CAST(bit_xor(event_id) AS BIGINT) AS b_xor,
+           CAST(SUM(bit_count(event_id)) AS BIGINT) AS pop_bits,
+           CAST(SUM(CASE WHEN (event_id & 8) != 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS bit3_set
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d19_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate battery per event type: BIT_AND / BIT_OR /
+    BIT_XOR reductions over the id space, total popcount, and a
+    mask-test count (bit 3 set). These are the primitives under
+    bitmap-index semantics and the d30_hamming_topk sign-bit packing —
+    certifying them as exact integer aggregates pins the two engines'
+    64-bit two's-complement behavior against each other.
+
+    Scale shape (100 TB): bitwise AND/OR/XOR and popcount-sum are all
+    commutative-associative integer reductions — perfect partial
+    aggregation, #types result rows, one scan, one tiny shuffle. All
+    arithmetic is exact; no rounding anywhere."""
+    e = Catalog(spark, sf_dir).events
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.bit_and("event_id").alias("b_and"),
+            F.bit_or("event_id").alias("b_or"),
+            F.bit_xor("event_id").alias("b_xor"),
+            F.sum(F.bit_count("event_id")).alias("pop_bits"),
+            F.sum(
+                F.when(F.col("event_id").bitwiseAND(8) != 0, 1).otherwise(0)
+            ).alias("bit3_set"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# D17 — regular-expression battery (Java regex vs RE2 common subset)
+# --------------------------------------------------------------------------
+@register(
+    "d17_regexp_battery",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+')))
+                AS BIGINT) AS total_words,
+           CAST(SUM(len(regexp_extract_all(text, '\\b[A-Z][a-z]+')))
+                AS BIGINT) AS total_caps,
+           CAST(SUM(CASE WHEN regexp_matches(text, '[0-9]{2,}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_num,
+           CAST(SUM(length(regexp_replace(text, '[0-9]', '', 'g')))
+                AS BIGINT) AS len_no_digits
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def d17_regexp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp battery over the corpus, aggregated per (lang, source):
+    token-run extraction counts, capitalized-word counts (\\b word
+    boundary), multi-digit presence test, and global digit-strip length.
+    Deliberately restricted to the Java-regex / RE2 COMMON subset — no
+    backreferences, no lookaround — so the same pattern text means the
+    same thing in both engines (DuckDB is RE2; see the d31_repetition
+    note on RE2's silent backreference failure). Two parity traps pinned:
+    DuckDB regexp_replace needs the explicit 'g' flag to match Spark's
+    replace-ALL default, and patterns stay out of `F.expr` strings so
+    Spark SQL's escape handling can never eat a backslash.
+
+    Scale shape (100 TB): all four regexps are map-side scalar
+    expressions fused into the scan project; the only shuffle is the
+    final (lang, source) partial+final aggregate to ~tens of rows."""
+    d = Catalog(spark, sf_dir).documents
+    # Spark's idx defaults to group 1; DuckDB's to 0 (whole match) — pin 0
+    words = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+"), 0))
+    caps = F.size(F.regexp_extract_all("text", F.lit(r"\b[A-Z][a-z]+"), 0))
+    has_num = F.regexp_like("text", F.lit("[0-9]{2,}"))
+    no_dig = F.length(F.regexp_replace("text", "[0-9]", ""))
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(words.cast("long")).alias("total_words"),
+            F.sum(caps.cast("long")).alias("total_caps"),
+            F.sum(F.when(has_num, 1).otherwise(0)).alias("docs_with_num"),
+            F.sum(no_dig.cast("long")).alias("len_no_digits"),
+        )
+        .orderBy("lang", "source")
+    )

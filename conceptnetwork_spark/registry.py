@@ -137,9 +137,9 @@ CERT_FIRST: tuple[str, ...] = (
     "d09_hash_agg",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md) — except the THIRTY oracle
-# queries REGISTERED during round 6 (the window was already full with the
-# r5 carry-over). Wave 1-2: d30_hamming_topk (bit-packed binary
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the THIRTY-FIVE
+# oracle queries REGISTERED during round 6 (the window was already full
+# with the r5 carry-over). Wave 1-2: d30_hamming_topk (bit-packed binary
 # retrieval), d14_date_bin_rollup (hypertable-style time-bucket rollup),
 # d33_fpgrowth_pairs (PFP frequent-itemset mining), d25_rate_source
 # (deterministic rate-micro-batch source), d06_lateral_topn (correlated
@@ -165,8 +165,12 @@ CERT_FIRST: tuple[str, ...] = (
 # d27_rfm_segmentation (broadcast-quintile RFM scoring),
 # d14_seasonal_profile (ISO-weekday seasonal baseline),
 # d18_interval_arith (calendar-interval arithmetic with month-end
-# clamps). All thirty pass the local DuckDB gate and are the declared
-# carry-over into the r7 window. d30_mmr_rerank
+# clamps). Wave 6: d10_ks_drift (two-sample KS over distinct-value
+# ECDFs), d09_weighted_median (decimal cumulative-weight percentiles),
+# d14_autocorr (lag-1..7 ACF via row_number self-join), d19_bitwise
+# (bit_and/or/xor + popcount reductions), d17_regexp_battery (Java/RE2
+# common-subset regexps). All thirty-five pass the local DuckDB gate and
+# are the declared carry-over into the r7 window. d30_mmr_rerank
 # (greedy MMR re-rank) is oracle-less by design (numpy-equivalence +
 # diversity pytest).
 # d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested).
