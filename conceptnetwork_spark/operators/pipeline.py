@@ -1713,3 +1713,122 @@ def d34_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sched_pos")
     )
+
+
+# --------------------------------------------------------------------------
+# D35p — zone-map file skipping: per-file min/max stats decide which files
+# a range predicate must read (round 6, wave 6)
+# --------------------------------------------------------------------------
+FILE_SKIP_N_FILES = 8
+FILE_SKIP_LO, FILE_SKIP_HI = "1998-01-01", "1998-07-01"  # [lo, hi)
+
+
+def stage_orders_rangefiles(sf_dir: str) -> str:
+    """Stage orders as FILE_SKIP_N_FILES parquet files range-clustered on
+    o_orderdate (chunk_00..chunk_07, deterministic equal-row slices of the
+    date-sorted table) — the layout d35_compact_files/d35_zorder_key
+    produce, rebuilt here with pyarrow so ORACLE resolution never depends
+    on a SparkSession. Idempotent per sf_dir; fixture-only staging (a
+    3-column projection, bounded), never a data path — at 100 TB the
+    engine harvests stats from files already written by the table format.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    base = _os.path.join(
+        _tempfile.gettempdir(),
+        f"cn_spark_fileskip_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    marker = _os.path.join(base, "_DONE")
+    if not _os.path.exists(marker):
+        _os.makedirs(base, exist_ok=True)
+        t = (
+            _pq.read_table(
+                _os.path.join(sf_dir, "orders.parquet"),
+                columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+            )
+            .to_pandas()
+            .sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        n = len(t)
+        per = -(-n // FILE_SKIP_N_FILES)
+        for i in range(FILE_SKIP_N_FILES):
+            chunk = t.iloc[i * per : (i + 1) * per]
+            chunk.to_parquet(
+                _os.path.join(base, f"chunk_{i:02d}.parquet"), index=False
+            )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return base
+
+
+def _file_skip_oracle() -> str:
+    from conceptnetwork_spark.sources.formats import _oracle_sf_dir
+
+    d = stage_orders_rangefiles(_oracle_sf_dir())
+    return f"""
+    WITH f AS (
+      SELECT regexp_extract(filename, '[^/]+$') AS file,
+             o_orderdate
+      FROM read_parquet('{d}/*.parquet', filename=true)
+    )
+    SELECT file,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_day,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_day,
+           (MIN(o_orderdate) < TIMESTAMP '{FILE_SKIP_HI}'
+            AND MAX(o_orderdate) >= TIMESTAMP '{FILE_SKIP_LO}') AS reads,
+           CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{FILE_SKIP_LO}'
+                          AND o_orderdate < TIMESTAMP '{FILE_SKIP_HI}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+    FROM f GROUP BY file ORDER BY file
+    """
+
+
+@register("d35_minmax_file_skip", oracle=_file_skip_oracle)
+def d35_minmax_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping audit: harvest per-file min/max stats from a
+    range-clustered table via the `_metadata.file_path` hidden column and
+    decide which files a date-range predicate must READ (interval-overlap
+    test against [lo, hi)). The contract carries its own soundness proof:
+    `n_match` counts the rows each file actually contributes, so any file
+    marked reads=false MUST show n_match=0 — a hash mismatch otherwise.
+    This is the planner-side half of the layout family: d35_partition_stats
+    harvests the manifest, d35_zorder_key/d35_compact_files produce
+    skippable layouts, this query certifies the skip DECISION itself.
+
+    Scale shape (100 TB): per-file stats are a partial+final aggregate
+    keyed by file path — #files result rows; the overlap decision is O(1)
+    per file. In production the stats come from the table-format manifest
+    (no data scan at all); harvesting them from the data here is what
+    makes the decision hash-checkable against an independent engine."""
+    d = stage_orders_rangefiles(sf_dir)
+    lo = F.lit(FILE_SKIP_LO).cast("timestamp")
+    hi = F.lit(FILE_SKIP_HI).cast("timestamp")
+    df = spark.read.parquet(d).select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "file"
+        ),
+        "o_orderdate",
+    )
+    return (
+        df.groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_day"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_day"),
+            (
+                (F.min("o_orderdate") < hi) & (F.max("o_orderdate") >= lo)
+            ).alias("reads"),
+            F.sum(
+                F.when(
+                    (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi),
+                    1,
+                ).otherwise(0)
+            ).alias("n_match"),
+        )
+        .orderBy("file")
+    )

@@ -744,3 +744,60 @@ def d17_regexp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# D18 — named-timezone conversion battery (IANA zone database parity)
+# --------------------------------------------------------------------------
+@register(
+    "d18_timezone",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M') AS utc_ts,
+           strftime(timezone('America/New_York', timezone('UTC', o_orderdate)),
+                    '%Y-%m-%d %H:%M') AS ny,
+           strftime(timezone('Asia/Kolkata', timezone('UTC', o_orderdate)),
+                    '%Y-%m-%d %H:%M') AS kolkata,
+           strftime(timezone('Australia/Sydney', timezone('UTC', o_orderdate)),
+                    '%Y-%m-%d %H:%M') AS sydney,
+           CAST(date_part('hour',
+                timezone('America/New_York', timezone('UTC', o_orderdate)))
+                AS INT) AS ny_hour
+    FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey
+    """,
+)
+def d18_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-IANA-timezone conversion battery: the same UTC instants
+    rendered in a DST zone (America/New_York — offset flips -4/-5 across
+    the spring/fall transitions present in the multi-year order span), a
+    half-hour-offset zone (Asia/Kolkata +5:30), and a southern-hemisphere
+    DST zone (Australia/Sydney — transitions in the OPPOSITE months).
+    Both engines resolve against the IANA tz database (Java zoneinfo vs
+    ICU); hash-matching the rendered local times certifies rule-for-rule
+    agreement over the 1995-2001 span. Session-timezone-independent by
+    construction: the source instant is explicitly pinned as UTC on both
+    sides (convert_timezone('UTC', ...) / timezone('UTC', ts)), never
+    interpreted in a session zone.
+
+    Scale shape (100 TB): pure map-side codegen'd expressions fused into
+    the scan project; the o_orderkey filter pushes down to the scan."""
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 400)
+    utc = F.lit("UTC")
+
+    def local(zone: str):
+        return F.convert_timezone(utc, F.lit(zone), "o_orderdate")
+
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm").alias("utc_ts"),
+        F.date_format(local("America/New_York"), "yyyy-MM-dd HH:mm").alias(
+            "ny"
+        ),
+        F.date_format(local("Asia/Kolkata"), "yyyy-MM-dd HH:mm").alias(
+            "kolkata"
+        ),
+        F.date_format(local("Australia/Sydney"), "yyyy-MM-dd HH:mm").alias(
+            "sydney"
+        ),
+        F.hour(local("America/New_York")).cast("int").alias("ny_hour"),
+    ).orderBy("o_orderkey")

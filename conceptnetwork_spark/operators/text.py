@@ -1606,3 +1606,116 @@ def d31_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# D31z — Laplace-smoothed bigram-LM scoring (round 6, wave 6): the
+# conditional upgrade of d31_unigram_logprob — mean ln P(w2|w1) per doc
+# under the corpus's own bigram model
+# --------------------------------------------------------------------------
+@register(
+    "d31_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+               AS t
+      FROM documents
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+      FROM (SELECT unnest(t) AS term FROM toks)
+    ),
+    grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ),
+    dg AS (
+      SELECT doc_id, bigram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT bigram, SUM(cnt) AS c_bg,
+             string_split(bigram, ' ')[1] AS w1
+      FROM dg GROUP BY bigram
+    ),
+    cp AS (
+      SELECT w1, SUM(c_bg) AS c_prefix FROM cb GROUP BY w1
+    )
+    SELECT dg.doc_id,
+           CAST(SUM(dg.cnt) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(dg.cnt * ln((cb.c_bg + 1.0) / (cp.c_prefix + vocab.v)))
+                 / SUM(dg.cnt), 4) AS avg_logprob
+    FROM dg JOIN cb USING (bigram) JOIN cp USING (w1) CROSS JOIN vocab
+    GROUP BY dg.doc_id ORDER BY dg.doc_id
+    """,
+)
+def d31_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean CONDITIONAL bigram log-probability per document, ln P(w2|w1) =
+    ln((c(w1 w2)+1) / (c(w1 ·)+V)), Laplace-smoothed over the corpus's own
+    bigram counts with V = corpus vocabulary size. Where
+    d31_unigram_logprob scores token rarity, this scores SEQUENCE
+    plausibility — shuffled or template-stitched text keeps its unigram
+    score but collapses here, which is why perplexity-style filters are
+    conditional. Single-token documents have no bigrams and drop out in
+    both engines.
+
+    Scale shape (100 TB): doc bigrams come from one map-side zip of the
+    token array with its own tail (no self-join on position); the
+    (doc, bigram) aggregate is the big shuffle (map-side combine, same
+    cardinality as d31_tfidf's tf) and is PERSISTED — it feeds the corpus
+    bigram table, the prefix table, and the final join, and without the
+    persist Catalyst re-tokenizes the corpus once per consumer. Text is
+    therefore tokenized exactly twice (bigram pass + vocab pass). dg⋈cb
+    on bigram is the large-large join (AQE splits head-bigram skew), cp
+    and the 1-row V ride broadcast. Everything downstream of tokenization
+    is count arithmetic; text never shuffles (same narrow-tables-only
+    persistence policy as d29_minhash_near_dup)."""
+    from pyspark import StorageLevel
+
+    d = Catalog(spark, sf_dir).documents
+    t = d.select("doc_id", _toks(F.col("text")).alias("t"))
+    n = F.size("t")
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, n - 1),
+                F.slice("t", 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    dg = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    cb = dg.groupBy("bigram").agg(F.sum("cnt").alias("c_bg")).withColumn(
+        "w1", F.split("bigram", " ").getItem(0)
+    )
+    cp = cb.groupBy("w1").agg(F.sum("c_bg").alias("c_prefix"))
+    vocab = (
+        t.select(F.explode("t").alias("term"))
+        .agg(F.countDistinct("term").alias("v"))
+    )
+    return (
+        dg.join(cb.select("bigram", "c_bg", "w1"), "bigram")
+        .join(cp, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.col("cnt")
+                    * F.log(
+                        (F.col("c_bg") + 1.0)
+                        / (F.col("c_prefix") + F.col("v"))
+                    )
+                )
+                / F.sum("cnt"),
+                4,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -137,7 +137,7 @@ CERT_FIRST: tuple[str, ...] = (
     "d09_hash_agg",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md) — except the THIRTY-FIVE
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the THIRTY-EIGHT
 # oracle queries REGISTERED during round 6 (the window was already full
 # with the r5 carry-over). Wave 1-2: d30_hamming_topk (bit-packed binary
 # retrieval), d14_date_bin_rollup (hypertable-style time-bucket rollup),
@@ -169,8 +169,11 @@ CERT_FIRST: tuple[str, ...] = (
 # ECDFs), d09_weighted_median (decimal cumulative-weight percentiles),
 # d14_autocorr (lag-1..7 ACF via row_number self-join), d19_bitwise
 # (bit_and/or/xor + popcount reductions), d17_regexp_battery (Java/RE2
-# common-subset regexps). All thirty-five pass the local DuckDB gate and
-# are the declared carry-over into the r7 window. d30_mmr_rerank
+# common-subset regexps), d35_minmax_file_skip (zone-map skip decision
+# with in-band soundness proof), d18_timezone (IANA zone conversion
+# battery), d31_bigram_logprob (Laplace bigram-LM scoring). All
+# thirty-eight pass the local DuckDB gate and are the declared carry-over
+# into the r7 window. d30_mmr_rerank
 # (greedy MMR re-rank) is oracle-less by design (numpy-equivalence +
 # diversity pytest).
 # d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested).
