@@ -1832,3 +1832,255 @@ def d35_minmax_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file")
     )
+
+
+# --------------------------------------------------------------------------
+# D34j — chat-template rendering (round 6, wave 6): turn event streams
+# into rendered SFT training samples with special-token markup
+# --------------------------------------------------------------------------
+CHAT_MAX_TURNS = 6
+CHAT_SYSTEM = "<|system|>You are a helpful assistant.<|end|>"
+
+
+@register(
+    "d34_chat_template",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('view', 'click') THEN 'user'
+                  ELSE 'assistant' END AS role,
+             event_type || ':' ||
+               CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR)
+               AS content
+      FROM events
+    ), p AS (
+      SELECT user_id,
+             list(role || '\x1f' || content
+                  ORDER BY ts, event_id)[1:{CHAT_MAX_TURNS}] AS turns
+      FROM t GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(turns) AS INT) AS n_turns,
+           '{CHAT_SYSTEM}' || array_to_string(
+             list_transform(turns,
+               x -> '<|' || string_split(x, '\x1f')[1] || '|>'
+                    || string_split(x, '\x1f')[2] || '<|end|>'), '')
+             AS rendered,
+           CAST(len(regexp_extract_all(
+             '{CHAT_SYSTEM}' || array_to_string(
+               list_transform(turns,
+                 x -> '<|' || string_split(x, '\x1f')[1] || '|>'
+                      || string_split(x, '\x1f')[2] || '<|end|>'), ''),
+             '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens
+    FROM p ORDER BY user_id
+    """,
+)
+def d34_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering: each user's first CHAT_MAX_TURNS events in
+    total (ts, event_id) order become conversation turns (role from the
+    event type, content from type + integer-cents value so no float ever
+    renders to text), wrapped in <|role|>...<|end|> special-token markup
+    behind a fixed system prompt, with the rendered sample's BPE-ish token
+    count (shared TOKEN_PATTERN) — the exact materialization step an SFT /
+    RLHF data pipeline runs to turn interaction logs into training rows,
+    where a one-token template drift silently poisons a fine-tune. The
+    hash check certifies byte-identical rendering against an independent
+    engine.
+
+    Scale shape (100 TB): one shuffle on user_id with partial aggregation
+    (same collect-sort-slice-in-codegen shape as d27_top_paths — the sort
+    runs on each user's grouped rows, never a global window); template
+    concatenation and token counting are map-side string expressions on
+    the ~#users result. Text renders once; nothing but (user, turns)
+    shuffles."""
+    e = Catalog(spark, sf_dir).events
+    role = F.when(
+        F.col("event_type").isin("view", "click"), F.lit("user")
+    ).otherwise(F.lit("assistant"))
+    content = F.concat_ws(
+        ":",
+        F.col("event_type"),
+        F.round(F.col("value") * 100, 0).cast("long").cast("string"),
+    )
+    turns = (
+        e.select(
+            "user_id",
+            F.struct("ts", "event_id", role.alias("role"), content.alias("content")).alias(
+                "t"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("t")), 1, CHAT_MAX_TURNS
+            ).alias("turns")
+        )
+    )
+    rendered = F.concat(
+        F.lit(CHAT_SYSTEM),
+        F.array_join(
+            F.transform(
+                "turns",
+                lambda x: F.concat(
+                    F.lit("<|"),
+                    x["role"],
+                    F.lit("|>"),
+                    x["content"],
+                    F.lit("<|end|>"),
+                ),
+            ),
+            "",
+        ),
+    )
+    return (
+        turns.select(
+            "user_id",
+            F.size("turns").cast("int").alias("n_turns"),
+            rendered.alias("rendered"),
+            F.size(
+                F.regexp_extract_all(rendered, F.lit(TOKEN_PATTERN), 0)
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# D35q — clustering-depth metric (round 6, wave 6): how many files overlap
+# any given key point, before vs after range clustering
+# --------------------------------------------------------------------------
+def stage_orders_fragfiles(sf_dir: str) -> str:
+    """Stage the SAME orders projection as stage_orders_rangefiles but in
+    deterministic PSEUDO-RANDOM order (Knuth multiplicative hash of the
+    key) sliced into the same number of files — the layout a parallel
+    unordered ingest leaves behind, where every file spans nearly the full
+    key range. Fixture-only staging; idempotent per sf_dir."""
+    import os as _os
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    base = _os.path.join(
+        _tempfile.gettempdir(),
+        f"cn_spark_fragfiles_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    marker = _os.path.join(base, "_DONE")
+    if not _os.path.exists(marker):
+        _os.makedirs(base, exist_ok=True)
+        t = _pq.read_table(
+            _os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+        ).to_pandas()
+        t["_h"] = (t["o_orderkey"] * 2654435761) % (1 << 32)
+        t = (
+            t.sort_values(["_h", "o_orderkey"], kind="mergesort")
+            .drop(columns="_h")
+            .reset_index(drop=True)
+        )
+        n = len(t)
+        per = -(-n // FILE_SKIP_N_FILES)
+        for i in range(FILE_SKIP_N_FILES):
+            t.iloc[i * per : (i + 1) * per].to_parquet(
+                _os.path.join(base, f"chunk_{i:02d}.parquet"), index=False
+            )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return base
+
+
+def _clustering_depth_oracle() -> str:
+    from conceptnetwork_spark.sources.formats import _oracle_sf_dir
+
+    clustered = stage_orders_rangefiles(_oracle_sf_dir())
+    frag = stage_orders_fragfiles(_oracle_sf_dir())
+    return f"""
+    WITH stats AS (
+      SELECT 'clustered' AS layout, regexp_extract(filename, '[^/]+$') AS file,
+             MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi
+      FROM read_parquet('{clustered}/*.parquet', filename=true)
+      GROUP BY 2
+      UNION ALL
+      SELECT 'fragmented', regexp_extract(filename, '[^/]+$'),
+             MIN(o_orderdate), MAX(o_orderdate)
+      FROM read_parquet('{frag}/*.parquet', filename=true)
+      GROUP BY 2
+    ), depth AS (
+      SELECT a.layout, a.file, COUNT(*) AS d
+      FROM stats a JOIN stats b
+        ON a.layout = b.layout AND b.lo <= a.lo AND a.lo <= b.hi
+      GROUP BY a.layout, a.file
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(MAX(d) AS BIGINT) AS max_depth,
+           ROUND(AVG(d), 4) AS avg_depth
+    FROM depth GROUP BY layout ORDER BY layout
+    """
+
+
+@register("d35_clustering_depth", oracle=_clustering_depth_oracle)
+def d35_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-depth metric (the table-format health number behind
+    "do I need to re-cluster?"): for each file, how many files in the same
+    layout overlap its min-key point; report max and mean per layout. The
+    fragmented ingest layout shows depth ≈ n_files (every file spans the
+    whole key range — a point lookup reads everything) while the
+    range-clustered layout sits at the floor (1, or 2 where adjacent
+    files share a boundary key) — the before/after argument for
+    d35_zorder_key / d35_compact_files, quantified. Depth is evaluated at
+    file min-points: the standard sweep discretization, since depth can
+    only change at an interval endpoint.
+
+    Scale shape (100 TB): per-file min/max is a partial+final aggregate
+    keyed by file path (#files rows — in production read straight from
+    the table-format manifest, no data scan); the overlap join and depth
+    count run on that #files-row relation, broadcast both sides. Data is
+    scanned once per layout, metadata does the rest."""
+    clustered = stage_orders_rangefiles(sf_dir)
+    frag = stage_orders_fragfiles(sf_dir)
+
+    def stats(path: str, layout: str) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .select(
+                F.lit(layout).alias("layout"),
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("file"),
+                "o_orderdate",
+            )
+            .groupBy("layout", "file")
+            .agg(
+                F.min("o_orderdate").alias("lo"),
+                F.max("o_orderdate").alias("hi"),
+            )
+        )
+
+    s = stats(clustered, "clustered").unionByName(stats(frag, "fragmented"))
+    a = s.select("layout", "file", F.col("lo").alias("a_lo"))
+    b = s.select(
+        F.col("layout").alias("b_layout"),
+        F.col("lo").alias("b_lo"),
+        F.col("hi").alias("b_hi"),
+    )
+    depth = (
+        a.join(
+            F.broadcast(b),
+            (F.col("layout") == F.col("b_layout"))
+            & (F.col("b_lo") <= F.col("a_lo"))
+            & (F.col("a_lo") <= F.col("b_hi")),
+        )
+        .groupBy("layout", "file")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        depth.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.max("d").alias("max_depth"),
+            F.round(F.avg("d"), 4).alias("avg_depth"),
+        )
+        .orderBy("layout")
+    )
