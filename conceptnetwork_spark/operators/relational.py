@@ -3951,3 +3951,181 @@ def d14_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# --------------------------------------------------------------------------
+# D11 — Count-Min sketch (round 6, wave 6): the ORACLE-BACKED sketch —
+# unlike HLL/KLL the CMS table is pure integer arithmetic, so the whole
+# sketch (build + point query + overcount) hash-matches across engines
+# --------------------------------------------------------------------------
+CMS_W, CMS_P = 64, 2147483647  # buckets per row, Mersenne prime 2^31-1
+CMS_ROWS = ((1000003, 12345), (999983, 54321), (1000033, 98765), (999979, 13579))
+
+
+@register(
+    "d11_countmin",
+    oracle=f"""
+    WITH h AS (
+      SELECT user_id,
+             {", ".join(
+                 f"((user_id * {a} + {b}) % {CMS_P}) % {CMS_W} AS b{i}"
+                 for i, (a, b) in enumerate(CMS_ROWS)
+             )}
+      FROM events
+    ), cells AS (
+      SELECT i, bucket, COUNT(*) AS c FROM (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS i, b{i} AS bucket FROM h"
+            for i in range(len(CMS_ROWS))
+        )}
+      ) GROUP BY i, bucket
+    ), exact AS (
+      SELECT user_id, COUNT(*) AS exact_cnt,
+             {", ".join(
+                 f"((user_id * {a} + {b}) % {CMS_P}) % {CMS_W} AS b{i}"
+                 for i, (a, b) in enumerate(CMS_ROWS)
+             )}
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(LEAST({", ".join(f"c{i}.c" for i in range(len(CMS_ROWS)))})
+                AS BIGINT) AS cms_est,
+           CAST(LEAST({", ".join(f"c{i}.c" for i in range(len(CMS_ROWS)))})
+                - e.exact_cnt AS BIGINT) AS overcount
+    FROM exact e
+    {" ".join(
+        f"JOIN cells c{i} ON c{i}.i = {i} AND c{i}.bucket = e.b{i}"
+        for i in range(len(CMS_ROWS))
+    )}
+    ORDER BY e.user_id
+    """,
+)
+def d11_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over event user frequencies: a 4x64 counter table
+    with pairwise-independent-style hashes h_i(u) = ((u*A_i + B_i) mod P)
+    mod W (P = 2^31-1), point estimate = min over rows — plus the exact
+    count and the sketch's one-sided overcount per key. CMS is the
+    mergeable heavy-hitter sketch (counters add across partitions /
+    shards / days exactly like d11_hll_merge's registers), but unlike HLL
+    its state is plain integers, so this one is HASH-CHECKED end to end:
+    build, point query, and the overcount >= 0 invariant all sit in the
+    oracle contract rather than a tolerance test.
+
+    Scale shape (100 TB): the build is one partial+final aggregate to
+    d x W = 256 cells — mergeable counters, map-side combine, constant
+    state per executor; the point-query join broadcasts those 256 cells
+    against the per-key exact aggregate. In production the exact side
+    drops away and the sketch alone answers in O(d) per query; it rides
+    here so the error is part of the certified result."""
+    e = Catalog(spark, sf_dir).events
+    u = F.col("user_id")
+
+    def bucket(i: int):
+        a, b = CMS_ROWS[i]
+        return (u * a + b) % CMS_P % CMS_W
+
+    cells = (
+        e.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"), bucket(i).alias("bucket")
+                        )
+                        for i in range(len(CMS_ROWS))
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.i", "s.bucket")
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = exact
+    for i in range(len(CMS_ROWS)):
+        ci = cells.where(F.col("i") == i).select(
+            F.col("bucket").alias(f"b{i}"), F.col("c").alias(f"c{i}")
+        )
+        est = est.join(F.broadcast(ci), bucket(i) == F.col(f"b{i}"))
+    cms = F.least(*[F.col(f"c{i}") for i in range(len(CMS_ROWS))])
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        cms.alias("cms_est"),
+        (cms - F.col("exact_cnt")).alias("overcount"),
+    ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# D14 — Theil–Sen robust trend slope (round 6, wave 6)
+# --------------------------------------------------------------------------
+@register(
+    "d14_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_part('day', ts) AS BIGINT) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ), slopes AS (
+      SELECT a.event_type,
+             (b.y - a.y) / (b.day - a.day) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(quantile_cont(slope, 0.5) AS DOUBLE), 4)
+             AS ts_slope
+    FROM slopes GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d14_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimate per event type: the median of all
+    pairwise slopes (y_j - y_i)/(x_j - x_i) over the daily mean-value
+    series — tolerates ~29% outliers where OLS (d33_ols_mse) breaks on
+    one, which is why monitoring pipelines fit trends with it. Daily
+    means divide an exact decimal sum by an integer count, so every
+    slope is bit-identical across engines and the interpolated median
+    (percentile / quantile_cont) cannot diverge.
+
+    Scale shape (100 TB): the fact collapses to (type, day-of-month) —
+    a bounded ≤31-point series per type — BEFORE the O(k²) pair join, so
+    the quadratic blowup is 465 pairs per type, not pairs of raw rows
+    (the same collapse-then-quadratic discipline as d15_skyline's
+    per-partition frontier). One fact scan, one shuffle to the daily
+    grid; the pair join and median run on a few thousand rows."""
+    e = Catalog(spark, sf_dir).events
+    daily = e.groupBy(
+        "event_type", F.dayofmonth("ts").cast("long").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("y")
+    )
+    a = daily.select("event_type", F.col("day").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        F.col("day").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    slopes = a.join(
+        b, (F.col("event_type") == F.col("bt")) & (F.col("xa") < F.col("xb"))
+    ).select(
+        "event_type",
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias(
+            "slope"
+        ),
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.percentile("slope", F.lit(0.5)), 4).alias("ts_slope"),
+        )
+        .orderBy("event_type")
+    )

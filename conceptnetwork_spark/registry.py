@@ -137,9 +137,9 @@ CERT_FIRST: tuple[str, ...] = (
     "d09_hash_agg",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md) — except the FORTY oracle
-# queries REGISTERED during round 6 (the window was already full with
-# the r5 carry-over). Wave 1-2: d30_hamming_topk (bit-packed binary
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the FORTY-TWO
+# oracle queries REGISTERED during round 6 (the window was already full
+# with the r5 carry-over). Wave 1-2: d30_hamming_topk (bit-packed binary
 # retrieval), d14_date_bin_rollup (hypertable-style time-bucket rollup),
 # d33_fpgrowth_pairs (PFP frequent-itemset mining), d25_rate_source
 # (deterministic rate-micro-batch source), d06_lateral_topn (correlated
@@ -173,9 +173,10 @@ CERT_FIRST: tuple[str, ...] = (
 # with in-band soundness proof), d18_timezone (IANA zone conversion
 # battery), d31_bigram_logprob (Laplace bigram-LM scoring),
 # d34_chat_template (SFT sample rendering with special-token markup),
-# d35_clustering_depth (file-overlap depth before/after clustering). All
-# forty pass the local DuckDB gate and are the declared carry-over into
-# the r7 window. d30_mmr_rerank
+# d35_clustering_depth (file-overlap depth before/after clustering),
+# d11_countmin (the hash-checked Count-Min sketch), d14_theil_sen
+# (median-of-pairwise-slopes robust trend). All forty-two pass the local
+# DuckDB gate and are the declared carry-over into the r7 window. d30_mmr_rerank
 # (greedy MMR re-rank) is oracle-less by design (numpy-equivalence +
 # diversity pytest).
 # d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested).
