@@ -4129,3 +4129,155 @@ def d14_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# D16 — SQL scripting (round 6, wave 6): Spark 4 BEGIN/WHILE/session
+# variables running an iterative robust-statistics loop ENGINE-SIDE
+# --------------------------------------------------------------------------
+SIGMA_CLIP_MULT = 0.25  # fence = quartile ± MULT * IQR (aggressive trim)
+
+
+@register(
+    "d16_sql_scripting",
+    oracle=f"""
+    WITH i1 AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*) AS m,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders
+    ), i2 AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*) AS m,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders, i1
+      WHERE o_totalprice
+              >= ROUND(i1.q1 - {SIGMA_CLIP_MULT} * (i1.q3 - i1.q1), 4)
+        AND o_totalprice
+              <= ROUND(i1.q3 + {SIGMA_CLIP_MULT} * (i1.q3 - i1.q1), 4)
+    ), i3 AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*) AS m,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders, i2
+      WHERE o_totalprice
+              >= ROUND(i2.q1 - {SIGMA_CLIP_MULT} * (i2.q3 - i2.q1), 4)
+        AND o_totalprice
+              <= ROUND(i2.q3 + {SIGMA_CLIP_MULT} * (i2.q3 - i2.q1), 4)
+    )
+    SELECT 1 AS iter, CAST(n AS BIGINT) AS n_rows, ROUND(m, 4) AS mean_price,
+           ROUND(q1, 4) AS q1, ROUND(q3, 4) AS q3 FROM i1
+    UNION ALL
+    SELECT 2, CAST(n AS BIGINT), ROUND(m, 4), ROUND(q1, 4), ROUND(q3, 4)
+    FROM i2
+    UNION ALL
+    SELECT 3, CAST(n AS BIGINT), ROUND(m, 4), ROUND(q1, 4), ROUND(q3, 4)
+    FROM i3
+    ORDER BY iter
+    """,
+)
+def d16_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative IQR clipping (sigma-clip with quartile fences) run
+    ENTIRELY engine-side in Spark 4 SQL SCRIPTING — BEGIN/END, DECLAREd
+    session variables, a WHILE loop, and tuple-SET from a scalar
+    subquery. Each pass recomputes count / exact-decimal mean / quartiles
+    over the surviving rows, then tightens the fences to quartile ±
+    MULT*IQR. This is the control-flow pattern every driver-side
+    `for i in range(k): spark.sql(...)` loop encodes, moved into the
+    declarative surface; the oracle UNROLLS the three iterations as
+    chained CTEs — an independent derivation of the same fixpoint
+    prefix. Fences are rounded to 4 decimals in BOTH engines before the
+    boundary comparison so a last-ulp quantile-interpolation difference
+    can never flip a row's membership.
+
+    Scale shape (100 TB): three sequential scan+aggregate jobs (the loop
+    is inherently sequential — each fence depends on the previous pass),
+    each a partial+final aggregate whose only wide state is the exact
+    percentile; swap percentile for approx_percentile at corpus scale on
+    the same script (D11's tolerance contract). No driver round-trips:
+    the loop, its state, and the final VALUES readout live in ONE
+    spark.sql call."""
+    t = Catalog(spark, sf_dir)
+    t.orders.createOrReplaceTempView("cns_clip_orders")
+    m = SIGMA_CLIP_MULT
+    return spark.sql(f"""
+    BEGIN
+      DECLARE lo DOUBLE = -1e308; DECLARE hi DOUBLE = 1e308;
+      DECLARE i INT = 0;
+      DECLARE n BIGINT; DECLARE mn DOUBLE;
+      DECLARE q1 DOUBLE; DECLARE q3 DOUBLE;
+      DECLARE n1 BIGINT; DECLARE m1 DOUBLE; DECLARE q1a DOUBLE; DECLARE q3a DOUBLE;
+      DECLARE n2 BIGINT; DECLARE m2 DOUBLE; DECLARE q1b DOUBLE; DECLARE q3b DOUBLE;
+      DECLARE n3 BIGINT; DECLARE m3 DOUBLE; DECLARE q1c DOUBLE; DECLARE q3c DOUBLE;
+      WHILE i < 3 DO
+        SET i = i + 1;
+        SET (n, mn, q1, q3) = (
+          SELECT COUNT(*),
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(*),
+                 percentile(o_totalprice, 0.25),
+                 percentile(o_totalprice, 0.75)
+          FROM cns_clip_orders
+          WHERE o_totalprice >= lo AND o_totalprice <= hi);
+        IF i = 1 THEN
+          SET (n1, m1, q1a, q3a) = (SELECT n, mn, q1, q3);
+        ELSEIF i = 2 THEN
+          SET (n2, m2, q1b, q3b) = (SELECT n, mn, q1, q3);
+        ELSE
+          SET (n3, m3, q1c, q3c) = (SELECT n, mn, q1, q3);
+        END IF;
+        SET lo = ROUND(q1 - {m} * (q3 - q1), 4);
+        SET hi = ROUND(q3 + {m} * (q3 - q1), 4);
+      END WHILE;
+      SELECT iter, n_rows, ROUND(mean_price, 4) AS mean_price,
+             ROUND(q1, 4) AS q1, ROUND(q3, 4) AS q3
+      FROM VALUES (1, n1, m1, q1a, q3a),
+                  (2, n2, m2, q1b, q3b),
+                  (3, n3, m3, q1c, q3c)
+             AS t(iter, n_rows, mean_price, q1, q3)
+      ORDER BY iter;
+    END
+    """)
+
+
+# --------------------------------------------------------------------------
+# D1 — parameterized SQL (named-marker binding, Spark 4 `args=`)
+# --------------------------------------------------------------------------
+@register(
+    "d01_parameterized_sql",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 4) AS price
+    FROM orders
+    WHERE o_totalprice > 400000.0
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ORDER BY o_orderkey
+    """,
+)
+def d01_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL binding (`:marker` + `args=`): the injection-safe
+    templating surface an application layer uses instead of f-string SQL.
+    Parameters bind as TYPED literals at analysis time — the double
+    threshold and both string list members arrive as parameters, never as
+    spliced text — and Catalyst still pushes the bound predicates into the
+    parquet scan exactly as with inline literals (binding happens before
+    optimization, so parameterization costs nothing at plan time).
+
+    Scale shape (100 TB): identical plan to the literal query —
+    PushedFilters on the scan, map-side projection, no shuffle."""
+    t = Catalog(spark, sf_dir)
+    t.orders.createOrReplaceTempView("cns_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 4) AS price
+        FROM cns_param_orders
+        WHERE o_totalprice > :thresh AND o_orderpriority IN (:p1, :p2)
+        ORDER BY o_orderkey
+        """,
+        args={"thresh": 400000.0, "p1": "1-URGENT", "p2": "2-HIGH"},
+    )

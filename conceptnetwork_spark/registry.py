@@ -137,7 +137,7 @@ CERT_FIRST: tuple[str, ...] = (
     "d09_hash_agg",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md) — except the FORTY-TWO
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the FORTY-FOUR
 # oracle queries REGISTERED during round 6 (the window was already full
 # with the r5 carry-over). Wave 1-2: d30_hamming_topk (bit-packed binary
 # retrieval), d14_date_bin_rollup (hypertable-style time-bucket rollup),
@@ -175,8 +175,11 @@ CERT_FIRST: tuple[str, ...] = (
 # d34_chat_template (SFT sample rendering with special-token markup),
 # d35_clustering_depth (file-overlap depth before/after clustering),
 # d11_countmin (the hash-checked Count-Min sketch), d14_theil_sen
-# (median-of-pairwise-slopes robust trend). All forty-two pass the local
-# DuckDB gate and are the declared carry-over into the r7 window. d30_mmr_rerank
+# (median-of-pairwise-slopes robust trend), d16_sql_scripting (Spark-4
+# BEGIN/WHILE/session-variable iterative IQR clip vs an unrolled-CTE
+# oracle), d01_parameterized_sql (named-marker typed binding). All
+# forty-four pass the local DuckDB gate and are the declared carry-over
+# into the r7 window. d30_mmr_rerank
 # (greedy MMR re-rank) is oracle-less by design (numpy-equivalence +
 # diversity pytest).
 # d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested).
