@@ -4281,3 +4281,187 @@ def d01_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"thresh": 400000.0, "p1": "1-URGENT", "p2": "2-HIGH"},
     )
+
+
+# --------------------------------------------------------------------------
+# D27 — Kaplan–Meier survival estimator (round 6, wave 6)
+# --------------------------------------------------------------------------
+@register(
+    "d27_kaplan_meier",
+    oracle="""
+    WITH span AS (
+      SELECT MAX(ts) AS w_end FROM events
+    ), u AS (
+      SELECT user_id, MIN(ts) AS first_ts,
+             MIN(CASE WHEN event_type = 'error' THEN ts END) AS err_ts
+      FROM events GROUP BY user_id
+    ), d AS (
+      SELECT CAST(date_diff('day', CAST(first_ts AS DATE),
+                  CAST(COALESCE(err_ts, (SELECT w_end FROM span)) AS DATE))
+                  AS BIGINT) AS dur,
+             (err_ts IS NOT NULL) AS event_seen
+      FROM u
+    ), g AS (
+      SELECT dur,
+             SUM(CASE WHEN event_seen THEN 1 ELSE 0 END) AS d_ev,
+             COUNT(*) AS n_here
+      FROM d GROUP BY dur
+    ), r AS (
+      SELECT dur, d_ev,
+             (SELECT COUNT(*) FROM u)
+               - COALESCE(SUM(n_here) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM g
+    )
+    SELECT dur, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d_ev AS BIGINT) AS d_events,
+           ROUND(CASE WHEN MAX(CASE WHEN d_ev >= n_risk THEN 1 ELSE 0 END)
+                           OVER (ORDER BY dur) = 1 THEN 0.0
+                 ELSE exp(SUM(ln(CASE WHEN d_ev >= n_risk THEN 1.0
+                                 ELSE 1.0 - CAST(d_ev AS DOUBLE) / n_risk
+                            END)) OVER (ORDER BY dur)) END, 4) AS surv
+    FROM r ORDER BY dur
+    """,
+)
+def d27_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-error per user:
+    S(t) = prod_{t_i <= t} (1 - d_i / n_i) with right-censoring at the
+    observation-window end for users who never error — the
+    survival-analysis upgrade of d27_retention (which fixes calendar
+    buckets; this estimates the underlying hazard correctly under
+    censoring, the reason churn teams use KM instead of raw ratios).
+    The cumulative product runs as exp(cumsum(ln ...)) over the
+    duration-ordered grid; both engines evaluate the identical ordered
+    float sum, so no summation-order divergence is possible, and the
+    d_i = n_i absorbing case (survival hits exactly 0, ln undefined) is
+    handled by the same running-flag CASE on both sides.
+
+    Scale shape (100 TB): one shuffle to per-user (first_ts, err_ts)
+    aggregates; the window end rides as a broadcast scalar; the KM grid
+    is #distinct-durations rows (bounded by the observation span in
+    days), so the ordered single-partition window is deliberate and
+    safe. The fact is scanned once."""
+    e = Catalog(spark, sf_dir).events
+    span = e.agg(F.max("ts").alias("w_end"))
+    u = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        ).alias("err_ts"),
+    )
+    total = u.agg(F.count(F.lit(1)).alias("n_total"))
+    d = u.crossJoin(F.broadcast(span)).select(
+        F.datediff(
+            F.coalesce(F.col("err_ts"), F.col("w_end")).cast("date"),
+            F.col("first_ts").cast("date"),
+        )
+        .cast("long")
+        .alias("dur"),
+        F.col("err_ts").isNotNull().alias("event_seen"),
+    )
+    g = d.groupBy("dur").agg(
+        F.sum(F.when(F.col("event_seen"), 1).otherwise(0)).alias("d_ev"),
+        F.count(F.lit(1)).alias("n_here"),
+    )
+    wo = Window.orderBy("dur")
+    prior = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.crossJoin(F.broadcast(total)).select(
+        "dur",
+        "d_ev",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_here").over(prior), F.lit(0))
+        ).alias("n_risk"),
+    )
+    absorbed = (
+        F.max(F.when(F.col("d_ev") >= F.col("n_risk"), 1).otherwise(0)).over(
+            wo
+        )
+        == 1
+    )
+    # the absorbing row (d == n_risk) would put ln(0) in the running sum:
+    # DuckDB raises on it and Spark nulls the whole sum, so BOTH sides
+    # substitute a neutral ln(1) term there; the outer flag forces S=0
+    safe_term = F.when(
+        F.col("d_ev") >= F.col("n_risk"), F.lit(1.0)
+    ).otherwise(
+        F.lit(1.0) - F.col("d_ev").cast("double") / F.col("n_risk")
+    )
+    surv = F.when(absorbed, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.log(safe_term)).over(wo))
+    )
+    return r.select(
+        "dur",
+        "n_risk",
+        F.col("d_ev").alias("d_events"),
+        F.round(surv, 4).alias("surv"),
+    ).orderBy("dur")
+
+
+# --------------------------------------------------------------------------
+# D18 — business-day arithmetic (closed-form weekday counting)
+# --------------------------------------------------------------------------
+BDAY_HORIZON = "2002-01-07"  # a Monday after the order-date span
+
+
+def _bday_terms_sql(dow: str, rem: str) -> str:
+    """Seven-term closed form: weekdays among the `rem` leftover days
+    starting at ISO weekday `dow` — identical expression text for both
+    engines (k-th leftover day is a weekday iff ((dow-1+k) mod 7) < 5)."""
+    return " + ".join(
+        f"(CASE WHEN {rem} > {k} AND (({dow} - 1 + {k}) % 7) < 5 "
+        f"THEN 1 ELSE 0 END)"
+        for k in range(7)
+    )
+
+
+@register(
+    "d18_business_days",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS d,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       DATE '{BDAY_HORIZON}') AS total,
+             isodow(CAST(o_orderdate AS DATE)) AS dow
+      FROM orders WHERE o_orderkey < 500
+    )
+    SELECT o_orderkey,
+           strftime(d, '%Y-%m-%d') AS order_day,
+           CAST(dow AS INT) AS isodow,
+           CAST((total // 7) * 5 + {_bday_terms_sql("dow", "(total % 7)")}
+                AS BIGINT) AS bdays
+    FROM b ORDER BY o_orderkey
+    """,
+)
+def d18_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business days (Mon–Fri) from each order date to a fixed settlement
+    horizon, in CLOSED FORM: full weeks contribute 5 each, the <7-day
+    remainder is resolved by a seven-term weekday test on the start's ISO
+    weekday — no calendar explode, no generated date spine (contrast
+    d18_calendar_dim, which materializes the spine when per-day
+    attributes are needed; a settlement-lag computation over billions of
+    rows wants O(1) arithmetic per row). Uses the ISO weekday form on
+    both engines per the established parity rule (Spark weekday()+1 ==
+    DuckDB isodow, Monday=1).
+
+    Scale shape (100 TB): pure map-side integer arithmetic fused into the
+    scan project; the key filter pushes down. No shuffle, no join."""
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate").cast("date")
+    total = F.datediff(F.lit(BDAY_HORIZON).cast("date"), d)
+    dow = (F.weekday(d) + 1).cast("int")
+    rem = total % 7
+    extra = None
+    for k in range(7):
+        term = F.when(
+            (rem > k) & (((dow - 1 + k) % 7) < 5), 1
+        ).otherwise(0)
+        extra = term if extra is None else extra + term
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("order_day"),
+        dow.alias("isodow"),
+        ((F.floor(total / 7) * 5 + extra)).cast("long").alias("bdays"),
+    ).orderBy("o_orderkey")

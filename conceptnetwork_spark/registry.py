@@ -137,7 +137,7 @@ CERT_FIRST: tuple[str, ...] = (
     "d09_hash_agg",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md) — except the FORTY-FOUR
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the FORTY-SIX
 # oracle queries REGISTERED during round 6 (the window was already full
 # with the r5 carry-over). Wave 1-2: d30_hamming_topk (bit-packed binary
 # retrieval), d14_date_bin_rollup (hypertable-style time-bucket rollup),
@@ -177,9 +177,10 @@ CERT_FIRST: tuple[str, ...] = (
 # d11_countmin (the hash-checked Count-Min sketch), d14_theil_sen
 # (median-of-pairwise-slopes robust trend), d16_sql_scripting (Spark-4
 # BEGIN/WHILE/session-variable iterative IQR clip vs an unrolled-CTE
-# oracle), d01_parameterized_sql (named-marker typed binding). All
-# forty-four pass the local DuckDB gate and are the declared carry-over
-# into the r7 window. d30_mmr_rerank
+# oracle), d01_parameterized_sql (named-marker typed binding),
+# d27_kaplan_meier (right-censored survival curve), d18_business_days
+# (closed-form weekday-span arithmetic). All forty-six pass the local
+# DuckDB gate and are the declared carry-over into the r7 window. d30_mmr_rerank
 # (greedy MMR re-rank) is oracle-less by design (numpy-equivalence +
 # diversity pytest).
 # d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested).
