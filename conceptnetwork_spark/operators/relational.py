@@ -4465,3 +4465,83 @@ def d18_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         dow.alias("isodow"),
         ((F.floor(total / 7) * 5 + extra)).cast("long").alias("bdays"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# D9 — Pareto / ABC classification by cumulative revenue share
+# --------------------------------------------------------------------------
+@register(
+    "d09_pareto_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS r
+      FROM lineitem GROUP BY l_partkey
+    ), c AS (
+      SELECT l_partkey, r,
+             SUM(r) OVER (ORDER BY r DESC, l_partkey) AS cum,
+             SUM(r) OVER () AS tot
+      FROM rev
+    ), cls AS (
+      SELECT CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+                  WHEN cum * 10 <= tot * 9 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             r, tot
+      FROM c
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(r) AS DOUBLE), 4) AS class_revenue,
+           ROUND(CAST(SUM(r) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 4)
+             AS share
+    FROM cls GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def d09_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by cumulative revenue share:
+    rank parts by revenue, class A while the running total stays within
+    70% of grand revenue, B to 90%, C for the tail — the inventory-
+    analysis shape behind "which 20% of SKUs carry 80% of revenue".
+    Revenue sums and the running total are exact DECIMAL, and the class
+    boundaries compare cum*10 against tot*7 / tot*9 in integer-scaled
+    decimal arithmetic, so no float-dust boundary flip at any SF; ties
+    in revenue break on partkey for a total order.
+
+    Scale shape (100 TB): the fact collapses to per-part revenue first
+    (partial+final agg); the global cumulative window then runs over
+    #parts rows — inherent to exact ABC (a total preorder over parts),
+    bounded by catalog size, not fact size. One fact scan, one shuffle,
+    a #parts-row sort."""
+    li = Catalog(spark, sf_dir).lineitem
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("r")
+    )
+    wc = Window.orderBy(F.desc("r"), "l_partkey")
+    c = rev.select(
+        "l_partkey",
+        "r",
+        F.sum("r").over(wc).alias("cum"),
+        F.sum("r").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot"),
+    )
+    cls = c.select(
+        F.when(F.col("cum") * 10 <= F.col("tot") * 7, "A")
+        .when(F.col("cum") * 10 <= F.col("tot") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "r",
+        "tot",
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("r").cast("double"), 4).alias("class_revenue"),
+            F.round(
+                F.sum("r").cast("double") / F.max("tot").cast("double"), 4
+            ).alias("share"),
+        )
+        .orderBy("abc_class")
+    )

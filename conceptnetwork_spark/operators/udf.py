@@ -914,3 +914,78 @@ def d24_udtf_table_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id
         """
     )
+
+
+# --------------------------------------------------------------------------
+# D22 — SQL-defined functions (round 6, wave 6): the ZERO-overhead rung of
+# the UDF ladder — CREATE FUNCTION bodies are SQL expressions Catalyst
+# INLINES into the plan, so unlike every Python rung they cost nothing
+# --------------------------------------------------------------------------
+@register(
+    "d22_sql_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1.00 - CAST(l_discount AS DECIMAL(4,2)))
+                      * (1.00 + CAST(l_tax AS DECIMAL(4,2))), 4) AS DOUBLE)
+             AS net,
+           CAST(i AS INT) AS chunk_id,
+           CAST(LEAST(20, CAST(l_quantity AS BIGINT) - i * 20) AS INT)
+             AS chunk_qty
+    FROM lineitem,
+         unnest(range(0, CAST(ceil(l_quantity / 20.0) AS BIGINT))) AS t(i)
+    WHERE l_orderkey < 200
+    ORDER BY l_orderkey, l_linenumber, chunk_id
+    """,
+)
+def d22_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions: a scalar CREATE FUNCTION (net price after
+    discount and tax) plus a SQL TABLE function (split a quantity into
+    <=20-unit shipment chunks) applied via correlated LATERAL — the
+    declarative end of the D22 ladder. Where d22_scalar_udf measures the
+    per-row Python toll and d22_pandas_udf the Arrow batch transfer, a
+    SQL UDF has NO runtime at all: Catalyst inlines the body expression
+    into the caller's plan, so the physical plan is indistinguishable
+    from writing the arithmetic inline (same codegen, same pushdown) —
+    the right default for any logic expressible as SQL. The oracle
+    inlines both bodies by hand, certifying the inlining is semantically
+    exact. Money math runs in DECIMAL inside the function body on both
+    sides: ROUND(double,4) is engine-divergent at representation edges
+    (Spark rounds the shortest decimal repr, DuckDB the binary value),
+    and the decimal product makes the boundary exact.
+
+    Scale shape (100 TB): map-side expression + per-row bounded generate
+    (<=3 chunk rows per lineitem); the key filter pushes to the scan; no
+    shuffle before the final order."""
+    t = Catalog(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("cns_sqludf_lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION cns_net_price(
+            ep DOUBLE, d DOUBLE, tax DOUBLE) RETURNS DOUBLE
+        RETURN CAST(ROUND(CAST(ep AS DECIMAL(12,2))
+                          * (1.00 - CAST(d AS DECIMAL(4,2)))
+                          * (1.00 + CAST(tax AS DECIMAL(4,2))), 4) AS DOUBLE)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION cns_qty_chunks(q BIGINT)
+        RETURNS TABLE(chunk_id INT, chunk_qty INT)
+        RETURN SELECT CAST(pos AS INT) AS chunk_id,
+                      CAST(LEAST(20, q - pos * 20) AS INT) AS chunk_qty
+               FROM (SELECT explode(sequence(
+                       0, CAST(ceil(q / 20.0) AS BIGINT) - 1)) AS pos)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               cns_net_price(l_extendedprice, l_discount, l_tax) AS net,
+               c.chunk_id, c.chunk_qty
+        FROM cns_sqludf_lineitem,
+             LATERAL cns_qty_chunks(CAST(l_quantity AS BIGINT)) c
+        WHERE l_orderkey < 200
+        ORDER BY l_orderkey, l_linenumber, chunk_id
+        """
+    )

@@ -137,7 +137,7 @@ CERT_FIRST: tuple[str, ...] = (
     "d09_hash_agg",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md) — except the FORTY-SIX
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the FORTY-EIGHT
 # oracle queries REGISTERED during round 6 (the window was already full
 # with the r5 carry-over). Wave 1-2: d30_hamming_topk (bit-packed binary
 # retrieval), d14_date_bin_rollup (hypertable-style time-bucket rollup),
@@ -179,8 +179,11 @@ CERT_FIRST: tuple[str, ...] = (
 # BEGIN/WHILE/session-variable iterative IQR clip vs an unrolled-CTE
 # oracle), d01_parameterized_sql (named-marker typed binding),
 # d27_kaplan_meier (right-censored survival curve), d18_business_days
-# (closed-form weekday-span arithmetic). All forty-six pass the local
-# DuckDB gate and are the declared carry-over into the r7 window. d30_mmr_rerank
+# (closed-form weekday-span arithmetic), d22_sql_udf (CREATE FUNCTION
+# scalar + SQL table function via LATERAL, Catalyst-inlined),
+# d09_pareto_abc (decimal-exact cumulative-share ABC classes). All
+# forty-eight pass the local DuckDB gate and are the declared carry-over
+# into the r7 window. d30_mmr_rerank
 # (greedy MMR re-rank) is oracle-less by design (numpy-equivalence +
 # diversity pytest).
 # d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested).
