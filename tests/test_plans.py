@@ -1031,3 +1031,61 @@ def test_d34_curriculum_distributed_row_number(spark):
     seg = plan[plan.index("MapInPandas") : end]
     assert "Exchange" not in seg
     assert "Window [row_number()" not in plan
+
+
+# ---- round-6 wave-6 additions ------------------------------------------------
+
+
+def test_d14_autocorr_no_join(spark):
+    """The lag fan-out must be the single-window + inline-unpivot form —
+    a rn-self-join would plan as BroadcastNestedLoopJoin (rn = prn + lag
+    mixes both sides and defeats hash-key extraction)."""
+    plan = _plan(spark, "d14_autocorr")
+    assert "Join" not in plan
+    assert "Generate" in plan  # the inline unpivot
+    assert "Window" in plan
+
+
+def test_d35_minmax_file_skip_pure_aggregate(spark):
+    plan = _plan(spark, "d35_minmax_file_skip")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final per-file stats
+
+
+def test_d31_bigram_logprob_persists_shared_base(spark):
+    """The (doc, bigram) aggregate feeds three consumers; without the
+    persist Catalyst re-tokenizes the corpus once per consumer."""
+    plan = _plan(spark, "d31_bigram_logprob")
+    assert "InMemoryTableScan" in plan
+
+
+def test_d22_sql_udf_fully_inlined(spark):
+    """SQL-defined functions must cost nothing at runtime: no Python
+    evaluation node of any kind may appear — Catalyst inlines both the
+    scalar body and the table-function body into the caller's plan."""
+    plan = _plan(spark, "d22_sql_udf")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+        assert marker not in plan, marker
+
+
+def test_d01_parameterized_sql_pushdown(spark):
+    """Named-parameter binding happens before optimization: the bound
+    predicates must reach the parquet scan like inline literals."""
+    plan = _plan(spark, "d01_parameterized_sql")
+    assert "PushedFilters" in plan and "o_totalprice" in plan
+
+
+def test_d34_chat_template_no_window(spark):
+    """Turn ordering runs as collect-sort-slice inside the user_id
+    aggregate (codegen array expressions), never as a global window."""
+    plan = _plan(spark, "d34_chat_template")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_d09_pareto_abc_preaggregates(spark):
+    """The fact must collapse to per-part revenue BEFORE the global
+    cumulative window — the window sees #parts rows, not lineitem."""
+    plan = _plan(spark, "d09_pareto_abc")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
