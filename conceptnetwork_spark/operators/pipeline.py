@@ -2084,3 +2084,145 @@ def d35_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# --------------------------------------------------------------------------
+# D34k — distributed BPE tokenizer training (round 6, wave 6): the
+# map-reduce form of Sennrich et al.'s subword-merge learning — the
+# tokenizer-training step of an LLM data pipeline, run on the engine
+# --------------------------------------------------------------------------
+BPE_ITERS = 5
+BPE_SEP = "\x1f"
+
+
+def bpe_word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, cnt, syms) over the corpus's lowercase alphabetic tokens:
+    syms = the word's characters plus the '</w>' end-of-word marker —
+    the standard BPE working representation. One text scan, one shuffle
+    to distinct words (the vocabulary is orders of magnitude smaller
+    than the corpus, which is what makes distributed BPE cheap)."""
+    d = Catalog(spark, sf_dir).documents
+    words = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return words.select(
+        "word",
+        "cnt",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit("</w>"))
+        ).alias("syms"),
+    )
+
+
+def _merge_pair(syms, a: str, b: str):
+    """Greedy leftmost non-overlapping merge of adjacent (a, b) into the
+    fused symbol a+b, as a pure codegen fold (F.aggregate with a
+    (emitted, pending) accumulator) — no UDF, no per-row Python."""
+    merged = F.lit(a + b)
+    empty = F.array().cast("array<string>")
+    pend_t = "string"
+
+    def step(acc, s):
+        return (
+            F.when(
+                acc["pend"].isNull(),
+                F.struct(acc["out"].alias("out"), s.alias("pend")),
+            )
+            .when(
+                (acc["pend"] == a) & (s == b),
+                F.struct(
+                    F.concat(acc["out"], F.array(merged)).alias("out"),
+                    F.lit(None).cast(pend_t).alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                    s.alias("pend"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        )
+
+    return F.aggregate(
+        syms,
+        F.struct(
+            empty.alias("out"), F.lit(None).cast(pend_t).alias("pend")
+        ),
+        step,
+        finish,
+    )
+
+
+@register("d34_bpe_train", oracle=None)  # iterative argmax chain: not
+# SQL-expressible as one query — pytest pins EXACT equality of the merge
+# sequence against a single-node reference BPE (tests/test_text_ml.py)
+def d34_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training on the engine: BPE_ITERS rounds of
+    [count adjacent symbol pairs weighted by word frequency -> merge the
+    most frequent pair corpus-wide], the map-reduce formulation of
+    Sennrich et al. (2016) subword learning. Deterministic tie-break
+    (count desc, then lexicographic pair) makes the merge sequence — and
+    therefore the learned tokenizer — bit-reproducible, the property
+    d34_repro_fingerprint demands of every pipeline artifact.
+
+    Scale shape (100 TB): the corpus collapses ONCE to the (word, cnt,
+    syms) vocabulary table (distinct words — millions, not billions —
+    this is why BPE trains fast even on huge corpora); each round then
+    shuffles only (pair, partial-count) with map-side combine, reads ONE
+    argmax row back to the driver (the per-iteration scalar readout an
+    iterative algorithm requires — same declared exception as
+    d29_pagerank_2iter), and rewrites syms MAP-SIDE via a codegen fold
+    (no UDF). The vocab table is persisted per round and the previous
+    round unpersisted, so lineage never re-tokenizes text."""
+    from pyspark import StorageLevel
+
+    words = bpe_word_table(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER
+    )
+    merges = []
+    for step_no in range(1, BPE_ITERS + 1):
+        n = F.size("syms")
+        pairs = (
+            words.select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, n - 1),
+                        F.slice("syms", 2, n - 1),
+                        lambda x, y: F.concat_ws(BPE_SEP, x, y),
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        top = pairs.orderBy(F.desc("pc"), F.asc("pair")).first()
+        a, b = top["pair"].split(BPE_SEP)
+        merges.append((step_no, a, b, int(top["pc"])))
+        nxt = words.select(
+            "word", "cnt", _merge_pair(F.col("syms"), a, b).alias("syms")
+        ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        nxt.count()  # materialize before unpersisting the parent
+        words.unpersist()
+        words = nxt
+    n_symbols = (
+        words.select(F.explode("syms").alias("s")).distinct().count()
+    )
+    words.unpersist()
+    out = spark.createDataFrame(
+        [(s, a, b, c, n_symbols) for (s, a, b, c) in merges],
+        "step INT, left STRING, right STRING, pair_count BIGINT, "
+        "final_symbols BIGINT",
+    )
+    return out.orderBy("step")

@@ -187,7 +187,9 @@ CERT_FIRST: tuple[str, ...] = (
 # (greedy MMR re-rank) is oracle-less by design (numpy-equivalence +
 # diversity pytest).
 # d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested).
-# The 25 oracle-less queries are pytest-pinned instead (tolerance /
+# d34_bpe_train (iterative argmax merges) is oracle-less by design
+# (exact-equivalence pytest vs a single-node reference BPE).
+# The 26 oracle-less queries are pytest-pinned instead (tolerance /
 # recall / determinism / equivalence assertions; see non_oracle_queries())
 # and are ordered after ALL oracle-backed queries, so a driver oracle
 # window can never sample them.

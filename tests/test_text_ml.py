@@ -368,3 +368,62 @@ def test_als_deterministic_and_better_than_chance(spark):
     b = [r.asDict() for r in queries()["d33_als_recs"](spark, SF_SMOKE).collect()]
     assert a == b, "seeded ALS must be deterministic"
     assert len(a) > 0 and all(r["score"] is not None for r in a)
+
+
+def test_bpe_train_matches_reference_exactly(spark):
+    """d34_bpe_train vs a single-node Sennrich BPE on the same vocabulary:
+    the merge SEQUENCE (pairs and counts, in order) and the final symbol
+    count must agree exactly. Tie-break parity note: Spark orders the
+    joined pair string 'a\\x1fb'; because the \\x1f separator sorts below
+    every symbol character, string order equals (a, b) tuple order, which
+    is what the reference uses."""
+    from collections import Counter
+
+    from conceptnetwork_spark.operators.pipeline import (
+        BPE_ITERS,
+        bpe_word_table,
+    )
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_ORACLE
+
+    rows = queries()["d34_bpe_train"](spark, SF_ORACLE).collect()
+    assert len(rows) == BPE_ITERS
+
+    wt = {
+        r["word"]: r["cnt"]
+        for r in bpe_word_table(spark, SF_ORACLE).collect()
+    }
+    vocab: dict[tuple, int] = {}
+    for w, c in wt.items():
+        k = tuple(list(w) + ["</w>"])
+        vocab[k] = vocab.get(k, 0) + c
+    merges = []
+    for _ in range(BPE_ITERS):
+        pc: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        new: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out, pend = [], None
+            for s in syms:
+                if pend is None:
+                    pend = s
+                elif pend == a and s == b:
+                    out.append(a + b)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            k = tuple(out)
+            new[k] = new.get(k, 0) + c
+        vocab = new
+
+    got = [(r["left"], r["right"], r["pair_count"]) for r in rows]
+    assert got == merges, f"merge sequence diverged: {got} vs {merges}"
+    final_syms = {s for syms in vocab for s in syms}
+    assert rows[0]["final_symbols"] == len(final_syms)
