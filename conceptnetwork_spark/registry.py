@@ -77,14 +77,16 @@ _LOADED = False
 # and _load_all() pins every oracle-less query to the registry TAIL so no
 # driver window can ever sample one into an oracle comparison.
 #
-# ROUND-6 window: leads with the TWELVE round-5 additions that have never
-# had a driver row (locally DuckDB-green; cross-checked against
-# CORRECTNESS_r01-r05 hash_match rows by tools/make_certified.py) — a green
-# round closes the ledger at 226/226, every oracle-backed query
-# driver-certified at least once. The remaining 38 slots RE-certify the
-# oldest-certified queries (last green round 1 or 2) so certification
-# freshness also rotates.
+# ROUND-6 window (rotated mid-round, final form): leads with the TWELVE
+# round-5 additions that have never had a driver row, then fills the
+# remaining 38 slots with the OLDEST never-checked round-6 additions
+# (waves 1-5 complete, wave 6 head) instead of re-certifications — a
+# green round certifies 50 FIRST-TIME queries and leaves only the ten
+# newest wave-6 queries (enumerated below) as the r7 carry-over. All 50
+# are locally DuckDB-green and were rehearsed in driver order by
+# tools/window_rehearsal.py before this rotation landed.
 CERT_FIRST: tuple[str, ...] = (
+    # r5 carry-over (verdict ask #1)
     "d01_python_stream_source",
     "d10_expectations",
     "d17_collation",
@@ -97,49 +99,56 @@ CERT_FIRST: tuple[str, ...] = (
     "d30_hybrid_rrf",
     "d31_sentence_dedup",
     "d35_vacuum_retention",
-    "d03_salted_skew_join",
-    "d04_q10_returned",
-    "d04_q18_big_orders",
-    "d04_q5_local_supplier",
-    "d04_q7_volume",
-    "d04_q8_market_share",
-    "d04_star_join",
-    "d05_full_outer_join",
-    "d05_q13_custdist",
-    "d05_right_outer_join",
-    "d06_anti_join",
-    "d06_q22_idle_custs",
-    "d07_q19_disjunctive",
-    "d08_asof_latest_event",
-    "d09_arg_max",
-    "d09_collect_set",
-    "d09_percentiles",
-    "d09_q12_lateness",
-    "d09_q16_supplier_cnt",
-    "d09_q17_small_qty",
-    "d09_q4_priority",
-    "d09_salted_agg",
-    "d10_distinct",
-    "d12_cube",
-    "d12_grouping_sets",
-    "d13_ntile_dist",
-    "d13_rank_dense",
-    "d14_first_last_nth",
-    "d16_except",
-    "d16_intersect",
-    "d16_union_by_name",
-    "d18_gap_fill",
-    "d01_csv_source",
-    "d01_scan_filter",
-    "d02_case_parse",
-    "d04_q3_shipping",
-    "d06_semi_join",
-    "d09_hash_agg",
+    # round-6 waves 1-2
+    "d30_hamming_topk",
+    "d14_date_bin_rollup",
+    "d33_fpgrowth_pairs",
+    "d25_rate_source",
+    "d06_lateral_topn",
+    "d24_udtf_analyze",
+    "d01_nested_pruning",
+    "d21_xml_roundtrip",
+    "d35_deletion_vectors",
+    "d31_url_parse",
+    "d01_python_datasink",
+    # round-6 waves 3-5
+    "d15_skyline",
+    "d16_recursive_cte",
+    "d10_benford",
+    "d27_multi_touch",
+    "d14_cusum",
+    "d24_udtf_table_partition",
+    "d34_curriculum_order",
+    "d31_containment",
+    "d20_sparse_dot",
+    "d17_soundex",
+    "d13_cume_dist",
+    "d09_conditional_agg",
+    "d18_calendar_dim",
+    "d29_fuzzy_join",
+    "d10_equidepth",
+    "d32_image_ahash",
+    "d27_rfm_segmentation",
+    "d14_seasonal_profile",
+    "d18_interval_arith",
+    # round-6 wave 6 (head)
+    "d10_ks_drift",
+    "d09_weighted_median",
+    "d14_autocorr",
+    "d19_bitwise",
+    "d17_regexp_battery",
+    "d35_minmax_file_skip",
+    "d18_timezone",
+    "d31_bigram_logprob",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md) — except the FORTY-EIGHT
-# oracle queries REGISTERED during round 6 (the window was already full
-# with the r5 carry-over). Wave 1-2: d30_hamming_topk (bit-packed binary
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the TEN newest
+# wave-6 queries (the window holds 50; they are the declared r7
+# carry-over): d34_chat_template, d35_clustering_depth, d11_countmin,
+# d14_theil_sen, d16_sql_scripting, d01_parameterized_sql,
+# d27_kaplan_meier, d18_business_days, d22_sql_udf, d09_pareto_abc.
+# For the record, the FORTY-EIGHT oracle queries registered during
+# round 6 were, per wave — Wave 1-2: d30_hamming_topk (bit-packed binary
 # retrieval), d14_date_bin_rollup (hypertable-style time-bucket rollup),
 # d33_fpgrowth_pairs (PFP frequent-itemset mining), d25_rate_source
 # (deterministic rate-micro-batch source), d06_lateral_topn (correlated
@@ -182,8 +191,8 @@ CERT_FIRST: tuple[str, ...] = (
 # (closed-form weekday-span arithmetic), d22_sql_udf (CREATE FUNCTION
 # scalar + SQL table function via LATERAL, Catalyst-inlined),
 # d09_pareto_abc (decimal-exact cumulative-share ABC classes). All
-# forty-eight pass the local DuckDB gate and are the declared carry-over
-# into the r7 window. d30_mmr_rerank
+# forty-eight pass the local DuckDB gate; 38 sit in the window above,
+# the ten newest are the declared r7 carry-over. d30_mmr_rerank
 # (greedy MMR re-rank) is oracle-less by design (numpy-equivalence +
 # diversity pytest).
 # d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested).
