@@ -198,6 +198,26 @@ HEADLINE = [
     # min-of-3 would re-run the full 2-micro-batch state machinery three
     # times (~8 s of checkpoint/state commits, not query work). The sweep
     # times them cold; the driver correctness gate hash-checks them.
+    # round-6 wave 6
+    "d10_ks_drift",
+    "d09_weighted_median",
+    "d14_autocorr",
+    "d19_bitwise",
+    "d17_regexp_battery",
+    "d35_minmax_file_skip",
+    "d18_timezone",
+    "d31_bigram_logprob",
+    "d34_chat_template",
+    "d35_clustering_depth",
+    "d11_countmin",
+    "d14_theil_sen",
+    "d16_sql_scripting",
+    "d01_parameterized_sql",
+    "d27_kaplan_meier",
+    "d18_business_days",
+    "d22_sql_udf",
+    "d09_pareto_abc",
+    "d34_bpe_train",
 ]
 
 

@@ -16,7 +16,7 @@ Type-parity rules baked in (Spark <-> DuckDB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from conceptnetwork_spark.catalog import Catalog
@@ -801,3 +801,154 @@ def d18_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.hour(local("America/New_York")).cast("int").alias("ny_hour"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# D20 — label-centroid cosine matrix (round 6, wave 6): vector aggregate
+# + pairwise similarity entirely in relational long form
+# --------------------------------------------------------------------------
+@register(
+    "d20_centroid_cosine",
+    oracle="""
+    WITH cent AS (
+      SELECT label, pos, AVG(embedding[pos]) AS m
+      FROM embeddings, (SELECT UNNEST(range(1, 65)) AS pos)
+      GROUP BY label, pos
+    ), nrm AS (
+      SELECT label, sqrt(SUM(m * m)) AS nn FROM cent GROUP BY label
+    ), dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(a.m * b.m) AS dot
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT CAST(label_a AS INT) AS label_a, CAST(label_b AS INT) AS label_b,
+           ROUND(dot / (na.nn * nb.nn), 4) AS cos
+    FROM dots JOIN nrm na ON na.label = dots.label_a
+              JOIN nrm nb ON nb.label = dots.label_b
+    ORDER BY label_a, label_b
+    """,
+)
+def d20_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding CENTROIDS —
+    the class-confusability matrix an embedding-quality audit reads
+    (near-1 off-diagonals predict classifier confusion; it is also the
+    cheap proxy for whether IVF cells will separate, see d30_ivf_ann).
+    Everything stays in relational long form: centroids are a (label,
+    pos) hash aggregate over posexploded components (the
+    d20_embedding_centroid shape, full 64 dims), norms a re-aggregate,
+    and the dot products a pos-equi-join over label pairs — no vector
+    UDF, no collect, every step a partial+final aggregate.
+
+    Scale shape (100 TB): the big table is touched once by the centroid
+    aggregate, which shuffles (label, pos, partial-sum) triples — never
+    whole vectors; norms, the #labels² pair join (bounded by the label
+    alphabet, both sides ~64*#labels rows), and the cosine arithmetic
+    run on centroid-sized relations."""
+    e = Catalog(spark, sf_dir).embeddings
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .select("label", (F.col("pos0") + 1).alias("pos"), "v")
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+    )
+    nrm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nn")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("m").alias("mb"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("pos") == F.col("pos_b"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("dot"))
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("nn").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            F.col("label_a").cast("int").alias("label_a"),
+            F.col("label_b").cast("int").alias("label_b"),
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias(
+                "cos"
+            ),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# D10 — Shannon-entropy profiling (round 6, wave 6)
+# --------------------------------------------------------------------------
+@register(
+    "d10_entropy_profile",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ), t AS (
+      SELECT source, n, SUM(n) OVER (PARTITION BY source) AS tot,
+             COUNT(*) OVER (PARTITION BY source) AS k
+      FROM c
+    )
+    SELECT source,
+           CAST(MAX(k) AS BIGINT) AS n_langs,
+           CAST(MAX(tot) AS BIGINT) AS n_docs,
+           ROUND(-SUM((CAST(n AS DOUBLE) / tot)
+                      * ln(CAST(n AS DOUBLE) / tot)), 4) AS entropy,
+           ROUND(CASE WHEN MAX(k) = 1 THEN 0.0
+                 ELSE -SUM((CAST(n AS DOUBLE) / tot)
+                           * ln(CAST(n AS DOUBLE) / tot)) / ln(MAX(k))
+                 END, 4) AS norm_entropy
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def d10_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language mix per source, raw and normalized
+    by ln(#langs) — the diversity gauge a corpus audit reads next to
+    d10_psi_drift (PSI says the mix MOVED; entropy says how concentrated
+    it is — a crawl source collapsing to one language shows norm_entropy
+    falling toward 0 before any drift gate fires). Probabilities are
+    exact-int ratios, so each ln term is bit-identical across engines;
+    the single-language edge case (ln(1) division) pins to 0 on both
+    sides.
+
+    Scale shape (100 TB): one partial+final aggregate to (source, lang)
+    counts; the entropy sum runs over that tiny grid under a per-source
+    window. One scan, one shuffle."""
+    d = Catalog(spark, sf_dir).documents
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source")
+    t = c.select(
+        "source",
+        "n",
+        F.sum("n").over(w).alias("tot"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    p = F.col("n").cast("double") / F.col("tot")
+    ent = -F.sum(p * F.log(p))
+    return (
+        t.groupBy("source")
+        .agg(
+            F.max("k").alias("n_langs"),
+            F.max("tot").alias("n_docs"),
+            F.round(ent, 4).alias("entropy"),
+            F.round(
+                F.when(F.max("k") == 1, F.lit(0.0)).otherwise(
+                    ent / F.log(F.max("k").cast("double"))
+                ),
+                4,
+            ).alias("norm_entropy"),
+        )
+        .orderBy("source")
+    )

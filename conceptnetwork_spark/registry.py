@@ -142,11 +142,12 @@ CERT_FIRST: tuple[str, ...] = (
     "d31_bigram_logprob",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md) — except the TEN newest
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the TWELVE newest
 # wave-6 queries (the window holds 50; they are the declared r7
 # carry-over): d34_chat_template, d35_clustering_depth, d11_countmin,
 # d14_theil_sen, d16_sql_scripting, d01_parameterized_sql,
-# d27_kaplan_meier, d18_business_days, d22_sql_udf, d09_pareto_abc.
+# d27_kaplan_meier, d18_business_days, d22_sql_udf, d09_pareto_abc,
+# d20_centroid_cosine, d10_entropy_profile.
 # For the record, the FORTY-EIGHT oracle queries registered during
 # round 6 were, per wave — Wave 1-2: d30_hamming_topk (bit-packed binary
 # retrieval), d14_date_bin_rollup (hypertable-style time-bucket rollup),
@@ -190,9 +191,11 @@ CERT_FIRST: tuple[str, ...] = (
 # d27_kaplan_meier (right-censored survival curve), d18_business_days
 # (closed-form weekday-span arithmetic), d22_sql_udf (CREATE FUNCTION
 # scalar + SQL table function via LATERAL, Catalyst-inlined),
-# d09_pareto_abc (decimal-exact cumulative-share ABC classes). All
-# forty-eight pass the local DuckDB gate; 38 sit in the window above,
-# the ten newest are the declared r7 carry-over. d30_mmr_rerank
+# d09_pareto_abc (decimal-exact cumulative-share ABC classes),
+# d20_centroid_cosine (label-centroid similarity matrix in long form),
+# d10_entropy_profile (Shannon language-mix diversity). All FIFTY pass
+# the local DuckDB gate; 38 sit in the window above, the twelve newest
+# are the declared r7 carry-over. d30_mmr_rerank
 # (greedy MMR re-rank) is oracle-less by design (numpy-equivalence +
 # diversity pytest).
 # d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested).
