@@ -4545,3 +4545,76 @@ def d09_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# --------------------------------------------------------------------------
+# D10 — mutual information between a categorical and a bucketed numeric
+# column (round 6, wave 6)
+# --------------------------------------------------------------------------
+@register(
+    "d10_mutual_info",
+    oracle="""
+    WITH g AS (
+      SELECT event_type AS x,
+             LEAST(GREATEST(CAST(floor(value / 100.0) AS BIGINT), 0), 4)
+               AS y,
+             COUNT(*) AS nxy
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT x, y, nxy,
+             SUM(nxy) OVER () AS n,
+             SUM(nxy) OVER (PARTITION BY x) AS nx,
+             SUM(nxy) OVER (PARTITION BY y) AS ny
+      FROM g
+    )
+    SELECT CAST(SUM(nxy) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM((CAST(nxy AS DOUBLE) / n)
+                     * ln((CAST(nxy AS DOUBLE) * n)
+                          / (CAST(nx AS DOUBLE) * ny))), 4) AS mi
+    FROM t
+    """,
+)
+def d10_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and the bucketed value
+    column, I(X;Y) = sum p(x,y) ln(p(x,y)/(p(x)p(y))) — the
+    dependence-strength profiler that complements d10_corr_matrix
+    (correlation sees only linear numeric-numeric dependence; MI sees
+    any categorical association, which is what feature-selection and
+    leakage audits need). Every probability is an exact-int ratio from
+    ONE contingency grid, so each ln term is bit-identical across
+    engines; zero cells simply don't exist in the grouped relation
+    (0·ln 0 = 0 by convention on both sides, vacuously).
+
+    Scale shape (100 TB): one partial+final aggregate to the (x, y)
+    contingency grid; marginals are windows OVER THE GRID (≤ |X|·|Y|
+    rows), not the data. One scan, one shuffle, single-row result."""
+    e = Catalog(spark, sf_dir).events
+    g = e.groupBy(
+        F.col("event_type").alias("x"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 100.0).cast("long"), F.lit(0)),
+            F.lit(4),
+        ).alias("y"),
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    t = g.select(
+        "nxy",
+        F.sum("nxy")
+        .over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+        F.sum("nxy").over(Window.partitionBy("x")).alias("nx"),
+        F.sum("nxy").over(Window.partitionBy("y")).alias("ny"),
+    )
+    term = (F.col("nxy").cast("double") / F.col("n")) * F.log(
+        (F.col("nxy").cast("double") * F.col("n"))
+        / (F.col("nx").cast("double") * F.col("ny"))
+    )
+    return t.agg(
+        F.sum("nxy").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum(term), 4).alias("mi"),
+    )

@@ -25,7 +25,7 @@ part of the mandated LLM-pipeline extension surface (SURVEY §2.2 preamble).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from conceptnetwork_spark.catalog import Catalog
@@ -470,4 +470,72 @@ def d02_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.join(kept, "lang")
         .select("lang", "n_docs", "bp", "n_kept")
         .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# D2 extension — deterministic class balancing (round 6, wave 6)
+# --------------------------------------------------------------------------
+@register(
+    "d02_class_balance",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+      FROM events
+    ), m AS (
+      SELECT MIN(cnt) AS n_min FROM (
+        SELECT COUNT(*) AS cnt FROM events GROUP BY event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN rk <= (SELECT n_min FROM m)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk <= (SELECT n_min FROM m)
+                         THEN event_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d02_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic majority-class undersampling: every class is cut to
+    the minority class's size by keeping each class's first n_min rows in
+    (md5(id), id) order — the hash gives an unbiased, REPRODUCIBLE
+    pseudo-random draw (the d02_hash_sample principle applied to class
+    balancing), so re-running the pipeline selects byte-identical
+    training rows, which no seeded df.sample can promise across
+    partitionings. The contract certifies the exact selection without
+    materializing it: kept_id_sum is the integer checksum of the chosen
+    ids per class.
+
+    Scale shape (100 TB): one per-class sort window (each class sorts
+    independently — the shuffle is partitioned by class, and a skewed
+    majority class is exactly what AQE handles); n_min rides as a
+    broadcast scalar; output is #classes rows. For billion-row classes
+    swap the full per-class sort for the two-pass quantile cut on the
+    hash value (d10_equidepth's shape) at the same contract."""
+    e = Catalog(spark, sf_dir).events
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.md5(F.col("event_id").cast("string")), "event_id"
+        )
+    )
+    r = e.select("event_type", "event_id", rk.alias("rk"))
+    m = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("n_min"))
+    )
+    kept = F.col("rk") <= F.col("n_min")
+    return (
+        r.crossJoin(F.broadcast(m))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("event_id")).otherwise(0)).alias(
+                "kept_id_sum"
+            ),
+        )
+        .orderBy("event_type")
     )

@@ -142,12 +142,13 @@ CERT_FIRST: tuple[str, ...] = (
     "d31_bigram_logprob",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md) — except the TWELVE newest
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the FOURTEEN newest
 # wave-6 queries (the window holds 50; they are the declared r7
 # carry-over): d34_chat_template, d35_clustering_depth, d11_countmin,
 # d14_theil_sen, d16_sql_scripting, d01_parameterized_sql,
 # d27_kaplan_meier, d18_business_days, d22_sql_udf, d09_pareto_abc,
-# d20_centroid_cosine, d10_entropy_profile.
+# d20_centroid_cosine, d10_entropy_profile, d10_mutual_info,
+# d02_class_balance.
 # For the record, the FORTY-EIGHT oracle queries registered during
 # round 6 were, per wave — Wave 1-2: d30_hamming_topk (bit-packed binary
 # retrieval), d14_date_bin_rollup (hypertable-style time-bucket rollup),
@@ -193,8 +194,10 @@ CERT_FIRST: tuple[str, ...] = (
 # scalar + SQL table function via LATERAL, Catalyst-inlined),
 # d09_pareto_abc (decimal-exact cumulative-share ABC classes),
 # d20_centroid_cosine (label-centroid similarity matrix in long form),
-# d10_entropy_profile (Shannon language-mix diversity). All FIFTY pass
-# the local DuckDB gate; 38 sit in the window above, the twelve newest
+# d10_entropy_profile (Shannon language-mix diversity), d10_mutual_info
+# (contingency-grid MI), d02_class_balance (hash-ranked deterministic
+# undersampling with id-checksum contract). All FIFTY-TWO pass the
+# local DuckDB gate; 38 sit in the window above, the fourteen newest
 # are the declared r7 carry-over. d30_mmr_rerank
 # (greedy MMR re-rank) is oracle-less by design (numpy-equivalence +
 # diversity pytest).
