@@ -4618,3 +4618,148 @@ def d10_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells"),
         F.round(F.sum(term), 4).alias("mi"),
     )
+
+
+# --------------------------------------------------------------------------
+# D14 — grouped ordinary-least-squares trend (round 6, wave 6): the LS
+# companion to d14_theil_sen, entirely in aggregate closed form
+# --------------------------------------------------------------------------
+@register(
+    "d14_group_ols",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             CAST(date_part('day', ts) AS DOUBLE) AS x,
+             value AS y
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM p GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 4) AS intercept,
+           ROUND(POW(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM s ORDER BY event_type
+    """,
+)
+def d14_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend fit (slope / intercept / R²) of value against
+    day-of-month, in pure AGGREGATE closed form: one pass accumulating
+    the five moment sums (Σx, Σy, Σx², Σxy, Σy²), then arithmetic on the
+    #groups-row result — the least-squares companion to d14_theil_sen
+    (run both; a large LS-vs-robust slope gap is itself an outlier
+    alarm). No per-group pandas regression, no second pass: grouped OLS
+    at any scale IS a partial+final aggregate, which is the whole point
+    of the moment-sum formulation.
+
+    Parity note: the moment sums are float accumulations whose partial
+    order differs between engines, but with |x| <= 31 and |y| <= 500 over
+    1e4..1e7 rows the relative dust is ~1e-12 — far below the 4-decimal
+    contract on the final ratios (cross-SF parity is the standing
+    defense, the d03 lesson).
+
+    Scale shape (100 TB): one scan, one tiny shuffle (partial+final
+    agg), #groups result rows."""
+    e = Catalog(spark, sf_dir).events
+    p = e.select(
+        "event_type",
+        F.dayofmonth("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, F.lit(2))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            4,
+        ).alias("r2"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# D19 — net present value (round 6, wave 6): discounted cash flow as a
+# single aggregate pass
+# --------------------------------------------------------------------------
+NPV_RATE = 0.08  # annual discount rate
+
+
+@register(
+    "d19_npv",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_custkey,
+             MIN(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey)
+               AS first_d,
+             CAST(o_orderdate AS DATE) AS d,
+             o_totalprice AS cf
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(cf / POW(1.0 + {NPV_RATE},
+                 date_diff('day', first_d, d) / 365.0)), 4) AS npv
+    FROM f
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 8
+    ORDER BY o_custkey
+    """,
+)
+def d19_npv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net present value of each customer's order stream, discounted
+    continuously-compounded-free at NPV_RATE back to the customer's FIRST
+    order date: NPV = Σ cf_t / (1+r)^(Δdays/365) — the lifetime-value
+    arithmetic behind d27_rfm_segmentation's monetary axis done properly
+    (a dollar in year three is not a dollar today). The per-customer
+    anchor date is a min-window, the discount a map-side pow, the NPV one
+    aggregate; the HAVING keeps the result to repeat customers.
+
+    Parity note: pow and the day/365 exponent are evaluated identically
+    (IEEE pow on identical doubles); the NPV sum is float but per-group
+    addend counts are small (tens of orders), so 4-decimal rounding is
+    stable at every SF.
+
+    Scale shape (100 TB): one shuffle on o_custkey serving BOTH the
+    min-window and the final aggregate (same partitioning, no second
+    exchange); output is #repeat-customers rows."""
+    o = Catalog(spark, sf_dir).orders
+    d = F.col("o_orderdate").cast("date")
+    f = o.select(
+        "o_custkey",
+        F.min(d).over(Window.partitionBy("o_custkey")).alias("first_d"),
+        d.alias("d"),
+        F.col("o_totalprice").alias("cf"),
+    )
+    disc = F.col("cf") / F.pow(
+        F.lit(1.0 + NPV_RATE),
+        F.datediff(F.col("d"), F.col("first_d")) / F.lit(365.0),
+    )
+    return (
+        f.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(disc), 4).alias("npv"),
+        )
+        .where(F.col("n_orders") >= 8)
+        .orderBy("o_custkey")
+    )

@@ -81,7 +81,7 @@ _LOADED = False
 # round-5 additions that have never had a driver row, then fills the
 # remaining 38 slots with the OLDEST never-checked round-6 additions
 # (waves 1-5 complete, wave 6 head) instead of re-certifications — a
-# green round certifies 50 FIRST-TIME queries and leaves only the ten
+# green round certifies 50 FIRST-TIME queries and leaves only the
 # newest wave-6 queries (enumerated below) as the r7 carry-over. All 50
 # are locally DuckDB-green and were rehearsed in driver order by
 # tools/window_rehearsal.py before this rotation landed.
@@ -142,13 +142,13 @@ CERT_FIRST: tuple[str, ...] = (
     "d31_bigram_logprob",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md) — except the FOURTEEN newest
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the SIXTEEN newest
 # wave-6 queries (the window holds 50; they are the declared r7
 # carry-over): d34_chat_template, d35_clustering_depth, d11_countmin,
 # d14_theil_sen, d16_sql_scripting, d01_parameterized_sql,
 # d27_kaplan_meier, d18_business_days, d22_sql_udf, d09_pareto_abc,
 # d20_centroid_cosine, d10_entropy_profile, d10_mutual_info,
-# d02_class_balance.
+# d02_class_balance, d14_group_ols, d19_npv.
 # For the record, the FORTY-EIGHT oracle queries registered during
 # round 6 were, per wave — Wave 1-2: d30_hamming_topk (bit-packed binary
 # retrieval), d14_date_bin_rollup (hypertable-style time-bucket rollup),
@@ -196,9 +196,10 @@ CERT_FIRST: tuple[str, ...] = (
 # d20_centroid_cosine (label-centroid similarity matrix in long form),
 # d10_entropy_profile (Shannon language-mix diversity), d10_mutual_info
 # (contingency-grid MI), d02_class_balance (hash-ranked deterministic
-# undersampling with id-checksum contract). All FIFTY-TWO pass the
-# local DuckDB gate; 38 sit in the window above, the fourteen newest
-# are the declared r7 carry-over. d30_mmr_rerank
+# undersampling with id-checksum contract), d14_group_ols (moment-sum
+# closed-form grouped least squares), d19_npv (discounted cash flow).
+# All FIFTY-FOUR pass the local DuckDB gate; 38 sit in the window
+# above, the sixteen newest are the declared r7 carry-over. d30_mmr_rerank
 # (greedy MMR re-rank) is oracle-less by design (numpy-equivalence +
 # diversity pytest).
 # d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested).
