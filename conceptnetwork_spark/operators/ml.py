@@ -595,3 +595,38 @@ def d33_fpgrowth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_a", "brand_b")
     )
+
+
+@register("d33_pca_spectrum", oracle=None)  # eigen-spectrum: numpy-
+# equivalence pytest (tests/test_text_ml.py) instead of a SQL oracle
+def d33_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib PCA over the 64-d embedding vectors: top-8 principal
+    components' explained-variance ratios plus the total captured
+    variance — the dimensionality audit run before choosing a Matryoshka
+    truncation depth (d30_matryoshka_knn) or an IVF coarse dimension.
+    EigenVECTORS carry a sign ambiguity, so only the spectrum
+    (eigenvalue ratios — sign-invariant and deterministic) enters the
+    contract; pytest pins it to numpy's eigendecomposition of the same
+    covariance to 1e-6.
+
+    Scale shape (100 TB): MLlib PCA is one distributed Gramian/covariance
+    pass (tree-aggregated d x d state per executor, never row collection)
+    + a driver-side 64x64 eigensolve — exactly how you'd hand-build it;
+    transform (not needed here) would be a broadcast matmul."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    e = Catalog(spark, sf_dir).embeddings.select(
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("feat")
+    )
+    model = PCA(k=8, inputCol="feat", outputCol="pc").fit(e)
+    ev = [float(v) for v in model.explainedVariance]
+    return spark.createDataFrame(
+        [
+            (i + 1, round(v, 6), round(sum(ev[: i + 1]), 6))
+            for i, v in enumerate(ev)
+        ],
+        "component INT, explained DOUBLE, cumulative DOUBLE",
+    ).orderBy("component")

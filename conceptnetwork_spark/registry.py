@@ -142,14 +142,14 @@ CERT_FIRST: tuple[str, ...] = (
     "d31_bigram_logprob",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md) — except the SIXTEEN newest
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the SEVENTEEN newest
 # wave-6 queries (the window holds 50; they are the declared r7
 # carry-over): d34_chat_template, d35_clustering_depth, d11_countmin,
 # d14_theil_sen, d16_sql_scripting, d01_parameterized_sql,
 # d27_kaplan_meier, d18_business_days, d22_sql_udf, d09_pareto_abc,
 # d20_centroid_cosine, d10_entropy_profile, d10_mutual_info,
-# d02_class_balance, d14_group_ols, d19_npv.
-# For the record, the FORTY-EIGHT oracle queries registered during
+# d02_class_balance, d14_group_ols, d19_npv, d01_bucket_pruning.
+# For the record, the FIFTY-FIVE oracle queries registered during
 # round 6 were, per wave — Wave 1-2: d30_hamming_topk (bit-packed binary
 # retrieval), d14_date_bin_rollup (hypertable-style time-bucket rollup),
 # d33_fpgrowth_pairs (PFP frequent-itemset mining), d25_rate_source
@@ -197,15 +197,17 @@ CERT_FIRST: tuple[str, ...] = (
 # d10_entropy_profile (Shannon language-mix diversity), d10_mutual_info
 # (contingency-grid MI), d02_class_balance (hash-ranked deterministic
 # undersampling with id-checksum contract), d14_group_ols (moment-sum
-# closed-form grouped least squares), d19_npv (discounted cash flow).
-# All FIFTY-FOUR pass the local DuckDB gate; 38 sit in the window
-# above, the sixteen newest are the declared r7 carry-over. d30_mmr_rerank
+# closed-form grouped least squares), d19_npv (discounted cash flow),
+# d01_bucket_pruning (SelectedBucketsCount point-lookup pruning).
+# All FIFTY-FIVE pass the local DuckDB gate; 38 sit in the window
+# above, the seventeen newest are the declared r7 carry-over. d30_mmr_rerank
 # (greedy MMR re-rank) is oracle-less by design (numpy-equivalence +
 # diversity pytest).
 # d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested).
 # d34_bpe_train (iterative argmax merges) is oracle-less by design
-# (exact-equivalence pytest vs a single-node reference BPE).
-# The 26 oracle-less queries are pytest-pinned instead (tolerance /
+# (exact-equivalence pytest vs a single-node reference BPE), as is
+# d33_pca_spectrum (sign-invariant eigen-spectrum, numpy-pinned).
+# The 27 oracle-less queries are pytest-pinned instead (tolerance /
 # recall / determinism / equivalence assertions; see non_oracle_queries())
 # and are ordered after ALL oracle-backed queries, so a driver oracle
 # window can never sample them.

@@ -844,3 +844,44 @@ def d01_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "d01_bucket_pruning",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 4) AS revenue,
+           MIN(o_orderkey) AS first_key
+    FROM orders WHERE o_custkey IN (371, 372, 373)
+    GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def d01_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET pruning: key-equality predicates on the bucketing key of a
+    bucketed table prune the scan to only the buckets those keys hash to
+    (`SelectedBucketsCount` in the plan, asserted in tests/test_plans.py)
+    AND the follow-up per-key aggregate reuses the bucket partitioning
+    with no exchange. The aggregate on the bucket key is load-bearing:
+    with nothing in the plan consuming the partitioning, the planner
+    auto-disables the bucketed scan (autoBucketedScan) and pruning with
+    it. The oracle runs the same filter+aggregate over plain parquet,
+    certifying pruning changes I/O, never results.
+
+    Scale shape (100 TB): a key lookup on a 4k-bucket fact touches
+    1/4000th of the files before row-group zone maps even apply —
+    bucketing gives hash-partition pruning, d35_minmax_file_skip-style
+    stats give range pruning within it; a production table wants both."""
+    t_orders, _ = stage_bucketed_tables(spark, sf_dir)
+    return (
+        spark.table(t_orders)
+        .where(F.col("o_custkey").isin(371, 372, 373))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 4
+            ).alias("revenue"),
+            F.min("o_orderkey").alias("first_key"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -1089,3 +1089,13 @@ def test_d09_pareto_abc_preaggregates(spark):
     plan = _plan(spark, "d09_pareto_abc")
     assert plan.count("HashAggregate") >= 2
     assert "Window" in plan
+
+
+def test_d01_bucket_pruning_selects_one_bucket(spark):
+    """The key predicates on the bucketing key must prune the scan to at
+    most one bucket per key — visible as SelectedBucketsCount."""
+    plan = _plan(spark, "d01_bucket_pruning")
+    assert "SelectedBucketsCount" in plan
+    import re
+    m = re.search(r"SelectedBucketsCount: (\d+) out of 8", plan)
+    assert m and int(m.group(1)) <= 3, plan[:500]

@@ -427,3 +427,28 @@ def test_bpe_train_matches_reference_exactly(spark):
     assert got == merges, f"merge sequence diverged: {got} vs {merges}"
     final_syms = {s for syms in vocab for s in syms}
     assert rows[0]["final_symbols"] == len(final_syms)
+
+
+def test_pca_spectrum_matches_numpy(spark):
+    """MLlib's explained-variance ratios vs numpy eigh on the same sample
+    covariance matrix: agreement to 1e-6 (sign-invariant spectrum only)."""
+    import numpy as np
+
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_ORACLE
+
+    rows = queries()["d33_pca_spectrum"](spark, SF_ORACLE).collect()
+    got = [r["explained"] for r in rows]
+
+    import pyarrow.parquet as pq
+
+    X = np.array(
+        pq.read_table(f"{SF_ORACLE}/embeddings.parquet")
+        .to_pandas()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    C = np.cov(X, rowvar=False)  # sample covariance, ddof=1 like MLlib
+    w = np.linalg.eigvalsh(C)[::-1]
+    want = (w / w.sum())[:8]
+    assert np.allclose(got, np.round(want, 6), atol=2e-6), (got, want[:8])
