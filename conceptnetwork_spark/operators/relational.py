@@ -4763,3 +4763,113 @@ def d19_npv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_orders") >= 8)
         .orderBy("o_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# D14 — OHLC candle aggregation (round 6, wave 6)
+# --------------------------------------------------------------------------
+@register(
+    "d14_ohlc",
+    oracle="""
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS day,
+           ROUND(arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || '|' || lpad(CAST(event_id AS VARCHAR), 10, '0')), 4)
+             AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || '|' || lpad(CAST(event_id AS VARCHAR), 10, '0')), 4)
+             AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM events
+    GROUP BY 1, 2 ORDER BY event_type, day
+    """,
+)
+def d14_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle roll-up per (type, day): open/close are the first/last
+    value in TOTAL event-time order — min_by/max_by over a zero-padded
+    (unix_micros, event_id) string key, so a same-microsecond tie can never
+    make the candle engine-dependent (the d27_attribution lesson:
+    always compare integer microseconds, never truncated timestamps) —
+    high/low/volume are plain aggregates. The standard downsampling
+    shape for any metric stream (price candles, sensor rollups,
+    rate-limit counters).
+
+    Scale shape (100 TB): ONE partial+final aggregate — min_by/max_by
+    carry (value, key-pair) state through map-side combine exactly like
+    min/max, so the candle table needs no window and no second pass;
+    output is #types x #days rows."""
+    e = Catalog(spark, sf_dir).events
+    # zero-padded string key: lexicographic == numeric, and (unlike a
+    # struct key) both engines' min_by/arg_min accept it
+    okey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    return (
+        e.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.round(F.min_by("value", okey), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", okey), 4).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# D27 — DAU/MAU stickiness (round 6, wave 6)
+# --------------------------------------------------------------------------
+@register(
+    "d27_dau_mau",
+    oracle="""
+    WITH dau AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ), mau AS (
+      SELECT COUNT(DISTINCT user_id) AS mau FROM events
+    )
+    SELECT day, CAST(dau AS BIGINT) AS dau,
+           CAST((SELECT mau FROM mau) AS BIGINT) AS mau,
+           ROUND(CAST(dau AS DOUBLE) / (SELECT mau FROM mau), 4)
+             AS stickiness
+    FROM dau ORDER BY day
+    """,
+)
+def d27_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day: daily distinct actives over the
+    window's distinct actives — the engagement ratio product teams track
+    next to d27_retention (retention asks "did they come back";
+    stickiness asks "what share of the base shows up daily"). Exact
+    distincts here; at corpus scale the SAME two aggregates run as
+    approx_count_distinct / d11_hll_merge register unions (per-day HLL
+    sketches OR-merge into the MAU — one pass, mergeable state, the
+    documented D11 swap).
+
+    Scale shape (100 TB): two aggregates over one scan — per-day
+    distinct (shuffles (day, user) pairs with partial dedup) and the
+    global distinct riding as a broadcast scalar."""
+    e = Catalog(spark, sf_dir).events
+    dau = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    mau = e.agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.crossJoin(F.broadcast(mau))
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(
+                F.col("dau").cast("double") / F.col("mau"), 4
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
