@@ -4873,3 +4873,45 @@ def d27_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# D9 — ordered string aggregation (round 6, wave 6): Spark-4 listagg
+# --------------------------------------------------------------------------
+@register(
+    "d09_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_orderkey) AS keys_csv
+    FROM orders WHERE o_orderkey < 200
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def d09_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — Spark 4's `listagg(...) WITHIN GROUP
+    (ORDER BY ...)` against DuckDB's `string_agg(... ORDER BY ...)`:
+    the report-formatting aggregate whose ORDER BY clause is the whole
+    contract (an unordered listagg is nondeterministic under ANY
+    parallelism, so certifying the ordered form is certifying that the
+    sort spec survives partial aggregation). Key filter keeps each CSV
+    bounded.
+
+    Scale shape (100 TB): partial+final aggregate; each group's sort
+    happens on its grouped rows at finalization, never as a global
+    window. Unbounded-group listagg at corpus scale wants the
+    d27_top_paths slice-first form instead — the filter here IS that
+    bound."""
+    t = Catalog(spark, sf_dir)
+    t.orders.createOrReplaceTempView("cns_listagg_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY o_orderkey) AS keys_csv
+        FROM cns_listagg_orders WHERE o_orderkey < 200
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )

@@ -142,15 +142,15 @@ CERT_FIRST: tuple[str, ...] = (
     "d31_bigram_logprob",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md) — except the NINETEEN newest
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the TWENTY newest
 # wave-6 queries (the window holds 50; they are the declared r7
 # carry-over): d34_chat_template, d35_clustering_depth, d11_countmin,
 # d14_theil_sen, d16_sql_scripting, d01_parameterized_sql,
 # d27_kaplan_meier, d18_business_days, d22_sql_udf, d09_pareto_abc,
 # d20_centroid_cosine, d10_entropy_profile, d10_mutual_info,
 # d02_class_balance, d14_group_ols, d19_npv, d01_bucket_pruning,
-# d14_ohlc, d27_dau_mau.
-# For the record, the FIFTY-SEVEN oracle queries registered during
+# d14_ohlc, d27_dau_mau, d09_listagg.
+# For the record, the FIFTY-EIGHT oracle queries registered during
 # round 6 were, per wave — Wave 1-2: d30_hamming_topk (bit-packed binary
 # retrieval), d14_date_bin_rollup (hypertable-style time-bucket rollup),
 # d33_fpgrowth_pairs (PFP frequent-itemset mining), d25_rate_source
@@ -200,9 +200,10 @@ CERT_FIRST: tuple[str, ...] = (
 # undersampling with id-checksum contract), d14_group_ols (moment-sum
 # closed-form grouped least squares), d19_npv (discounted cash flow),
 # d01_bucket_pruning (SelectedBucketsCount point-lookup pruning),
-# d14_ohlc (total-order candle rollup), d27_dau_mau (stickiness ratio).
-# All FIFTY-SEVEN pass the local DuckDB gate; 38 sit in the window
-# above, the nineteen newest are the declared r7 carry-over. d30_mmr_rerank
+# d14_ohlc (total-order candle rollup), d27_dau_mau (stickiness ratio),
+# d09_listagg (WITHIN GROUP ordered string aggregation).
+# All FIFTY-EIGHT pass the local DuckDB gate; 38 sit in the window
+# above, the twenty newest are the declared r7 carry-over. d30_mmr_rerank
 # (greedy MMR re-rank) is oracle-less by design (numpy-equivalence +
 # diversity pytest).
 # d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested).
