@@ -566,3 +566,127 @@ def test_soundex_oracle_algorithm_matches_spark_builtin(spark, ddb):
     want = {w.lower(): s for w, s in ddb.execute(oracle).fetchall()}
     mismatches = {w: (got[w], want[w]) for w in got if got[w] != want[w]}
     assert not mismatches, dict(list(mismatches.items())[:10])
+
+
+def test_business_days_closed_form_matches_bruteforce(spark):
+    """The seven-term weekday closed form vs a literal day-by-day count,
+    over every start date in a 500-day span (covers every weekday phase
+    and several month/year boundaries)."""
+    import datetime as dt
+
+    from conceptnetwork_spark.operators.relational import BDAY_HORIZON
+
+    horizon = dt.date.fromisoformat(BDAY_HORIZON)
+
+    def brute(a: dt.date) -> int:
+        return sum(
+            1
+            for k in range((horizon - a).days)
+            if (a + dt.timedelta(days=k)).isoweekday() <= 5
+        )
+
+    starts = [
+        dt.date(1999, 1, 1) + dt.timedelta(days=i) for i in range(500)
+    ]
+    df = spark.createDataFrame([(d.isoformat(),) for d in starts], "d string")
+    from pyspark.sql import functions as F
+
+    dd = F.col("d").cast("date")
+    total = F.datediff(F.lit(BDAY_HORIZON).cast("date"), dd)
+    dow = (F.weekday(dd) + 1).cast("int")
+    rem = total % 7
+    extra = None
+    for k in range(7):
+        t = F.when((rem > k) & (((dow - 1 + k) % 7) < 5), 1).otherwise(0)
+        extra = t if extra is None else extra + t
+    got = {
+        r["d"]: r["b"]
+        for r in df.select(
+            "d", (F.floor(total / 7) * 5 + extra).cast("int").alias("b")
+        ).collect()
+    }
+    for a in starts:
+        assert got[a.isoformat()] == brute(a), a
+
+
+def test_bpe_merge_fold_matches_reference(spark):
+    """The greedy-leftmost codegen fold vs the python reference merge on
+    adversarial symbol arrays: overlapping runs (aaa, aaaa), pair at head
+    / tail, no-match, interleavings."""
+    from pyspark.sql import functions as F
+
+    from conceptnetwork_spark.operators.pipeline import _merge_pair
+
+    def ref(syms, a, b):
+        out, pend = [], None
+        for s in syms:
+            if pend is None:
+                pend = s
+            elif pend == a and s == b:
+                out.append(a + b)
+                pend = None
+            else:
+                out.append(pend)
+                pend = s
+        if pend is not None:
+            out.append(pend)
+        return out
+
+    cases = [
+        ["a", "a", "a"],
+        ["a", "a", "a", "a"],
+        ["a", "b", "a", "b", "a"],
+        ["a", "b"],
+        ["b", "a"],
+        ["x"],
+        [],
+        ["a", "a", "b", "a", "a"],
+        ["b", "b", "a", "b", "b"],
+        ["a", "b", "b", "a", "a", "b"],
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, syms array<string>"
+    )
+    for a, b in (("a", "b"), ("a", "a"), ("b", "b")):
+        got = {
+            r["i"]: r["m"]
+            for r in df.select(
+                "i", _merge_pair(F.col("syms"), a, b).alias("m")
+            ).collect()
+        }
+        for i, c in enumerate(cases):
+            assert got[i] == ref(c, a, b), (c, a, b, got[i])
+
+
+def test_weighted_median_invariants(spark, ddb):
+    """Equal weights -> the weighted median equals the plain lower-bound
+    median of distinct quantities; and the oracle's threshold arithmetic
+    is decimal-exact (no row where cw*2 == tw flips by float dust)."""
+    import duckdb
+
+    r = ddb.execute(
+        """
+        WITH g AS (
+          SELECT l_returnflag, l_quantity, SUM(CAST(1 AS DECIMAL(12,2))) AS w
+          FROM lineitem GROUP BY 1, 2
+        ), c AS (
+          SELECT l_returnflag, l_quantity,
+                 SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cw,
+                 SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+          FROM g
+        ), wm AS (
+          SELECT l_returnflag,
+                 MIN(CASE WHEN cw * 2 >= tw THEN l_quantity END) AS w_med
+          FROM c GROUP BY 1
+        ), pm AS (
+          SELECT l_returnflag,
+                 quantile_disc(DISTINCT l_quantity, 0.5) AS p_med
+          FROM lineitem GROUP BY 1
+        )
+        SELECT COUNT(*) FROM wm JOIN pm USING (l_returnflag)
+        WHERE ABS(w_med - p_med) > 1.0
+        """
+    ).fetchone()
+    # lower-bound convention vs quantile_disc can differ by at most one
+    # distinct step; a larger gap means the cumulative arithmetic broke
+    assert r[0] == 0
