@@ -2226,3 +2226,114 @@ def d34_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "final_symbols BIGINT",
     )
     return out.orderBy("step")
+
+
+# --------------------------------------------------------------------------
+# D34 extension — BPE tokenizer APPLICATION (encode side of d34_bpe_train)
+# --------------------------------------------------------------------------
+# A fixed merge table in rank order (what a trained tokenizer ships as).
+# Encoding applies each merge exhaustively in rank order; that single pass
+# per merge is EXACTLY the classic priority-queue BPE encode because a
+# replacement <x><y> -> <xy> can never create a new <x><y> adjacency
+# (xy is a strictly longer symbol than either x or y) and can never make
+# two earlier-rank symbols newly adjacent (a merge substitutes two adjacent
+# symbols with one, it never deletes a separator). Left-to-right
+# non-overlapping replace therefore equals greedy leftmost BPE — which is
+# what both Spark ``replace`` and DuckDB ``replace`` implement, making the
+# encoder oracle-able bit-for-bit.
+BPE_ENCODE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("an", "d"),
+    ("o", "n"),
+    ("r", "e"),
+    ("in", "g"),
+    ("o", "u"),
+    ("e", "n"),
+    ("a", "t"),
+)
+
+
+def _bpe_encode_oracle() -> str:
+    enc = r"regexp_replace(joined, '([a-z])', '<\1>', 'g')"
+    for a, b in BPE_ENCODE_MERGES:
+        enc = f"replace({enc}, '<{a}><{b}>', '<{a}{b}>')"
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             array_to_string(regexp_extract_all(lower(text), '[a-z]+'), '|')
+               AS joined,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+               AS n_words
+      FROM documents
+    ), e AS (
+      SELECT doc_id, n_words,
+             CAST(length(joined) - greatest(n_words - 1, 0) AS BIGINT)
+               AS alpha_chars,
+             {enc} AS enc
+      FROM w
+    )
+    SELECT doc_id, n_words, alpha_chars,
+           CAST(length(enc) - length(replace(enc, '<', '')) AS BIGINT)
+             AS n_tokens,
+           ROUND(CASE WHEN length(enc) > length(replace(enc, '<', ''))
+                      THEN alpha_chars::DOUBLE
+                           / (length(enc) - length(replace(enc, '<', '')))
+                 END, 4) AS compression
+    FROM e
+    ORDER BY doc_id
+    """
+
+
+@register("d34_bpe_encode", oracle=_bpe_encode_oracle())
+def d34_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: encode every document with a
+    shipped BPE merge table (the artifact d34_bpe_train produces) and report
+    per-doc token counts + chars-per-token compression — the metric that
+    decides how many training tokens a corpus is actually worth.
+
+    Words are lowercased alpha runs joined by '|' (a symbol that never
+    merges, so merges cannot cross word boundaries — BPE's word-internal
+    contract); each char becomes a bracketed symbol ``<c>``; each merge in
+    rank order is ONE string replace. The whole encoder is a chain of
+    ``F.replace`` calls — pure codegen'd JVM expressions, zero Python, zero
+    shuffle: a map-only plan that scales linearly to 100 TB (token counting
+    for a trillion-token corpus is exactly this shape in production). The
+    merge table is a compile-time constant here; at scale it would be a
+    driver-broadcast list folded into the same expression chain."""
+    d = Catalog(spark, sf_dir).documents
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    base = d.select(
+        "doc_id",
+        F.array_join(words, "|").alias("joined"),
+        F.size(words).cast("long").alias("n_words"),
+    )
+    enc = F.regexp_replace(F.col("joined"), "([a-z])", "<$1>")
+    for a, b in BPE_ENCODE_MERGES:
+        enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    e = base.select(
+        "doc_id",
+        "n_words",
+        (
+            F.length("joined")
+            - F.greatest(F.col("n_words") - 1, F.lit(0))
+        ).cast("long").alias("alpha_chars"),
+        enc.alias("enc"),
+    )
+    n_tokens = F.length("enc") - F.length(F.replace(F.col("enc"), F.lit("<")))
+    return e.select(
+        "doc_id",
+        "n_words",
+        "alpha_chars",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(
+                n_tokens > 0,
+                F.col("alpha_chars").cast("double") / n_tokens,
+            ),
+            4,
+        ).alias("compression"),
+    ).orderBy("doc_id")
