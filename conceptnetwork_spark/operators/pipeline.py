@@ -2337,3 +2337,162 @@ def d34_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("compression"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# D34 extension — model-based quality filtering (fastText-style linear
+# classifier INFERENCE as pure column math)
+# --------------------------------------------------------------------------
+# Shipped weights of a tiny linear quality model over cheap surface
+# features. The activation is the "hard sigmoid" 0.5 + z / (2*(1+|z|)) —
+# pure +,*,/,abs so the score is bit-identical on any IEEE-754 engine
+# (exp()-based logistic would differ by 1 ulp across libm implementations
+# and flip 4-dp rounding at representation edges).
+QUALITY_W = {
+    "bias": -1.2,
+    "alpha_ratio": 2.4,
+    "digit_ratio": -3.0,
+    "mean_wlen": 0.35,
+    "len_score": 1.1,
+}
+
+
+@register(
+    "d34_quality_classifier",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+               AS n_words
+      FROM documents
+    ), z AS (
+      SELECT doc_id,
+             ({QUALITY_W['bias']}
+              + {QUALITY_W['alpha_ratio']} * (alpha / greatest(n, 1))
+              + {QUALITY_W['digit_ratio']} * (digits / greatest(n, 1))
+              + {QUALITY_W['mean_wlen']} * (alpha / greatest(n_words, 1))
+              + {QUALITY_W['len_score']} * (least(n, 2000) / 2000.0)) AS z
+      FROM f
+    )
+    SELECT doc_id,
+           ROUND(0.5 + z / (2 * (1 + abs(z))), 4) AS quality_score,
+           z >= 0 AS keep
+    FROM z
+    ORDER BY doc_id
+    """,
+)
+def d34_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, the fastText-classifier stage of a
+    CCNet/DCLM-style pretraining pipeline, expressed as INFERENCE-as-
+    expression: the linear model's weights fold into one codegen'd
+    projection, so scoring a 100 TB corpus is a map-only scan — no UDF, no
+    shuffle, no model server. The hard-sigmoid activation keeps the score a
+    pure rational function of the features (bit-reproducible everywhere);
+    the keep decision is the sign of the logit, which is exact. Feature
+    terms are summed in a fixed written order so Spark and the oracle
+    associate identically."""
+    d = Catalog(spark, sf_dir).documents
+    n = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    digits = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    n_words = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    ).cast("long")
+    z = (
+        F.lit(QUALITY_W["bias"])
+        + F.lit(QUALITY_W["alpha_ratio"]) * (alpha / F.greatest(n, F.lit(1)))
+        + F.lit(QUALITY_W["digit_ratio"]) * (digits / F.greatest(n, F.lit(1)))
+        + F.lit(QUALITY_W["mean_wlen"])
+        * (alpha / F.greatest(n_words, F.lit(1)))
+        + F.lit(QUALITY_W["len_score"])
+        * (F.least(n, F.lit(2000)) / F.lit(2000.0))
+    )
+    scored = d.select("doc_id", z.alias("z"))
+    return scored.select(
+        "doc_id",
+        F.round(
+            F.lit(0.5) + F.col("z") / (F.lit(2) * (F.lit(1) + F.abs("z"))), 4
+        ).alias("quality_score"),
+        (F.col("z") >= 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# D34 extension — preference-pair construction (DPO/RLHF dataset assembly)
+# --------------------------------------------------------------------------
+@register(
+    "d34_pref_pairs",
+    # zero-padded composite keys make (score desc, doc_id asc) and
+    # (score asc, doc_id asc) single-string orderings both engines agree on
+    # (DuckDB arg_max rejects STRUCT keys)
+    oracle="""
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           arg_max(doc_id, lpad(CAST(n_chars AS VARCHAR), 10, '0')
+                           || lpad(CAST(9999999999 - doc_id AS VARCHAR), 10, '0'))
+             AS chosen_doc,
+           arg_min(doc_id, lpad(CAST(n_chars AS VARCHAR), 10, '0')
+                           || lpad(CAST(doc_id AS VARCHAR), 10, '0'))
+             AS rejected_doc,
+           CAST(MAX(n_chars) AS BIGINT) AS chosen_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS rejected_chars,
+           CAST(MAX(n_chars) - MIN(n_chars) AS BIGINT) AS margin
+    FROM documents
+    GROUP BY source, lang
+    HAVING COUNT(*) >= 2
+       AND arg_max(doc_id, lpad(CAST(n_chars AS VARCHAR), 10, '0')
+                           || lpad(CAST(9999999999 - doc_id AS VARCHAR), 10, '0'))
+        <> arg_min(doc_id, lpad(CAST(n_chars AS VARCHAR), 10, '0')
+                           || lpad(CAST(doc_id AS VARCHAR), 10, '0'))
+    ORDER BY source, lang
+    """,
+)
+def d34_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly for DPO/RLHF training: within each prompt
+    group (here the (source, lang) cohort stands in for a prompt id), emit
+    the highest-scored candidate as `chosen` and the lowest as `rejected`,
+    with a deterministic tie-break (lowest doc_id) so the pair set is a
+    pure function of the corpus. Groups where chosen == rejected (all
+    candidates tied, one winner) produce no pair — a margin-0 pair teaches
+    a preference model nothing.
+
+    Scale shape: ONE hash aggregation keyed by the group id — max_by/min_by
+    carry only (key, doc_id) through the map-side combine, so 100 TB of
+    candidate text reduces to a few bytes per group in the shuffle; no
+    window, no self-join, no full-row exchange."""
+    d = Catalog(spark, sf_dir).documents
+    kmax = F.concat(
+        F.lpad(F.col("n_chars").cast("string"), 10, "0"),
+        F.lpad((F.lit(9999999999) - F.col("doc_id")).cast("string"), 10, "0"),
+    )
+    kmin = F.concat(
+        F.lpad(F.col("n_chars").cast("string"), 10, "0"),
+        F.lpad(F.col("doc_id").cast("string"), 10, "0"),
+    )
+    g = (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max_by("doc_id", kmax).alias("chosen_doc"),
+            F.min_by("doc_id", kmin).alias("rejected_doc"),
+            F.max("n_chars").cast("long").alias("chosen_chars"),
+            F.min("n_chars").cast("long").alias("rejected_chars"),
+        )
+        .where(
+            (F.col("n_docs") >= 2)
+            & (F.col("chosen_doc") != F.col("rejected_doc"))
+        )
+    )
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "chosen_doc",
+        "rejected_doc",
+        "chosen_chars",
+        "rejected_chars",
+        (F.col("chosen_chars") - F.col("rejected_chars")).alias("margin"),
+    ).orderBy("source", "lang")
