@@ -4915,3 +4915,210 @@ def d09_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority ORDER BY o_orderpriority
         """
     )
+
+
+# --------------------------------------------------------------------------
+# D11 extension — KMV (K-minimum-values) distinct sketch with an EXACT
+# oracle. Unlike HLL (d11_approx_count_distinct, tolerance-tested), the KMV
+# estimate is a deterministic pure function of the data given a portable
+# hash — so the sketch itself is hash-match certifiable: both engines build
+# the identical sketch and must agree on every bit of it.
+# --------------------------------------------------------------------------
+KMV_K = 64
+_H60 = 1152921504606846976  # 2^60 == max value of a 15-hex-digit md5 prefix
+# portable 60-bit hash of the user-day entity (md5 prefix, same idiom as
+# sampling.hash_bucket — 60 bits keeps the int positive in a signed 64-bit
+# lane on both engines)
+_KMV_KEY_SQL = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' "
+    "|| strftime(ts, '%Y-%m-%d')), 1, 15)) AS BIGINT)"
+)
+
+
+def _kmv_key() -> "F.Column":
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.date_format("ts", "yyyy-MM-dd"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+@register(
+    "d11_kmv_sketch",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT {_KMV_KEY_SQL} AS h FROM events
+    ), k AS (
+      SELECT h FROM h ORDER BY h LIMIT {KMV_K}
+    ), sk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_eff, MAX(h) AS kth_hash FROM k
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS true_distinct FROM h
+    )
+    SELECT k_eff, kth_hash,
+           CASE WHEN k_eff < {KMV_K} THEN k_eff
+                ELSE CAST(ROUND({KMV_K - 1}.0 * {_H60} / kth_hash) AS BIGINT)
+           END AS est_distinct,
+           true_distinct
+    FROM sk, t
+    ORDER BY k_eff
+    """,
+)
+def d11_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch over user-day entities: keep the K=64
+    smallest 60-bit hashes; estimate N ≈ (K-1)/u_K where u_K is the Kth
+    minimum normalized hash (Bar-Yossef et al. 2002). The estimate is
+    integer-rounded from a bit-identical double on both engines, so the
+    whole sketch — k_eff, the Kth hash, the estimate — is hash-match
+    certified against DuckDB, with the exact distinct count alongside for
+    the error to be part of the certified result.
+
+    Scale shape (100 TB): distinct-hash dedup is a map-side-combined
+    aggregate on an 8-byte key; the K smallest then flow through
+    TakeOrdered (per-partition top-K, driver merges K rows per partition —
+    never a global sort). KMV is also mergeable (union of sketches = K
+    smallest of the concatenation), which is how per-shard sketches roll up
+    on a cluster — d11_theta_setops exercises exactly that property."""
+    e = Catalog(spark, sf_dir).events
+    h = e.select(_kmv_key().alias("h")).distinct()
+    topk = h.orderBy("h").limit(KMV_K)
+    sk = topk.agg(
+        F.count("*").cast("long").alias("k_eff"),
+        F.max("h").alias("kth_hash"),
+    )
+    t = h.agg(F.count("*").cast("long").alias("true_distinct"))
+    est = (
+        F.when(F.col("k_eff") < KMV_K, F.col("k_eff"))
+        .otherwise(
+            F.round(
+                F.lit(float(KMV_K - 1)) * F.lit(_H60) / F.col("kth_hash")
+            ).cast("long")
+        )
+    )
+    return (
+        sk.crossJoin(F.broadcast(t))
+        .select("k_eff", "kth_hash", est.alias("est_distinct"), "true_distinct")
+        .orderBy("k_eff")
+    )
+
+
+@register(
+    "d11_theta_setops",
+    # Theta-sketch set algebra on the KMV sample: theta = the Kth smallest
+    # hash over A ∪ B; every retained hash (h < theta) is a uniform sample
+    # of the union, so est(S) = |retained ∩ S| * 2^60 / theta.
+    oracle=f"""
+    WITH u AS (
+      SELECT {_KMV_KEY_SQL} AS h,
+             BOOL_OR(event_type = 'purchase') AS in_a,
+             BOOL_OR(event_type = 'click') AS in_b
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ), k AS (
+      SELECT h, in_a, in_b FROM u ORDER BY h LIMIT {KMV_K}
+    ), sk AS (
+      SELECT MAX(h) AS theta_hash, CAST(COUNT(*) AS BIGINT) AS k_eff FROM k
+    ), ret AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_ret,
+             CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inter
+      FROM k, sk WHERE k.h < sk.theta_hash
+    ), ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS true_union,
+             CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS true_inter
+      FROM u
+    )
+    SELECT sk.theta_hash, sk.k_eff,
+           CASE WHEN sk.k_eff < {KMV_K} THEN ex.true_union
+                ELSE CAST(ROUND(ret.n_ret * 1.0 * {_H60} / sk.theta_hash)
+                          AS BIGINT)
+           END AS est_union,
+           ex.true_union,
+           CASE WHEN sk.k_eff < {KMV_K} THEN ex.true_inter
+                ELSE CAST(ROUND(ret.n_inter * 1.0 * {_H60} / sk.theta_hash)
+                          AS BIGINT)
+           END AS est_inter,
+           ex.true_inter
+    FROM sk, ret, ex
+    ORDER BY sk.k_eff
+    """,
+)
+def d11_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra: estimate |A ∪ B| and |A ∩ B| for
+    A = purchase user-days, B = click user-days from ONE KMV sample of the
+    union — the Datasketches-style trick that turns distinct sketches into
+    a set-expression engine (audience overlap, cross-segment reach). The
+    retained sample (hashes strictly below theta) is uniform over the
+    union, so any subset's cardinality is its sample share scaled by
+    1/theta; both estimates and both exact counts are certified together.
+
+    Scale shape: one groupBy on the 8-byte entity hash carrying two
+    booleans (map-side BOOL_OR combine), TakeOrdered K, then three one-row
+    aggregates joined by broadcast — no full-data exchange beyond the
+    dedup shuffle, identical to d11_kmv_sketch."""
+    e = Catalog(spark, sf_dir).events
+    u = (
+        e.where(F.col("event_type").isin("purchase", "click"))
+        .groupBy(_kmv_key().alias("h"))
+        .agg(
+            F.bool_or(F.col("event_type") == "purchase").alias("in_a"),
+            F.bool_or(F.col("event_type") == "click").alias("in_b"),
+        )
+    )
+    topk = u.orderBy("h").limit(KMV_K)
+    sk = topk.agg(
+        F.max("h").alias("theta_hash"),
+        F.count("*").cast("long").alias("k_eff"),
+    )
+    ret = (
+        topk.crossJoin(F.broadcast(sk.select("theta_hash")))
+        .where(F.col("h") < F.col("theta_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_ret"),
+            F.sum(
+                F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)
+            ).cast("long").alias("n_inter"),
+        )
+    )
+    ex = u.agg(
+        F.count("*").cast("long").alias("true_union"),
+        F.sum(
+            F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)
+        ).cast("long").alias("true_inter"),
+    )
+
+    def _est(n: "F.Column", exact: "F.Column") -> "F.Column":
+        return (
+            F.when(F.col("k_eff") < KMV_K, exact)
+            .otherwise(
+                F.round(
+                    n * F.lit(1.0) * F.lit(_H60) / F.col("theta_hash")
+                ).cast("long")
+            )
+        )
+
+    return (
+        sk.crossJoin(F.broadcast(ret))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "theta_hash",
+            "k_eff",
+            _est(F.col("n_ret"), F.col("true_union")).alias("est_union"),
+            "true_union",
+            _est(F.col("n_inter"), F.col("true_inter")).alias("est_inter"),
+            "true_inter",
+        )
+        .orderBy("k_eff")
+    )
