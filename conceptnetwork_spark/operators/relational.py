@@ -5122,3 +5122,83 @@ def d11_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_eff")
     )
+
+
+# --------------------------------------------------------------------------
+# D10 extension — Gini coefficient / Lorenz concentration profiling
+# --------------------------------------------------------------------------
+@register(
+    "d10_gini",
+    # Gini via the rank formula G = 2*Σ(i*x_i)/(n*Σx) - (n+1)/n over
+    # revenue sorted ascending. All sums are DECIMAL (order-independent);
+    # the formula converts to double only at the final one-row-per-segment
+    # arithmetic, written in identical association order on both engines.
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS seg, c.c_custkey AS custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT seg, custkey, rev,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY rev, custkey) AS i
+      FROM rev
+    ), agg AS (
+      SELECT seg,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(rev) AS DOUBLE) AS total_rev,
+             CAST(SUM(i * rev) AS DOUBLE) AS weighted
+      FROM ranked GROUP BY seg
+    )
+    SELECT seg, n_customers,
+           ROUND(total_rev, 2) AS total_rev,
+           ROUND(2.0 * weighted / (n_customers * total_rev)
+                 - (n_customers + 1.0) / n_customers, 4) AS gini
+    FROM agg ORDER BY seg
+    """,
+)
+def d10_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration profiling: the Gini coefficient of customer
+    revenue per market segment (0 = perfectly even, →1 = one whale), via
+    the rank formula over the ascending Lorenz ordering — the dataset-audit
+    statistic that tells a pipeline whether a segment's training signal is
+    dominated by a handful of heavy keys (the same skew d03_salted_skew_join
+    exists to survive). Revenue and the rank-weighted sum stay DECIMAL
+    (bit-exact under any partitioning / addend order); doubles appear only
+    in the final 5-row projection.
+
+    Scale shape: one agg keyed (segment, custkey), one per-segment sort for
+    ROW_NUMBER (parallel across segments), one tiny final agg. At 100 TB
+    the per-segment sort is the cost — if a single segment outgrew a
+    partition, the rank formula decomposes over range-partitioned chunks
+    with broadcast per-chunk offsets (the d34_curriculum_order trick)."""
+    c = Catalog(spark, sf_dir).customer
+    o = Catalog(spark, sf_dir).orders
+    rev = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_custkey").alias("custkey"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
+        )
+    )
+    w = Window.partitionBy("seg").orderBy("rev", "custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("rev").cast("double").alias("total_rev"),
+        F.sum(F.col("i") * F.col("rev")).cast("double").alias("weighted"),
+    )
+    n = F.col("n_customers")
+    return agg.select(
+        "seg",
+        "n_customers",
+        F.round("total_rev", 2).alias("total_rev"),
+        F.round(
+            F.lit(2.0) * F.col("weighted") / (n * F.col("total_rev"))
+            - (n + F.lit(1.0)) / n,
+            4,
+        ).alias("gini"),
+    ).orderBy("seg")
