@@ -5202,3 +5202,96 @@ def d10_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     ).orderBy("seg")
+
+
+# --------------------------------------------------------------------------
+# D14 extension — Holt double-exponential smoothing (level + trend), the
+# genuinely SEQUENTIAL per-series recurrence. d14_ewma stays a pure window
+# expression via bounded lookback; Holt's trend term has no such closed
+# form, so this is the canonical "inherently stateful scan" operator: an
+# Arrow-batched grouped-map per series, oracled by a recursive CTE.
+# --------------------------------------------------------------------------
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+
+@register(
+    "d14_holt_linear",
+    # The recursive CTE steps the identical recurrence: l' = a*y+(1-a)*(l+b),
+    # b' = B*(l'-l)+(1-B)*b, initialized l_1=y_1, b_1=0. The l' expression is
+    # inlined twice in the b' row — same double ops in the same order as the
+    # pandas loop, so the trajectory is bit-identical.
+    oracle=f"""
+    WITH RECURSIVE s AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, MIN(value) AS y,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS DATE)) AS t
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), hw AS (
+      SELECT user_id, t, y AS l, CAST(0.0 AS DOUBLE) AS b FROM s WHERE t = 1
+      UNION ALL
+      SELECT s.user_id, s.t,
+             {HOLT_ALPHA} * s.y + {1 - HOLT_ALPHA} * (hw.l + hw.b),
+             {HOLT_BETA} * (({HOLT_ALPHA} * s.y
+                             + {1 - HOLT_ALPHA} * (hw.l + hw.b)) - hw.l)
+               + {1 - HOLT_BETA} * hw.b
+      FROM hw JOIN s ON s.user_id = hw.user_id AND s.t = hw.t + 1
+    ), last AS (
+      SELECT user_id, t, l, b,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t DESC) AS rn
+      FROM hw
+    )
+    SELECT user_id, CAST(t AS BIGINT) AS n_days,
+           ROUND(l, 4) AS level, ROUND(b, 4) AS trend,
+           ROUND(l + b, 4) AS forecast_1
+    FROM last WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def d14_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per user over the daily
+    opening-value series: level l and trend b stepped through the classic
+    recurrence, returning each series' final state and 1-step-ahead
+    forecast. The trend recursion cannot be unrolled into a window
+    expression (each step feeds the next nonlinearly through two coupled
+    states), so this is the engine's canonical sequential-scan operator:
+    ``applyInPandas`` per series — Arrow-batched, one shuffle on the series
+    key, the per-series loop is O(days) in NumPy-backed floats.
+
+    Scale shape (100 TB): parallelism = number of series (millions of users
+    → perfectly parallel); per-series state is two doubles. The daily
+    pre-aggregate (MIN per user-day) collapses the raw stream map-side
+    before the series shuffle, so the grouped map sees days, not events —
+    the same pre-reduction a production forecaster ships."""
+    import pandas as pd
+
+    e = Catalog(spark, sf_dir).events
+    daily = (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.min("value").alias("y"))
+    )
+
+    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day")
+        ys = pdf["y"].tolist()
+        l, b = ys[0], 0.0
+        for y in ys[1:]:
+            l_new = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * (l + b)
+            b = HOLT_BETA * (l_new - l) + (1 - HOLT_BETA) * b
+            l = l_new
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_days": [len(ys)],
+                "level": [round(l, 4)],
+                "trend": [round(b, 4)],
+                "forecast_1": [round(l + b, 4)],
+            }
+        )
+
+    out = daily.groupBy("user_id").applyInPandas(
+        holt,
+        schema="user_id LONG, n_days LONG, level DOUBLE, trend DOUBLE, "
+        "forecast_1 DOUBLE",
+    )
+    return out.orderBy("user_id")
