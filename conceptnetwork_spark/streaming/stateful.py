@@ -59,6 +59,30 @@ def _src_fingerprint(sf_dir: str) -> str:
     return h.hexdigest()[:10]
 
 
+def stage_event_files(
+    spark: SparkSession, sf_dir: str, n_files: int
+) -> str:
+    """Idempotent n-file copy of events for maxFilesPerTrigger replay; the
+    dir name carries a content fingerprint of the source so regenerated
+    testdata invalidates the cache (never silently replays stale files)."""
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"stateful_src_{os.path.basename(sf_dir.rstrip('/'))}_{_src_fingerprint(sf_dir)}_{n_files}",
+    )
+    if not os.path.exists(stage):
+        tmp = f"{stage}.{uuid.uuid4().hex[:8]}.tmp"
+        Catalog(spark, sf_dir).events.repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, stage)
+        except OSError:  # concurrent stager won
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return stage
+
+
 def _update_totals(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],
@@ -95,22 +119,7 @@ def run_stateful_totals(
     The multi-file staging forces state to carry across micro-batches —
     a single-batch run would never exercise ``state.exists``.
     """
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"stateful_src_{os.path.basename(sf_dir.rstrip('/'))}_{_src_fingerprint(sf_dir)}_{n_files}",
-    )
-    if not os.path.exists(stage):
-        tmp = f"{stage}.{uuid.uuid4().hex[:8]}.tmp"
-        Catalog(spark, sf_dir).events.repartition(n_files).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        try:
-            os.rename(tmp, stage)
-        except OSError:  # concurrent stager won
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
-
+    stage = stage_event_files(spark, sf_dir, n_files)
     schema = spark.read.parquet(stage).schema
     stream = fix_nanos(
         spark.readStream.schema(schema)
@@ -795,3 +804,90 @@ if TWSP_AVAILABLE:
                 "first_seen_s"
             ),
         ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# D25 extension — State Store data source (Spark 4): batch-read the
+# checkpointed state of a streaming aggregation OFFLINE. This is the state
+# introspection/debugging surface a production streaming platform needs
+# ("what does operator 0's store hold right now?") exposed as a first-class
+# query: run a keyed streaming count across 4 micro-batches, then read the
+# final state back with spark.read.format("statestore") and certify it
+# against the batch groupBy.
+# --------------------------------------------------------------------------
+@register(
+    "d25_state_reader",
+    # the final state of a streaming count(=) over fully-replayed input IS
+    # the batch group-count; operator name/partitioning come from the
+    # checkpoint's state-metadata, pinned here as constants
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           'stateStoreSave' AS operator_name,
+           8 AS num_partitions
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def d25_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline state-store inspection via the Spark 4 state data source:
+    a per-user streaming count runs to completion over 4 file-replay
+    micro-batches (state carries across batches), then the checkpoint's
+    state is read BACK as a batch DataFrame — ``format("statestore")`` for
+    the keyed rows, ``format("state-metadata")`` for the operator/layout
+    descriptors — and joined into one certified result. The state rows of a
+    completed count-distinct-keys aggregation must equal the batch groupBy
+    bit-for-bit; the metadata pins the operator (stateStoreSave) and the
+    state partition count the checkpoint froze at query start.
+
+    Scale shape: the state source reads each state partition in parallel
+    (one task per store partition, no shuffle); the metadata read is a
+    driver-side file listing. At 100 TB of state this is exactly how
+    surgical state audits/repairs run — no replay of the input stream."""
+    from pyspark.sql import functions as F
+
+    stage = stage_event_files(spark, sf_dir, 4)
+    schema = spark.read.parquet(stage).schema
+    stream = fix_nanos(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        "events",
+    )
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    table = f"state_reader_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{table}")
+    # pin state partitioning to 8 (sized to key cardinality, not CPU count —
+    # same production knob as run_stateful_totals); the checkpoint freezes
+    # it, and the metadata read below proves that
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q, 180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    state = spark.read.format("statestore").load(ckpt)
+    meta = (
+        spark.read.format("state-metadata")
+        .load(ckpt)
+        .where(F.col("operatorId") == 0)
+        .select(
+            F.col("operatorName").alias("operator_name"),
+            F.col("numPartitions").alias("num_partitions"),
+        )
+    )
+    return (
+        state.select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.count").cast("long").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(meta))
+        .orderBy("user_id")
+    )
