@@ -630,3 +630,95 @@ def d33_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "component INT, explained DOUBLE, cumulative DOUBLE",
     ).orderBy("component")
+
+
+# --------------------------------------------------------------------------
+# D33 extension — chi-square feature selection with an EXACT SQL oracle.
+# Most MLlib queries are tolerance/determinism-tested (iterative fits); the
+# Pearson chi-square statistic is closed-form over a contingency table, so
+# this one is hash-match certified: MLlib's ChiSquareTest must reproduce
+# the SQL-computed statistic to 4 decimals, feature by feature.
+# --------------------------------------------------------------------------
+_CHISQ_F0 = (
+    "CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 "
+    "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END"
+)
+
+
+def _chisq_oracle() -> str:
+    unioned = " UNION ALL ".join(
+        f"SELECT {i} AS feature, f{i} AS fv, label FROM base"
+        for i in range(3)
+    )
+    return f"""
+    WITH base AS (
+      SELECT {_CHISQ_F0} AS f0,
+             hour(ts) // 6 AS f1,
+             user_id % 3 AS f2,
+             CASE WHEN value > 50 THEN 1 ELSE 0 END AS label
+      FROM events
+    ), u AS ({unioned}
+    ), cells AS (
+      SELECT feature, fv, label, COUNT(*) AS o FROM u GROUP BY 1, 2, 3
+    ), rt AS (
+      SELECT feature, fv, SUM(o) AS rt FROM cells GROUP BY 1, 2
+    ), ct AS (
+      SELECT feature, label, SUM(o) AS ct FROM cells GROUP BY 1, 2
+    ), n AS (
+      SELECT feature, SUM(o) AS n FROM cells GROUP BY 1
+    ), grid AS (
+      SELECT r.feature, r.fv, c.label, r.rt, c.ct, n.n,
+             COALESCE(x.o, 0) AS o
+      FROM rt r
+      JOIN ct c USING (feature)
+      JOIN n USING (feature)
+      LEFT JOIN cells x
+        ON x.feature = r.feature AND x.fv = r.fv AND x.label = c.label
+    )
+    SELECT CAST(feature AS INT) AS feature,
+           CAST((COUNT(DISTINCT fv) - 1) * (COUNT(DISTINCT label) - 1)
+                AS BIGINT) AS dof,
+           ROUND(SUM((o - rt * ct * 1.0 / n) * (o - rt * ct * 1.0 / n)
+                     / (rt * ct * 1.0 / n)), 4) AS chi2
+    FROM grid GROUP BY feature ORDER BY feature
+    """
+
+
+@register("d33_chisq_select", oracle=_chisq_oracle())
+def d33_chisq_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature scoring (the filter-method feature selector):
+    three categorical features — event type, 6-hour time-of-day bucket,
+    user-id shard — tested against a binary high-value label with MLlib's
+    ``ChiSquareTest``, returning each feature's Pearson statistic and
+    degrees of freedom. The oracle recomputes the statistic from the raw
+    contingency table (including structurally-zero cells, which Pearson's
+    formula counts), so the MLlib path is certified exactly, not
+    tolerance-tested.
+
+    Scale shape: ChiSquareTest reduces to one distributed (feature, value,
+    label) count — a map-side-combined aggregate over tiny cardinality —
+    plus a driver-side closed form over the ~30-cell table; the one-row
+    readout is the same declared scalar exception as d33_ols_mse."""
+    from pyspark.ml.stat import ChiSquareTest
+
+    e = Catalog(spark, sf_dir).events
+    base = e.select(
+        F.expr(_CHISQ_F0).cast("double").alias("f0"),
+        F.floor(F.hour("ts") / 6).cast("double").alias("f1"),
+        (F.col("user_id") % 3).cast("double").alias("f2"),
+        F.when(F.col("value") > 50, 1.0).otherwise(0.0).alias("label"),
+    )
+    df = VectorAssembler(
+        inputCols=["f0", "f1", "f2"], outputCol="features"
+    ).transform(base)
+    row = ChiSquareTest.test(df, "features", "label").first()
+    out = spark.createDataFrame(
+        [
+            (i, int(row.degreesOfFreedom[i]), float(row.statistics[i]))
+            for i in range(3)
+        ],
+        "feature INT, dof BIGINT, chi2_raw DOUBLE",
+    )
+    return out.select(
+        "feature", "dof", F.round("chi2_raw", 4).alias("chi2")
+    ).orderBy("feature")
