@@ -142,14 +142,17 @@ CERT_FIRST: tuple[str, ...] = (
     "d31_bigram_logprob",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md) — except the TWENTY newest
-# wave-6 queries (the window holds 50; they are the declared r7
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the TWENTY-NINE newest
+# round-6 queries (the window holds 50; they are the declared r7
 # carry-over): d34_chat_template, d35_clustering_depth, d11_countmin,
 # d14_theil_sen, d16_sql_scripting, d01_parameterized_sql,
 # d27_kaplan_meier, d18_business_days, d22_sql_udf, d09_pareto_abc,
 # d20_centroid_cosine, d10_entropy_profile, d10_mutual_info,
 # d02_class_balance, d14_group_ols, d19_npv, d01_bucket_pruning,
-# d14_ohlc, d27_dau_mau, d09_listagg.
+# d14_ohlc, d27_dau_mau, d09_listagg, plus the nine wave-7 queries
+# (d34_bpe_encode, d34_quality_classifier, d34_pref_pairs,
+# d11_kmv_sketch, d11_theta_setops, d10_gini, d14_holt_linear,
+# d25_state_reader, d33_chisq_select).
 # For the record, the FIFTY-EIGHT oracle queries registered during
 # round 6 were, per wave — Wave 1-2: d30_hamming_topk (bit-packed binary
 # retrieval), d14_date_bin_rollup (hypertable-style time-bucket rollup),
@@ -202,8 +205,21 @@ CERT_FIRST: tuple[str, ...] = (
 # d01_bucket_pruning (SelectedBucketsCount point-lookup pruning),
 # d14_ohlc (total-order candle rollup), d27_dau_mau (stickiness ratio),
 # d09_listagg (WITHIN GROUP ordered string aggregation).
-# All FIFTY-EIGHT pass the local DuckDB gate; 38 sit in the window
-# above, the twenty newest are the declared r7 carry-over. d30_mmr_rerank
+# Wave 7: d34_bpe_encode (BPE tokenizer application as a chained-replace
+# codegen fold), d34_quality_classifier (hard-sigmoid linear quality
+# filter, inference-as-expression), d34_pref_pairs (DPO chosen/rejected
+# pair assembly via composite-key max_by/min_by), d11_kmv_sketch
+# (deterministic K-minimum-values distinct sketch, hash-match certified),
+# d11_theta_setops (theta-sketch union/intersection estimates from one
+# KMV sample), d10_gini (per-segment Lorenz/Gini revenue concentration,
+# DECIMAL rank sums), d14_holt_linear (double-exponential smoothing via
+# grouped-map vs recursive-CTE oracle), d25_state_reader (Spark-4
+# statestore/state-metadata batch read of a checkpointed streaming
+# count), d33_chisq_select (MLlib ChiSquareTest vs exact contingency
+# formula).
+# All SIXTY-SEVEN round-6 oracle queries pass the local DuckDB gate
+# (wave 7 verified at sf0.001/0.01/0.1); 38 sit in the window above,
+# the twenty-nine newest are the declared r7 carry-over. d30_mmr_rerank
 # (greedy MMR re-rank) is oracle-less by design (numpy-equivalence +
 # diversity pytest).
 # d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested).

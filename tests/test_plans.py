@@ -1099,3 +1099,70 @@ def test_d01_bucket_pruning_selects_one_bucket(spark):
     import re
     m = re.search(r"SelectedBucketsCount: (\d+) out of 8", plan)
     assert m and int(m.group(1)) <= 3, plan[:500]
+
+
+def test_d34_bpe_encode_map_only_pruned_scan(spark):
+    """The whole encoder folds into codegen'd projections: the only
+    exchange is the presentation orderBy, and the scan reads exactly
+    (doc_id, text)."""
+    plan = _plan(spark, "d34_bpe_encode")
+    assert plan.count("Exchange") == 1, plan[:800]
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_d34_quality_classifier_map_only(spark):
+    """Inference-as-expression: no shuffle besides the presentation sort,
+    no Python eval node — the model runs inside WholeStageCodegen."""
+    plan = _plan(spark, "d34_quality_classifier")
+    assert plan.count("Exchange") == 1, plan[:800]
+    assert "Python" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_d34_pref_pairs_single_agg_exchange(spark):
+    """Preference pairs = ONE aggregation keyed by the group id with a
+    partial (map-side) pass before the shuffle — no window, no self-join."""
+    plan = _plan(spark, "d34_pref_pairs")
+    assert "partial_max_by" in plan and "partial_min_by" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_d11_kmv_topk_never_global_sort(spark):
+    """The K smallest hashes must flow through TakeOrderedAndProject
+    (per-partition top-K, K rows per partition to the driver) — a global
+    Sort under the limit would be the 100 TB failure mode."""
+    plan = _plan(spark, "d11_kmv_sketch")
+    assert "TakeOrderedAndProject(limit=64" in plan
+    assert "Sort [h" not in plan
+    # the one-row aggregates combine via broadcast, never a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_d11_theta_setops_topk_and_broadcasts(spark):
+    plan = _plan(spark, "d11_theta_setops")
+    assert "TakeOrderedAndProject(limit=64" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_d10_gini_preagg_then_one_window(spark):
+    """Revenue pre-aggregates per (segment, customer) with a map-side
+    partial before any window; the orders join broadcasts the customer
+    dimension; sums stay DECIMAL through the aggregates."""
+    plan = _plan(spark, "d10_gini")
+    assert "partial_sum(cast(o_totalprice" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window") == 1
+    assert "decimal(12,2)" in plan
+
+
+def test_d14_holt_grouped_map_after_daily_preagg(spark):
+    """The sequential recurrence runs as ONE grouped-map over series keys,
+    fed by a map-side-combined daily pre-aggregate — the grouped map sees
+    days, not raw events."""
+    plan = _plan(spark, "d14_holt_linear")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "partial_min(value" in plan
+    # exactly one exchange feeds the grouped map (plus the daily agg's own
+    # and the presentation sort)
+    assert plan.count("FlatMapGroupsInPandas") == 1
