@@ -42,6 +42,28 @@ def await_finished(q, timeout_sec: int) -> None:
         )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_state_partitions(spark: SparkSession, n: int = 8):
+    """Run a stateful streaming query with state partitioning sized to key
+    cardinality instead of the session's CPU-sized shuffle count. Streaming
+    state is partitioned by spark.sql.shuffle.partitions AT QUERY START and
+    every partition pays per-micro-batch commit I/O across up to four state
+    stores (stream-stream joins), so 150 keys across 32 stores is pure
+    fixed overhead — 8 stores runs the same queries ~3x faster with
+    bit-identical results (partition-count invariance is a standing gate).
+    A real production knob: state partitions follow key cardinality, and
+    the checkpoint pins them for the query's life."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _events_stream(spark: SparkSession, sf_dir: str):
     """readStream over the events parquet, nanos-ts converted in-plan
     (same fix_nanos as the batch catalog so both sides agree)."""
@@ -822,13 +844,14 @@ def d25_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta.write.mode("overwrite").parquet(out)
         versions.append(out)
 
-    q = (
-        src.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_finished(q, 180)
+    with scoped_state_partitions(spark):
+        q = (
+            src.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q, 180)
     assert len(versions) >= 4, f"expected >=4 micro-batches, got {len(versions)}"
     return (
         spark.read.parquet(versions[-1])
@@ -992,14 +1015,15 @@ def d26_append_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"late_drop_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_finished(q, 120)
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q, 120)
     return (
         spark.table(name)
         .select(
@@ -1161,14 +1185,15 @@ def d25_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     )
     name = f"ojoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_finished(q, 120)
+    with scoped_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q, 120)
     return (
         spark.table(name)
         .select(
@@ -1257,14 +1282,15 @@ def d25_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftSemi",
     )
     name = f"sjoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_finished(q, 120)
+    with scoped_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q, 120)
     return (
         spark.table(name)
         .select(
@@ -1432,14 +1458,15 @@ def d28_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"]
     )
     name = f"ddw_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_finished(q, 120)
+    with scoped_state_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q, 120)
     return (
         spark.table(name)
         .select(
@@ -1626,14 +1653,15 @@ def d26_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"upd_mode_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_finished(q, 120)
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q, 120)
     log = spark.table(name)
     # keyed-upsert fold: per window keep the update with the highest count
     # (state is append-only within a window -> that IS the final state)
@@ -1710,14 +1738,15 @@ def d26_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n_events"), F.sum("sv").alias("sum_value"))
     )
     name = f"chain_{uuid.uuid4().hex[:8]}"
-    q = (
-        daily.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_finished(q, 180)
+    with scoped_state_partitions(spark):
+        q = (
+            daily.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q, 180)
     return (
         spark.table(name)
         .select(
@@ -1829,14 +1858,15 @@ def d25_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fullOuter",
     )
     name = f"fojoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_finished(q, 180)
+    with scoped_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q, 180)
     return (
         spark.table(name)
         .select(
@@ -2008,14 +2038,15 @@ def d25_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rightOuter",
     )
     name = f"rojoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_finished(q, 180)
+    with scoped_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q, 180)
     return (
         spark.table(name)
         .select(
@@ -2120,15 +2151,16 @@ def d26_late_drop_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_finished(q, 120)
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q, 120)
     dropped = sum(
         int(so.get("numRowsDroppedByWatermark", 0))
         for p in q.recentProgress
