@@ -5295,3 +5295,110 @@ def d14_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "forecast_1 DOUBLE",
     )
     return out.orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# D27 extension — cohort LTV triangle (cumulative revenue by signup cohort
+# and account age)
+# --------------------------------------------------------------------------
+@register(
+    "d27_cohort_ltv",
+    # weekly cohorts (Monday-start date_trunc on both engines — the events
+    # table spans ~1 month, so weeks give a real triangle where months
+    # would collapse to one cell); revenue is exact DECIMAL (events.value
+    # carries exactly 2 decimals, so the cast never rounds) and the running
+    # LTV is a window over the per-(cohort, age) aggregate —
+    # order-independent end to end.
+    oracle="""
+    WITH first AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    ), cohorts AS (
+      SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cohort,
+             date_trunc('week', first_ts) AS cw,
+             user_id
+      FROM first
+    ), sizes AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM cohorts GROUP BY cohort
+    ), purch AS (
+      SELECT c.cohort,
+             CAST(date_diff('day', c.cw, date_trunc('week', e.ts)) / 7
+                  AS INT) AS age_weeks,
+             e.user_id,
+             CAST(e.value AS DECIMAL(12,2)) AS v
+      FROM events e JOIN cohorts c USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ), cell AS (
+      SELECT cohort, age_weeks,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS buyers,
+             SUM(v) AS rev
+      FROM purch GROUP BY cohort, age_weeks
+    )
+    SELECT c.cohort, c.age_weeks, c.buyers,
+           ROUND(CAST(c.rev AS DOUBLE), 2) AS revenue,
+           ROUND(CAST(SUM(c.rev) OVER (PARTITION BY c.cohort
+                                       ORDER BY c.age_weeks) AS DOUBLE), 2)
+             AS cum_revenue,
+           ROUND(CAST(SUM(c.rev) OVER (PARTITION BY c.cohort
+                                       ORDER BY c.age_weeks) AS DOUBLE)
+                 / s.n_users, 4) AS ltv_per_user
+    FROM cell c JOIN sizes s USING (cohort)
+    ORDER BY c.cohort, c.age_weeks
+    """,
+)
+def d27_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: users grouped by first-seen week,
+    purchase revenue accumulated by account age in weeks — the
+    (cohort x age) matrix growth analytics reads LTV curves from, and the
+    longitudinal companion to d27_retention's presence triangle. Revenue
+    stays DECIMAL through every aggregate (events.value carries exactly two
+    decimals, so the cast is lossless); doubles appear only in the final
+    per-cell projection.
+
+    Scale shape: one agg for first-seen (map-side combined), one shuffle
+    join of purchases to their user's cohort (key-key hash join at scale —
+    at the test SFs Catalyst broadcasts the cohort side), one agg to the
+    tiny (cohort, age) grid, and the running-sum window runs on that grid,
+    not on raw events."""
+    e = Catalog(spark, sf_dir).events
+    first = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohorts = first.select(
+        "user_id",
+        F.date_format(F.date_trunc("week", "first_ts"), "yyyy-MM-dd").alias(
+            "cohort"
+        ),
+        F.date_trunc("week", "first_ts").alias("cw"),
+    )
+    sizes = cohorts.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    purch = (
+        e.where(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .select(
+            "cohort",
+            (F.datediff(F.date_trunc("week", "ts"), F.col("cw")) / 7)
+            .cast("int")
+            .alias("age_weeks"),
+            "user_id",
+            F.col("value").cast("decimal(12,2)").alias("v"),
+        )
+    )
+    cell = purch.groupBy("cohort", "age_weeks").agg(
+        F.count_distinct("user_id").cast("long").alias("buyers"),
+        F.sum("v").alias("rev"),
+    )
+    w = Window.partitionBy("cohort").orderBy("age_weeks")
+    cum = F.sum("rev").over(w).cast("double")
+    return (
+        cell.join(sizes, "cohort")
+        .select(
+            "cohort",
+            "age_weeks",
+            "buyers",
+            F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+            F.round(cum, 2).alias("cum_revenue"),
+            F.round(cum / F.col("n_users"), 4).alias("ltv_per_user"),
+        )
+        .orderBy("cohort", "age_weeks")
+    )

@@ -539,3 +539,91 @@ def d02_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# D2 extension — deterministic Poisson bootstrap (uncertainty quantification
+# for corpus statistics without replication of the dataset)
+# --------------------------------------------------------------------------
+# Discretized Poisson(1) weight table indexed by a 4-bit hash: pmf
+# {0: 6/16, 1: 6/16, 2: 3/16, 3: 1/16} ~ Poisson(1) (0.368/0.368/0.184/
+# 0.080 tail mass on >=3). Deterministic given the (key, replicate) hash,
+# so every replicate estimate is a pure function of the data — exactly
+# hash-match certifiable, unlike rand()-based bootstrapping.
+BOOT_W = (0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 2, 2, 2, 3)
+BOOT_R = 16
+
+
+@register(
+    "d02_poisson_bootstrap",
+    oracle=f"""
+    WITH rep AS (
+      SELECT r.r, o.o_orderkey,
+             CAST(o.o_totalprice AS DECIMAL(12,2)) AS price,
+             ([{", ".join(str(w) for w in BOOT_W)}])[
+               (CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)
+                                          || ':' || CAST(r.r AS VARCHAR)),
+                                     1, 8)) AS BIGINT) % 16) + 1] AS w
+      FROM orders o CROSS JOIN (SELECT unnest(range({BOOT_R})) AS r) r
+    )
+    SELECT CAST(r AS INT) AS replicate,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           ROUND(CAST(SUM(w * price) AS DOUBLE) / SUM(w), 4) AS mean_price
+    FROM rep GROUP BY r ORDER BY replicate
+    """,
+)
+def d02_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean order value: each of {BOOT_R} replicates
+    reweights every order by a deterministic ~Poisson(1) draw keyed on
+    md5(orderkey, replicate) — the single-pass bootstrap used on datasets
+    too large to resample by index (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012). The spread of the replicate
+    means IS the standard error of the corpus statistic; because draws are
+    hash-deterministic, all {BOOT_R} estimates are certified bit-for-bit
+    (weighted sums stay DECIMAL until the final per-replicate division).
+
+    Scale shape: the replicate dimension explodes map-side (16x rows into a
+    map-side-combined aggregate of 16 cells — no extra shuffle volume, the
+    combiner collapses everything locally); at 100 TB this is ONE scan
+    producing all replicates, versus 16 scans for naive resampling."""
+    o = Catalog(spark, sf_dir).orders
+    rep = o.select(
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1))).alias("r"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 16
+    )
+    w = F.element_at(F.array(*[F.lit(x) for x in BOOT_W]), (h + 1).cast("int"))
+    agg = (
+        rep.select(F.col("r").cast("int").alias("replicate"), "price", w.alias("w"))
+        .groupBy("replicate")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.sum(F.col("w") * F.col("price")).alias("wsum"),
+            F.sum("w").alias("wtot"),
+        )
+    )
+    return agg.select(
+        "replicate",
+        "n_eff",
+        F.round(F.col("wsum").cast("double") / F.col("wtot"), 4).alias(
+            "mean_price"
+        ),
+    ).orderBy("replicate")
