@@ -1166,3 +1166,23 @@ def test_d14_holt_grouped_map_after_daily_preagg(spark):
     # exactly one exchange feeds the grouped map (plus the daily agg's own
     # and the presentation sort)
     assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_d27_cohort_ltv_window_on_grid_not_events(spark):
+    """The running LTV window must run on the (cohort, age) grid after the
+    aggregate; revenue sums stay DECIMAL; the cohort side broadcasts."""
+    plan = _plan(spark, "d27_cohort_ltv")
+    assert plan.count("Window") == 1
+    assert "decimal(12,2)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_d02_poisson_bootstrap_single_agg_after_explode(spark):
+    """All 16 replicates come from ONE scan: the replicate dimension
+    explodes map-side into a map-side-combined aggregate — one shuffle of
+    16 partial cells, no per-replicate rescan."""
+    plan = _plan(spark, "d02_poisson_bootstrap")
+    assert "Generate explode" in plan
+    assert "partial_sum" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+    assert plan.count("FileScan") == 1

@@ -158,6 +158,9 @@ AUDIT = [
     "d10_gini",
     "d14_holt_linear",
     "d25_state_reader",
+    # round-6 wave 8
+    "d27_cohort_ltv",
+    "d02_poisson_bootstrap",
 ]
 
 

@@ -21,6 +21,9 @@ def _normalize(body: str) -> str:
     # RDD lineage ids vary with session history (e.g. MapPartitionsRDD[234])
     body = re.sub(r"RDD\[\d+\]", "RDD[N]", body)
     body = re.sub(r"Location: \S+", "Location: X", body)
+    # per-run uuid'd streaming checkpoints (d25_state_reader reads state
+    # back from a checkpoint created fresh each invocation)
+    body = re.sub(r"stateCkptLocation=\S+?\]", "stateCkptLocation=X]", body)
     return body
 
 
