@@ -726,3 +726,199 @@ def d32_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ahash",
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# D32 extension — ViT-style patch extraction (image -> patch tokens)
+# --------------------------------------------------------------------------
+PATCH = 2  # patch side; remainder rows/cols are dropped (ViT convention)
+
+
+def patchify_image(df: DataFrame) -> DataFrame:
+    """Real patch extraction over decoded P6 rasters: decode the container,
+    reshape (h, w, 3) into non-overlapping PATCHxPATCH blocks, emit one row
+    per patch with its exact pixel sum and mean — the tokenization step a
+    vision encoder's data pipeline performs. Map-only: one input row fans
+    out to its patch rows inside the same task."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "tile_row": [],
+                "tile_col": [],
+                "px_sum": [],
+                "mean_val": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_ppm(bytes(payload))  # (h, w, 3) uint8
+                h, w, _ = arr.shape
+                th, tw = h // PATCH, w // PATCH
+                a = arr[: th * PATCH, : tw * PATCH].astype(np.int64)
+                # (th, PATCH, tw, PATCH, 3) -> per-block sums
+                blocks = a.reshape(th, PATCH, tw, PATCH, 3)
+                sums = blocks.sum(axis=(1, 3, 4))
+                denom = PATCH * PATCH * 3
+                for r in range(th):
+                    for c in range(tw):
+                        out["doc_id"].append(doc_id)
+                        out["tile_row"].append(r)
+                        out["tile_col"].append(c)
+                        out["px_sum"].append(int(sums[r, c]))
+                        out["mean_val"].append(sums[r, c] / denom)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        gen,
+        schema="doc_id long, tile_row int, tile_col int, px_sum long, "
+        "mean_val double",
+    )
+
+
+@register(
+    "d32_image_patchify",
+    # pixel(r, c, ch) = (r + ch) % 256 with r < 11, so a 2x2x3 patch at
+    # tile_row t sums to 2 cols x sum_{r in 2t,2t+1} sum_{ch<3} (r+ch)
+    # = 24t + 18, independent of the column — the oracle enumerates the
+    # patch grid from doc_id alone
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             (doc_id % 6 + 2) // {PATCH} AS tcols,
+             (doc_id % 9 + 2) // {PATCH} AS trows
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(tr.i AS INT) AS tile_row,
+           CAST(tc.j AS INT) AS tile_col,
+           CAST(24 * tr.i + 18 AS BIGINT) AS px_sum,
+           ROUND(2.0 * tr.i + 1.5, 4) AS mean_val
+    FROM dims,
+         unnest(range(0, trows)) AS tr(i),
+         unnest(range(0, tcols)) AS tc(j)
+    ORDER BY doc_id, tile_row, tile_col
+    """,
+)
+def d32_image_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-transformer patch tokenization: every synthesized P6 image is
+    decoded and split into non-overlapping 2x2 patches, one output row per
+    patch token with exact pixel sum and mean — the image-side analogue of
+    d31_chunk_text. The oracle recomputes the full patch grid in closed
+    form from doc_id; a patchify that mixes strides, transposes the block
+    reshape, or leaks remainder pixels breaks the hash.
+
+    Scale shape: decode + reshape + block-sum all happen inside one
+    mapInPandas task per input split (no shuffle before the presentation
+    sort); the patch fan-out multiplies rows, not bytes — each patch row
+    carries 28 bytes, not the raster."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    patches = patchify_image(synth_ppm_payloads(docs))
+    return patches.select(
+        "doc_id",
+        "tile_row",
+        "tile_col",
+        "px_sum",
+        F.round("mean_val", 4).alias("mean_val"),
+    ).orderBy("doc_id", "tile_row", "tile_col")
+
+
+# --------------------------------------------------------------------------
+# D32 extension — framewise audio energy (RMS / peak / zero-crossing rate)
+# --------------------------------------------------------------------------
+FRAME = 16  # samples per analysis frame; trailing partial frame is dropped
+
+
+def frame_energy(df: DataFrame) -> DataFrame:
+    """Framewise DSP features over decoded PCM: reshape samples into
+    FRAME-sized windows and emit per-frame RMS, peak, and zero-crossing
+    count (sign changes between consecutive samples WITHIN the frame,
+    zero counted as non-negative). Frame size is a power of two, so the
+    mean-of-squares divides exactly and RMS is bit-reproducible."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "frame": [],
+                "peak": [],
+                "rms": [],
+                "zero_crossings": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, samples = decode_wav_bytes(bytes(payload))
+                s = samples.astype(np.int64)
+                nf = len(s) // FRAME
+                for f in range(nf):
+                    fr = s[f * FRAME : (f + 1) * FRAME]
+                    nonneg = fr >= 0
+                    out["doc_id"].append(doc_id)
+                    out["frame"].append(f)
+                    out["peak"].append(int(np.abs(fr).max()))
+                    out["rms"].append(
+                        float(np.sqrt(float((fr * fr).sum()) / FRAME))
+                    )
+                    out["zero_crossings"].append(
+                        int((nonneg[1:] != nonneg[:-1]).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        gen,
+        schema="doc_id long, frame int, peak int, rms double, "
+        "zero_crossings long",
+    )
+
+
+@register(
+    "d32_audio_energy",
+    # sample formula is closed-form in (doc_id, i), so the oracle derives
+    # each frame's stats — including the zero-crossing count, whose
+    # predecessor sample is just the formula at i-1 — without any decode
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 50 + 10 AS n FROM documents
+    ), samples AS (
+      SELECT doc_id, n, i,
+             ((doc_id * 7 + i * 13) % 201) - 100 AS s,
+             CAST(i // {FRAME} AS INT) AS frame
+      FROM dims, unnest(range(0, n)) AS t(i)
+    ), framed AS (
+      SELECT doc_id, frame, i, s,
+             ((doc_id * 7 + (i - 1) * 13) % 201) - 100 AS prev_s
+      FROM samples WHERE frame < n // {FRAME}
+    )
+    SELECT doc_id, frame,
+           CAST(MAX(ABS(s)) AS INT) AS peak,
+           ROUND(SQRT(SUM(CAST(s AS DOUBLE) * s) / {FRAME}), 4) AS rms,
+           CAST(SUM(CASE WHEN i % {FRAME} > 0
+                          AND (s >= 0) <> (prev_s >= 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM framed GROUP BY doc_id, frame ORDER BY doc_id, frame
+    """,
+)
+def d32_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framewise audio analysis — per-16-sample-frame RMS energy, peak, and
+    zero-crossing count over REAL decoded PCM16 WAV payloads: the feature
+    triplet a speech-data pipeline uses for silence trimming and clipping
+    detection before anything is transcribed. The oracle recomputes every
+    frame from the sample formula alone; a framer that misaligns windows,
+    includes the trailing partial frame, or counts crossings across frame
+    boundaries breaks the hash. RMS divides by a power-of-two frame length
+    before an IEEE-correctly-rounded sqrt, so the doubles are bit-identical
+    on both engines.
+
+    Scale shape: decode + framing are map-only inside one task; output rows
+    are fixed-width frame features (the raster never crosses the wire)."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    frames = frame_energy(synth_wav_payloads(docs))
+    return frames.select(
+        "doc_id",
+        "frame",
+        "peak",
+        F.round("rms", 4).alias("rms"),
+        "zero_crossings",
+    ).orderBy("doc_id", "frame")
