@@ -1186,3 +1186,18 @@ def test_d02_poisson_bootstrap_single_agg_after_explode(spark):
     assert "partial_sum" in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
     assert plan.count("FileScan") == 1
+
+
+def test_d32_patchify_map_only_fanout(spark):
+    """Patch tokenization must be map-only: synth -> decode -> block-sum all
+    inside chained mapInPandas tasks, no shuffle before the presentation
+    sort, and the scan reads only doc_id."""
+    plan = _plan(spark, "d32_image_patchify")
+    assert plan.count("Exchange hashpartitioning") == 0, plan[:800]
+    assert "MapInPandas" in plan
+
+
+def test_d32_audio_energy_map_only(spark):
+    plan = _plan(spark, "d32_audio_energy")
+    assert plan.count("Exchange hashpartitioning") == 0, plan[:800]
+    assert "MapInPandas" in plan

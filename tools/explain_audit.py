@@ -161,6 +161,8 @@ AUDIT = [
     # round-6 wave 8
     "d27_cohort_ltv",
     "d02_poisson_bootstrap",
+    "d32_image_patchify",
+    "d32_audio_energy",
 ]
 
 
