@@ -2240,7 +2240,12 @@ def d34_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # symbols with one, it never deletes a separator). Left-to-right
 # non-overlapping replace therefore equals greedy leftmost BPE — which is
 # what both Spark ``replace`` and DuckDB ``replace`` implement, making the
-# encoder oracle-able bit-for-bit.
+# encoder oracle-able bit-for-bit. Precondition: the table is WELL-FORMED
+# (each merge's operands are single chars or outputs of earlier merges —
+# the only tables training can produce, since a pair can't be counted
+# before both symbols exist); tests/test_properties.py hypothesis-checks
+# the equivalence over well-formed tables and documents the malformed
+# counterexample.
 BPE_ENCODE_MERGES: tuple[tuple[str, str], ...] = (
     ("t", "h"),
     ("th", "e"),

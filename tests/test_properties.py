@@ -690,3 +690,180 @@ def test_weighted_median_invariants(spark, ddb):
     # lower-bound convention vs quantile_disc can differ by at most one
     # distinct step; a larger gap means the cumulative arithmetic broke
     assert r[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# d34_bpe_encode: rank-order-exhaustive replace == classic priority BPE.
+# The oracle's chained-replace construction is correct ONLY IF applying each
+# merge exhaustively in rank order equals the standard "repeatedly apply the
+# lowest-rank applicable merge" algorithm; hypothesis hunts for a word +
+# merge table where they diverge.
+# ---------------------------------------------------------------------------
+def _bpe_classic(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    rank = {m: i for i, m in enumerate(merges)}
+    syms = list(word)
+    while True:
+        best, bi = None, None
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, bi = r, i
+        if best is None:
+            return syms
+        syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+
+
+def _bpe_fold(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    s = "".join(f"<{c}>" for c in word)
+    for a, b in merges:
+        s = s.replace(f"<{a}><{b}>", f"<{a}{b}>")
+    return s[1:-1].split("><") if s else []
+
+
+@given(
+    word=st.text(alphabet="ab", min_size=0, max_size=12),
+    picks=st.lists(st.tuples(st.integers(0, 99), st.integers(0, 99)),
+                   max_size=6),
+)
+def test_bpe_fold_equals_classic_priority_encode(word, picks):
+    # WELL-FORMED tables only: each merge's operands must be single chars
+    # or outputs of EARLIER merges — the only tables BPE *training* can
+    # produce (a pair can't be counted before both symbols exist). The
+    # equivalence genuinely fails on malformed tables (e.g. word 'aba'
+    # with merges [(a,ba), (b,a)]), which is why the d34_bpe_encode merge
+    # table is constructed in creation order.
+    vocab = ["a", "b"]
+    merges = []
+    for i, j in picks:
+        m = (vocab[i % len(vocab)], vocab[j % len(vocab)])
+        if m not in merges:
+            merges.append(m)
+            vocab.append(m[0] + m[1])
+    assert _bpe_fold(word, merges) == _bpe_classic(word, merges)
+
+
+# ---------------------------------------------------------------------------
+# d11_kmv_sketch / d11_theta_setops: KMV mergeability — the sketch of a
+# union is the K smallest of the concatenated per-shard sketches, and the
+# estimator is within theory error bounds on seeded data.
+# ---------------------------------------------------------------------------
+@given(
+    a=st.sets(st.integers(0, 2**40), min_size=1, max_size=300),
+    b=st.sets(st.integers(0, 2**40), min_size=1, max_size=300),
+)
+@settings(max_examples=30)
+def test_kmv_sketch_mergeable(a, b):
+    import hashlib
+
+    K = 16
+
+    def h(x: int) -> int:
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+    def sketch(s):
+        return sorted({h(x) for x in s})[:K]
+
+    merged = sorted(set(sketch(a)) | set(sketch(b)))[:K]
+    assert merged == sketch(a | b)
+
+
+def test_kmv_estimator_bounds():
+    import hashlib
+
+    K = 64
+    n = 5000
+    hs = sorted(
+        int(hashlib.md5(f"u{i}".encode()).hexdigest()[:15], 16)
+        for i in range(n)
+    )
+    est = (K - 1) * (16**15) / hs[K - 1]
+    # KMV relative error is ~1/sqrt(K-2) ~ 13%; allow 4 sigma
+    assert abs(est - n) / n < 0.52
+
+
+# ---------------------------------------------------------------------------
+# d02_poisson_bootstrap: the discretized weight table approximates
+# Poisson(1) (mean ~1, pmf close) and weights are a pure function of
+# (key, replicate)
+# ---------------------------------------------------------------------------
+def test_bootstrap_weight_table_poissonish():
+    from conceptnetwork_spark.operators.sampling import BOOT_W
+
+    assert len(BOOT_W) == 16
+    mean = sum(BOOT_W) / len(BOOT_W)
+    assert abs(mean - 1.0) <= 0.1
+    from collections import Counter
+
+    pmf = Counter(BOOT_W)
+    assert pmf[0] == pmf[1]  # Poisson(1): P(0) == P(1)
+    assert pmf[2] < pmf[1] and pmf[3] < pmf[2]
+
+
+# ---------------------------------------------------------------------------
+# d14_holt_linear: on a constant series the level equals the constant and
+# the trend stays 0; on a perfect line the 1-step forecast tracks the line.
+# ---------------------------------------------------------------------------
+def test_holt_recurrence_invariants():
+    from conceptnetwork_spark.operators.relational import HOLT_ALPHA, HOLT_BETA
+
+    def run(ys):
+        l, b = ys[0], 0.0
+        for y in ys[1:]:
+            ln = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * (l + b)
+            b = HOLT_BETA * (ln - l) + (1 - HOLT_BETA) * b
+            l = ln
+        return l, b
+
+    l, b = run([7.5] * 50)
+    assert abs(l - 7.5) < 1e-9 and abs(b) < 1e-9
+    l, b = run([float(i) for i in range(200)])
+    # a converged linear trend forecasts the next point
+    assert abs((l + b) - 200.0) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# d32_image_patchify / d32_audio_energy: the vectorized kernels equal naive
+# per-element loops on random inputs.
+# ---------------------------------------------------------------------------
+@given(
+    h=st.integers(2, 9), w=st.integers(2, 7),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=30)
+def test_patchify_block_sums_match_naive(h, w, seed):
+    import numpy as np
+
+    rng = np.random.RandomState(seed % (2**32 - 1))
+    arr = rng.randint(0, 256, size=(h, w, 3)).astype(np.int64)
+    th, tw = h // 2, w // 2
+    blocks = arr[: th * 2, : tw * 2].reshape(th, 2, tw, 2, 3)
+    sums = blocks.sum(axis=(1, 3, 4))
+    for r in range(th):
+        for c in range(tw):
+            naive = int(
+                arr[2 * r : 2 * r + 2, 2 * c : 2 * c + 2, :].sum()
+            )
+            assert int(sums[r, c]) == naive
+
+
+@given(n=st.integers(10, 80), seed=st.integers(0, 2**31))
+@settings(max_examples=30)
+def test_audio_framing_matches_naive(n, seed):
+    import numpy as np
+
+    rng = np.random.RandomState(seed % (2**32 - 1))
+    s = rng.randint(-(2**15), 2**15, size=n).astype(np.int64)
+    F_ = 16
+    for f in range(n // F_):
+        fr = s[f * F_ : (f + 1) * F_]
+        nonneg = fr >= 0
+        zc = int((nonneg[1:] != nonneg[:-1]).sum())
+        naive = sum(
+            1
+            for i in range(1, F_)
+            if (fr[i] >= 0) != (fr[i - 1] >= 0)
+        )
+        assert zc == naive
+        assert float(np.sqrt(float((fr * fr).sum()) / F_)) == (
+            (float(sum(int(x) * int(x) for x in fr)) / F_) ** 0.5
+        )
