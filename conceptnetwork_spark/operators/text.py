@@ -1719,3 +1719,92 @@ def d31_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D31 extension — readability + lexical-richness scoring
+# --------------------------------------------------------------------------
+@register(
+    "d31_readability",
+    # syllable convention: vowel-group count over the lowered text, floored
+    # at the word count (every word carries >= 1 syllable) — the classic
+    # cheap estimator, applied identically on both engines
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+               AS n_words,
+             CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+')))
+               AS BIGINT) AS n_types,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS vgroups
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_types, n_sentences,
+           CAST(greatest(vgroups, n_words) AS BIGINT) AS n_syllables,
+           ROUND(CASE WHEN n_words > 0
+                      THEN n_types * 1.0 / n_words END, 4) AS ttr,
+           ROUND(CASE WHEN n_words > 0
+                      THEN 206.835
+                           - 1.015 * (n_words * 1.0 / n_sentences)
+                           - 84.6 * (greatest(vgroups, n_words) * 1.0
+                                     / n_words)
+                 END, 4) AS flesch
+    FROM f ORDER BY doc_id
+    """,
+)
+def d31_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability + lexical-richness profiling: Flesch reading ease from
+    the classic cheap estimators (sentences = terminal-punctuation runs,
+    syllables = vowel groups floored at one per word) plus the type-token
+    ratio (distinct words / words — vocabulary richness, a standard
+    quality-filter feature next to d31_quality_score's surface ratios and
+    d31_repetition's duplication fractions). Every count is a regexp or
+    array expression, so the whole scorer is one codegen'd map-only
+    projection — the same shape the Gopher/C4 rule stack runs at corpus
+    scale; no UDF, no shuffle. TTR uses array_distinct on the in-row token
+    array: per-document distinctness never leaves the task."""
+    d = Catalog(spark, sf_dir).documents
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    n_words = F.size(words).cast("long")
+    n_types = F.size(F.array_distinct(words)).cast("long")
+    n_sentences = F.greatest(
+        F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    vgroups = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast(
+        "long"
+    )
+    f = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_types.alias("n_types"),
+        n_sentences.alias("n_sentences"),
+        vgroups.alias("vgroups"),
+    )
+    syl = F.greatest(F.col("vgroups"), F.col("n_words"))
+    return f.select(
+        "doc_id",
+        "n_words",
+        "n_types",
+        "n_sentences",
+        syl.cast("long").alias("n_syllables"),
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_types") * F.lit(1.0) / F.col("n_words"),
+            ),
+            4,
+        ).alias("ttr"),
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (F.col("n_words") * F.lit(1.0) / F.col("n_sentences"))
+                - F.lit(84.6) * (syl * F.lit(1.0) / F.col("n_words")),
+            ),
+            4,
+        ).alias("flesch"),
+    ).orderBy("doc_id")

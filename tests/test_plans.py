@@ -1201,3 +1201,12 @@ def test_d32_audio_energy_map_only(spark):
     plan = _plan(spark, "d32_audio_energy")
     assert plan.count("Exchange hashpartitioning") == 0, plan[:800]
     assert "MapInPandas" in plan
+
+
+def test_d31_readability_map_only(spark):
+    """The whole scorer is one codegen'd projection: no shuffle besides the
+    presentation sort, no Python eval, scan pruned to (doc_id, text)."""
+    plan = _plan(spark, "d31_readability")
+    assert plan.count("Exchange hashpartitioning") == 0, plan[:800]
+    assert "Python" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan

@@ -163,6 +163,7 @@ AUDIT = [
     "d02_poisson_bootstrap",
     "d32_image_patchify",
     "d32_audio_energy",
+    "d31_readability",
 ]
 
 
