@@ -891,3 +891,94 @@ def d25_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(meta))
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D25 extension — State Store CHANGE FEED: per-micro-batch state deltas of
+# a streaming aggregation, read offline. The companion to d25_state_reader
+# (which reads only the final snapshot): readChangeFeed replays WHAT each
+# batch wrote — the audit trail a production platform reads to debug "when
+# did this key's state go wrong".
+# --------------------------------------------------------------------------
+@register(
+    "d25_state_changefeed",
+    # The staging is SQL-reproducible (time-contiguous chunks:
+    # chunk = rn*3 div total over ORDER BY ts, event_id — the same closed
+    # form _stage_time_chunks writes), so the oracle derives exactly which
+    # keys each micro-batch touches and the cumulative count it commits:
+    # one 'update' row per (key, batch with >=1 event for that key).
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rn,
+             COUNT(*) OVER () AS total
+      FROM events
+    ), chunked AS (
+      SELECT user_id, CAST((rn * 3) // total AS BIGINT) AS batch_id
+      FROM ranked
+    ), per_batch AS (
+      SELECT user_id, batch_id, COUNT(*) AS delta
+      FROM chunked GROUP BY user_id, batch_id
+    )
+    SELECT batch_id,
+           'update' AS change_type,
+           user_id,
+           CAST(SUM(delta) OVER (PARTITION BY user_id ORDER BY batch_id)
+                AS BIGINT) AS n_events
+    FROM per_batch
+    ORDER BY batch_id, user_id
+    """,
+)
+def d25_state_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline state CHANGE-FEED audit via the Spark 4 state data source:
+    a per-user streaming count runs over 3 time-contiguous micro-batches,
+    then ``readChangeFeed`` replays every state commit — (batch_id,
+    change_type, key, value) — as a batch DataFrame. The HDFS-backed store
+    writes one 'update' per key per batch that touched it, carrying the
+    post-batch cumulative count; because the batch boundaries are a closed
+    form over (ts, event_id) order, the oracle reconstructs the entire
+    commit history in SQL. A state store that wrote stale values, skipped
+    a key's commit, or attributed a write to the wrong batch breaks the
+    hash.
+
+    Scale shape: the change-feed read scans each state partition's delta
+    files in parallel (one task per partition per batch, no input replay);
+    state partitions are sized to key cardinality (8) like every stateful
+    query here."""
+    from pyspark.sql import functions as F
+
+    from conceptnetwork_spark.streaming.ops import scoped_state_partitions
+
+    stage = _stage_time_chunks(spark, sf_dir, 3)
+    schema = spark.read.parquet(stage).schema
+    stream = fix_nanos(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        "events",
+    )
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    table = f"state_cf_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{table}")
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q, 180)
+    cf = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", 0)
+        .load(ckpt)
+    )
+    return cf.select(
+        "batch_id",
+        "change_type",
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").cast("long").alias("n_events"),
+    ).orderBy("batch_id", "user_id")
