@@ -5402,3 +5402,152 @@ def d27_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age_weeks")
     )
+
+
+# --------------------------------------------------------------------------
+# D11 extension — Bloom filter, built from scratch on portable hashes so
+# membership (and therefore the false-positive accounting) is an EXACT
+# oracle contract: the filter's set-bit positions are a deterministic
+# relation, not engine-private state. Build side A = purchase user-days;
+# probe side B = click user-days. No false negatives is an invariant the
+# oracle enforces structurally; the false-positive RATE is part of the
+# certified result.
+# --------------------------------------------------------------------------
+BLOOM_M = 262144  # bits (2^18): sized for the sf0.1 build side
+# (~24k keys x 3 hashes -> ~27% load, FP ~1.3%); smaller SFs are sparser
+BLOOM_K = 3  # hash functions (md5 prefixes at offsets 1, 9, 17)
+
+
+def _bloom_positions_sql(key_expr: str) -> list[str]:
+    return [
+        f"CAST(('0x' || substr(md5({key_expr}), {1 + 8 * i}, 8)) AS BIGINT)"
+        f" % {BLOOM_M}"
+        for i in range(BLOOM_K)
+    ]
+
+
+def _bloom_key_sql(alias: str = "user_id") -> str:
+    return (
+        f"CAST({alias} AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d')"
+    )
+
+
+@register(
+    "d11_bloom_filter",
+    oracle=f"""
+    WITH a AS (
+      SELECT DISTINCT {_bloom_key_sql()} AS k FROM events
+      WHERE event_type = 'purchase'
+    ), bits AS (
+      {" UNION ".join(f"SELECT DISTINCT {p} AS pos FROM (SELECT k FROM a) t(k)"
+                      for p in _bloom_positions_sql("k"))}
+    ), b AS (
+      SELECT DISTINCT {_bloom_key_sql()} AS k FROM events
+      WHERE event_type = 'click'
+    ), probe AS (
+      SELECT b.k,
+             {" AND ".join(f"EXISTS (SELECT 1 FROM bits WHERE pos = {p})"
+                           for p in _bloom_positions_sql("b.k"))}
+               AS bloom_hit,
+             EXISTS (SELECT 1 FROM a WHERE a.k = b.k) AS is_member
+      FROM b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CAST(SUM(CASE WHEN is_member AND NOT bloom_hit THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_negatives,
+           CAST(SUM(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_positives,
+           ROUND(SUM(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
+                 * 1.0
+                 / greatest(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 1),
+                 4) AS fp_rate
+    FROM probe ORDER BY n_probes
+    """,
+)
+def d11_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit, from scratch: a {BLOOM_M}-bit /
+    {BLOOM_K}-hash filter over purchase user-days (md5-prefix positions, so
+    the SAME filter materializes on any engine), probed with click
+    user-days. The certified row carries the full confusion accounting —
+    false_negatives MUST be 0 (the Bloom guarantee, enforced by the oracle
+    hash, not a tolerance), and the false-positive rate is data-exact.
+    This is the semi-join pre-filter shape (runtime row-group skipping,
+    shuffle pruning) built open instead of with engine-private sketch
+    state — the D11 family's fourth certified sketch after CMS/KMV/theta.
+
+    Scale shape: the build side collapses to <= {BLOOM_M} distinct bit
+    positions (an aggregate, broadcastable by construction); the probe is
+    a broadcast semi-join of each probe key's {BLOOM_K} positions against
+    that tiny relation — no shuffle of the probe stream at any scale."""
+    e = Catalog(spark, sf_dir).events
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.date_format("ts", "yyyy-MM-dd"),
+    )
+
+    def positions(k):
+        return [
+            F.conv(F.substring(F.md5(k), 1 + 8 * i, 8), 16, 10).cast("long")
+            % BLOOM_M
+            for i in range(BLOOM_K)
+        ]
+
+    a = (
+        e.where(F.col("event_type") == "purchase")
+        .select(key.alias("k"))
+        .distinct()
+    )
+    bits = (
+        a.select(F.explode(F.array(*positions(F.col("k")))).alias("pos"))
+        .distinct()
+    )
+    b = (
+        e.where(F.col("event_type") == "click")
+        .select(key.alias("k"))
+        .distinct()
+    )
+    probe = b
+    for i, p in enumerate(positions(F.col("k"))):
+        hit_i = bits.select(F.col("pos").alias(f"pos{i}"))
+        probe = probe.join(
+            F.broadcast(hit_i), p == F.col(f"pos{i}"), "left"
+        ).withColumn(f"hit{i}", F.col(f"pos{i}").isNotNull()).drop(f"pos{i}")
+    bloom_hit = F.col("hit0") & F.col("hit1") & F.col("hit2")
+    member = a.select(F.col("k"), F.lit(True).alias("is_member"))
+    probe = probe.join(F.broadcast(member), "k", "left").withColumn(
+        "is_member", F.coalesce("is_member", F.lit(False))
+    )
+    agg = probe.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_members"),
+        F.sum(F.when(bloom_hit, 1).otherwise(0)).cast("long").alias("n_hits"),
+        F.sum(F.when(F.col("is_member") & ~bloom_hit, 1).otherwise(0))
+        .cast("long")
+        .alias("false_negatives"),
+        F.sum(F.when(bloom_hit & ~F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("false_positives"),
+        F.sum(F.when(~F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonmembers"),
+    )
+    return agg.select(
+        "n_probes",
+        "n_members",
+        "n_hits",
+        "false_negatives",
+        "false_positives",
+        F.round(
+            F.col("false_positives")
+            * F.lit(1.0)
+            / F.greatest(F.col("n_nonmembers"), F.lit(1)),
+            4,
+        ).alias("fp_rate"),
+    ).orderBy("n_probes")
