@@ -722,3 +722,84 @@ def d33_chisq_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "feature", "dof", F.round("chi2_raw", 4).alias("chi2")
     ).orderBy("feature")
+
+
+# --------------------------------------------------------------------------
+# D33 extension — multinomial Naive Bayes with an EXACT closed-form oracle
+# (the third fully-oracled MLlib path after StandardScaler and
+# ChiSquareTest: NB's fit is pure counting + Laplace smoothing, no
+# iteration, so every learned parameter is a log-ratio of exact integers).
+# --------------------------------------------------------------------------
+_NB_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _nb_oracle() -> str:
+    fcols = ", ".join(
+        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS f{i}"
+        for i, t in enumerate(_NB_TYPES)
+    )
+    st = " + ".join(f"s{i}" for i in range(5))
+    theta_rows = " UNION ALL ".join(
+        f"SELECT label, CAST({i} AS INT) AS feature, "
+        f"ROUND(ln((s{i} + 1.0) / ({st} + 5.0)), 4) AS logp FROM agg"
+        for i in range(5)
+    )
+    return f"""
+    WITH u AS (
+      SELECT user_id, {fcols} FROM events GROUP BY user_id
+    ), lab AS (
+      SELECT *, CASE WHEN f2 > f0 THEN 1 ELSE 0 END AS label FROM u
+    ), agg AS (
+      SELECT label, COUNT(*) AS nc,
+             {", ".join(f"SUM(f{i}) AS s{i}" for i in range(5))}
+      FROM lab GROUP BY label
+    ), n AS (SELECT SUM(nc) AS n FROM agg)
+    SELECT CAST(label AS INT) AS class, CAST(-1 AS INT) AS feature,
+           ROUND(ln((nc + 1.0) / (n + 2.0)), 4) AS logp
+    FROM agg, n
+    UNION ALL
+    SELECT CAST(label AS INT) AS class, feature, logp FROM ({theta_rows})
+    ORDER BY class, feature
+    """
+
+
+@register("d33_naive_bayes", oracle=_nb_oracle())
+def d33_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes over per-user event-type count profiles
+    (label: buyers whose purchases outnumber their clicks): the learned
+    model — class log-priors (feature = -1) and the full log-theta matrix —
+    is emitted as rows and hash-matched against the closed-form Laplace
+    estimates ln((count + 1)/(total + |V|)), because NB's "training" is
+    exactly one counting pass. This certifies MLlib's fit end to end where
+    the iterative models (logreg/GBT/ALS) can only be determinism-tested.
+
+    Scale shape: ONE map-side-combined aggregate to (user, 5 counts), one
+    tiny per-class reduction; MLlib's fit is the same two aggregates
+    internally. The 12-row model readout is the declared scalar exception
+    (d33_ols_mse precedent)."""
+    from pyspark.ml.classification import NaiveBayes
+
+    e = Catalog(spark, sf_dir).events
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+        .cast("double")
+        .alias(f"f{i}")
+        for i, t in enumerate(_NB_TYPES)
+    ]
+    u = e.groupBy("user_id").agg(*aggs)
+    u = u.withColumn("label", (F.col("f2") > F.col("f0")).cast("double"))
+    df = VectorAssembler(
+        inputCols=[f"f{i}" for i in range(5)], outputCol="features"
+    ).transform(u)
+    m = NaiveBayes(smoothing=1.0, modelType="multinomial").fit(df)
+    rows = []
+    for c in range(2):
+        rows.append((c, -1, float(m.pi[c])))
+        for j in range(5):
+            rows.append((c, j, float(m.theta[c, j])))
+    out = spark.createDataFrame(
+        rows, "class INT, feature INT, logp_raw DOUBLE"
+    )
+    return out.select(
+        "class", "feature", F.round("logp_raw", 4).alias("logp")
+    ).orderBy("class", "feature")
