@@ -5551,3 +5551,171 @@ def d11_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fp_rate"),
     ).orderBy("n_probes")
+
+
+# --------------------------------------------------------------------------
+# D8 extension — NEAREST-event as-of join (both directions, deterministic
+# tie toward the earlier event) — the sensor-fusion/feature-alignment
+# variant of as-of: "the closest reading in time", not "the last one".
+# --------------------------------------------------------------------------
+@register(
+    "d08_asof_nearest",
+    # DuckDB oracle: per-purchase LATERAL top-1 by (|Δt|, view ts) — the
+    # (absdiff, ts) key makes the equidistant tie land on the EARLIER view
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, max_by(value, event_id) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ), p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS nearest_view_ts,
+           CAST(abs(epoch_us(l.ts) - epoch_us(p.ts)) AS BIGINT) AS gap_us,
+           CASE WHEN l.ts IS NULL THEN 'none'
+                WHEN l.ts <= p.ts THEN 'before' ELSE 'after' END AS direction,
+           ROUND(l.view_value, 4) AS view_value
+    FROM p LEFT JOIN LATERAL (
+      SELECT v.ts, v.view_value FROM v
+      WHERE v.user_id = p.user_id
+      ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)), v.ts LIMIT 1
+    ) l ON true
+    ORDER BY p.event_id
+    """,
+)
+def d08_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join: every purchase aligned to the CLOSEST
+    view event of the same user in either time direction (equidistant ties
+    resolve to the earlier view) — the alignment primitive for sensor
+    fusion and "feature value nearest to the label timestamp" training
+    joins. The engine never enumerates candidate pairs: both sides union
+    into one (user, ts, tag) order, a running last-view carry gives each
+    purchase its predecessor and a mirrored first-view carry its successor,
+    and a 3-way CASE picks the nearer — ONE shuffle on user_id, O(n log n)
+    per key, no range-join blowup regardless of event density. The oracle
+    is the quadratic LATERAL top-1, so the two formulations certify each
+    other.
+
+    Gap arithmetic runs on integer microseconds (``F.unix_micros``) on both
+    engines — the d27_attribution lesson."""
+    ev = Catalog(spark, sf_dir).events
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("view_value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("tag"),
+            "view_value",
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("double").alias("view_value"),
+        "event_id",
+    )
+    u = v.unionByName(p)
+    vts = F.when(F.col("tag") == 0, F.col("ts"))
+    vval = F.when(F.col("tag") == 0, F.col("view_value"))
+    order = [F.col("ts"), F.col("tag")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        "user_id",
+        "ts",
+        "tag",
+        "event_id",
+        F.last(vts, ignorenulls=True).over(w_prev).alias("prev_ts"),
+        F.last(vval, ignorenulls=True).over(w_prev).alias("prev_val"),
+        F.first(vts, ignorenulls=True).over(w_next).alias("next_ts"),
+        F.first(vval, ignorenulls=True).over(w_next).alias("next_val"),
+    ).where(F.col("tag") == 1)
+    pus = F.unix_micros("ts")
+    dprev = pus - F.unix_micros("prev_ts")
+    dnext = F.unix_micros("next_ts") - pus
+    take_prev = F.col("prev_ts").isNotNull() & (
+        F.col("next_ts").isNull() | (dprev <= dnext)
+    )
+    nearest_ts = F.when(take_prev, F.col("prev_ts")).otherwise(F.col("next_ts"))
+    nearest_val = F.when(take_prev, F.col("prev_val")).otherwise(
+        F.col("next_val")
+    )
+    gap = F.when(take_prev, dprev).otherwise(dnext)
+    return carried.select(
+        "event_id",
+        F.date_format(nearest_ts, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "nearest_view_ts"
+        ),
+        gap.cast("long").alias("gap_us"),
+        F.when(nearest_ts.isNull(), "none")
+        .when(take_prev, "before")
+        .otherwise("after")
+        .alias("direction"),
+        F.round(nearest_val, 4).alias("view_value"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# D15 extension — diversified top-k: global top-20 orders with AT MOST 3
+# per customer (the "don't let one whale fill the leaderboard" production
+# pattern; also the retrieval-diversity shape d30_mmr_rerank applies to
+# embeddings, done here purely relationally).
+# --------------------------------------------------------------------------
+@register(
+    "d15_diversified_topk",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey)
+               AS per_cust_rank
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           CAST(per_cust_rank AS BIGINT) AS per_cust_rank
+    FROM ranked WHERE per_cust_rank <= 3
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def d15_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k: the 20 highest-value orders subject to a cap of
+    3 per customer — per-customer rank first (Spark plans the rank<=3
+    filter as WindowGroupLimit, so each partition keeps only 3 rows per
+    key BEFORE the window materializes), then a global top-20 that goes
+    through TakeOrderedAndProject, never a full sort. Total-order
+    tie-breaks on o_orderkey make the leaderboard deterministic.
+
+    Scale shape: one shuffle on the group key with group-limit pushdown
+    map-side; the global limit merges 20 rows per partition on the
+    driver — the same two-phase shape at any scale."""
+    o = Catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    ranked = (
+        o.withColumn("per_cust_rank", F.row_number().over(w))
+        .where(F.col("per_cust_rank") <= 3)
+    )
+    return (
+        ranked.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("per_cust_rank").cast("long").alias("per_cust_rank"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
