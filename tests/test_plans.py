@@ -1210,3 +1210,31 @@ def test_d31_readability_map_only(spark):
     assert plan.count("Exchange hashpartitioning") == 0, plan[:800]
     assert "Python" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_d11_bloom_broadcast_only(spark):
+    """The bit relation and member set are broadcast — the probe stream
+    never shuffles (no sort-merge join anywhere in the plan)."""
+    plan = _plan(spark, "d11_bloom_filter")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_d08_asof_nearest_union_sort_no_join(spark):
+    """Nearest-as-of must use the union-sort formulation: one shuffle on
+    the key, window carries, and NO join node (the quadratic pair-join is
+    the oracle's job, not the engine's)."""
+    plan = _plan(spark, "d08_asof_nearest")
+    assert "Join" not in plan, plan[:800]
+    # two keyed exchanges: the view-side (user, ts) dedup aggregate and the
+    # union's user_id window shuffle — never a third
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Window" in plan and "Union" in plan
+
+
+def test_d15_diversified_topk_group_limit_pushdown(spark):
+    """rank<=3 must plan as WindowGroupLimit (map-side per-key pruning) and
+    the global limit as TakeOrderedAndProject — never a full sort."""
+    plan = _plan(spark, "d15_diversified_topk")
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan

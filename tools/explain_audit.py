@@ -164,6 +164,11 @@ AUDIT = [
     "d32_image_patchify",
     "d32_audio_energy",
     "d31_readability",
+    # round-6 wave 9 (d33_naive_bayes is a driver-local model readout —
+    # oracle-certified like fpgrowth/chisq)
+    "d11_bloom_filter",
+    "d08_asof_nearest",
+    "d15_diversified_topk",
 ]
 
 
