@@ -5719,3 +5719,79 @@ def d15_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# D7 extension — band join (|t1 - t2| <= delta) via bucketed equi-join.
+# A naive range join on the band predicate is O(n*m) pairs per key; the
+# scalable form buckets time into delta-width cells and equi-joins each
+# probe bucket to {b-1, b, b+1}, then filters exactly — the standard
+# decomposition that turns a range join into three hash joins.
+# --------------------------------------------------------------------------
+BAND_US = 300_000_000  # 5 minutes in microseconds
+
+
+@register(
+    "d07_band_join",
+    # oracle: the naive band predicate — certifying that the bucketed
+    # decomposition loses nothing at the cell boundaries
+    oracle=f"""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           CAST(abs(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS gap_us
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'view') v
+    JOIN (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= {BAND_US}
+    ORDER BY view_id, purchase_id
+    """,
+)
+def d07_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: every (view, purchase) pair of the same user within +/- 5
+    minutes — the time-proximity join behind co-occurrence features and
+    near-simultaneous-event detection. The engine NEVER evaluates the band
+    predicate as a range join: both sides bucket event time into
+    band-width cells, the view side explodes each row into its bucket and
+    both neighbors (3 rows), and the join is a pure EQUI-join on
+    (user_id, bucket) followed by an exact |Δt| filter — any qualifying
+    pair is at most one cell apart, so the 3-bucket expansion is lossless,
+    which is precisely what the naive-predicate oracle certifies.
+
+    Scale shape: one hash shuffle on (user, bucket) on each side (3x row
+    expansion on the smaller side only), map-side exact filter — no
+    BroadcastNestedLoopJoin, no per-key quadratic blowup beyond true
+    band matches."""
+    ev = Catalog(spark, sf_dir).events
+    # integer `div`: long-exact bucket ids by construction (a double
+    # division would still be correct here — quotients are < 2^53 with
+    # fractional parts >= 1/BAND_US — but div doesn't need the proof)
+    bucket = F.expr(f"unix_micros(ts) div {BAND_US}")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.unix_micros("ts").alias("v_us"),
+            F.explode(
+                F.array(bucket - 1, bucket, bucket + 1)
+            ).alias("bucket"),
+        )
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+        bucket.alias("p_bucket"),
+    )
+    gap = F.abs(F.col("p_us") - F.col("v_us"))
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("bucket") == F.col("p_bucket")),
+        )
+        .where(gap <= BAND_US)
+        .select("view_id", "purchase_id", gap.cast("long").alias("gap_us"))
+        .orderBy("view_id", "purchase_id")
+    )
