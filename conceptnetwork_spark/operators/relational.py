@@ -5728,7 +5728,7 @@ def d15_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probe bucket to {b-1, b, b+1}, then filters exactly — the standard
 # decomposition that turns a range join into three hash joins.
 # --------------------------------------------------------------------------
-BAND_US = 300_000_000  # 5 minutes in microseconds
+BAND_US = 1_800_000_000  # 30 minutes in microseconds
 
 
 @register(
@@ -5748,7 +5748,7 @@ BAND_US = 300_000_000  # 5 minutes in microseconds
     """,
 )
 def d07_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Band join: every (view, purchase) pair of the same user within +/- 5
+    """Band join: every (view, purchase) pair of the same user within +/- 30
     minutes — the time-proximity join behind co-occurrence features and
     near-simultaneous-event detection. The engine NEVER evaluates the band
     predicate as a range join: both sides bucket event time into
