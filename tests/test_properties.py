@@ -867,3 +867,48 @@ def test_audio_framing_matches_naive(n, seed):
         assert float(np.sqrt(float((fr * fr).sum()) / F_)) == (
             (float(sum(int(x) * int(x) for x in fr)) / F_) ** 0.5
         )
+
+
+# ---------------------------------------------------------------------------
+# d11_bloom_filter: structural no-false-negative guarantee on random sets
+# (pure-python mirror of the md5-position construction)
+# ---------------------------------------------------------------------------
+@given(
+    build=st.sets(st.integers(0, 10**6), min_size=1, max_size=200),
+    probe=st.sets(st.integers(0, 10**6), min_size=1, max_size=200),
+)
+@settings(max_examples=30)
+def test_bloom_no_false_negatives(build, probe):
+    import hashlib
+
+    from conceptnetwork_spark.operators.relational import BLOOM_K, BLOOM_M
+
+    def positions(k: str):
+        h = hashlib.md5(k.encode()).hexdigest()
+        return [int(h[8 * i : 8 * i + 8], 16) % BLOOM_M for i in range(BLOOM_K)]
+
+    bits = {p for x in build for p in positions(str(x))}
+    for x in probe & build:
+        assert all(p in bits for p in positions(str(x)))
+
+
+# ---------------------------------------------------------------------------
+# d07_band_join: the 3-bucket equi-join decomposition is LOSSLESS — any
+# pair within the band lands in the same or adjacent delta-width cells.
+# ---------------------------------------------------------------------------
+@given(
+    ts=st.lists(st.integers(0, 10**7), min_size=2, max_size=60),
+    delta=st.integers(1, 10**5),
+)
+@settings(max_examples=50)
+def test_band_bucket_decomposition_lossless(ts, delta):
+    pairs_naive = {
+        (a, b) for a in ts for b in ts if abs(a - b) <= delta
+    }
+    pairs_bucketed = set()
+    for a in ts:
+        for b in ts:
+            if a // delta in (b // delta - 1, b // delta, b // delta + 1):
+                if abs(a - b) <= delta:
+                    pairs_bucketed.add((a, b))
+    assert pairs_bucketed == pairs_naive
