@@ -1238,3 +1238,13 @@ def test_d15_diversified_topk_group_limit_pushdown(spark):
     plan = _plan(spark, "d15_diversified_topk")
     assert "WindowGroupLimit" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_d07_band_join_pure_equi_join(spark):
+    """The band predicate must NOT plan as a nested-loop range join: the
+    bucketed decomposition yields a hash/sort equi-join with the exact
+    |Δt| filter applied post-join."""
+    plan = _plan(spark, "d07_band_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan

@@ -169,6 +169,7 @@ AUDIT = [
     "d11_bloom_filter",
     "d08_asof_nearest",
     "d15_diversified_topk",
+    "d07_band_join",
 ]
 
 
