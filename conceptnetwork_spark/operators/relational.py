@@ -5795,3 +5795,55 @@ def d07_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("view_id", "purchase_id", gap.cast("long").alias("gap_us"))
         .orderBy("view_id", "purchase_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D16 extension — Spark 4 SQL PIPE syntax (|>): linear dataflow SQL. Same
+# Catalyst plan as the nested classic form, so the feature is certified by
+# a classic-SQL oracle computing the identical result.
+# --------------------------------------------------------------------------
+@register(
+    "d16_pipe_syntax",
+    oracle="""
+    WITH joined AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+             CAST(o.o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderstatus <> 'P'
+    ), agg AS (
+      SELECT segment, priority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(price) AS rev
+      FROM joined GROUP BY segment, priority
+    )
+    SELECT segment, priority, n_orders,
+           ROUND(CAST(rev AS DOUBLE), 2) AS revenue
+    FROM agg WHERE n_orders >= 50
+    ORDER BY segment, priority
+    """,
+)
+def d16_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax: the segment x priority revenue rollup
+    written as a linear |> dataflow — FROM |> WHERE |> JOIN |> EXTEND |>
+    AGGREGATE ... GROUP BY |> WHERE (post-agg) |> ORDER BY — the
+    query-authoring surface that reads like the DataFrame chain it
+    compiles to. Catalyst produces the same plan as the nested classic
+    form, which is exactly what the classic-SQL DuckDB oracle certifies.
+    Money stays DECIMAL through the aggregate; the broadcast customer
+    join and partial+final agg are inherited unchanged from the
+    underlying plan."""
+    t = Catalog(spark, sf_dir)
+    t.orders.createOrReplaceTempView("cns_pipe_orders")
+    t.customer.createOrReplaceTempView("cns_pipe_customer")
+    return spark.sql("""
+      FROM cns_pipe_orders
+      |> WHERE o_orderstatus <> 'P'
+      |> JOIN cns_pipe_customer ON c_custkey = o_custkey
+      |> EXTEND CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |> AGGREGATE COUNT(*) AS n_orders, SUM(price) AS rev
+           GROUP BY c_mktsegment AS segment, o_orderpriority AS priority
+      |> WHERE n_orders >= 50
+      |> SELECT segment, priority, CAST(n_orders AS BIGINT) AS n_orders,
+                ROUND(CAST(rev AS DOUBLE), 2) AS revenue
+      |> ORDER BY segment, priority
+    """)

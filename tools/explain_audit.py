@@ -170,6 +170,7 @@ AUDIT = [
     "d08_asof_nearest",
     "d15_diversified_topk",
     "d07_band_join",
+    "d16_pipe_syntax",
 ]
 
 
