@@ -5847,3 +5847,95 @@ def d16_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ROUND(CAST(rev AS DOUBLE), 2) AS revenue
       |> ORDER BY segment, priority
     """)
+
+
+# --------------------------------------------------------------------------
+# D14 extension — ROLLING least-squares trend: d14_group_ols over a
+# trailing 7-day frame. x is the per-series day INDEX (row_number), not
+# the epoch day — small centered regressors keep the n*Sxx - Sx^2
+# denominator out of catastrophic-cancellation territory, which is what
+# makes a windowed OLS certifiable at 4 decimals.
+# --------------------------------------------------------------------------
+@register(
+    "d14_rolling_ols",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), idx AS (
+      SELECT event_type, day, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                  AS DOUBLE) AS x
+      FROM daily
+    ), w AS (
+      SELECT event_type, day,
+             COUNT(*) OVER f AS n,
+             SUM(x) OVER f AS sx, SUM(y) OVER f AS sy,
+             SUM(x * x) OVER f AS sxx, SUM(x * y) OVER f AS sxy
+      FROM idx
+      WINDOW f AS (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n_window,
+           ROUND(CASE WHEN n >= 2
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 END, 4) AS slope
+    FROM w ORDER BY event_type, day
+    """,
+)
+def d14_rolling_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling regression: the trailing-7-day least-squares revenue slope
+    per event type — the windowed form of d14_group_ols, giving a trend
+    SERIES (the input to change-point logic like d14_cusum) instead of one
+    global fit. The moment sums are frame-bounded window aggregates over a
+    pre-reduced daily series, so each output row costs O(frame) adds and
+    the fit itself never leaves codegen; daily revenue is DECIMAL-exact
+    before its single double conversion, and x is the series day index
+    (1..#days), keeping the denominator's cancellation benign at the
+    4-decimal contract.
+
+    Scale shape: one agg to (type, day), one shuffle on event_type, one
+    WindowExec computing all five frame sums together; the raw stream is
+    reduced ~per-day before any window sees it."""
+    e = Catalog(spark, sf_dir).events
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn(
+        "x", F.row_number().over(w_rn).cast("double")
+    )
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    wdf = idx.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(f).alias("n"),
+        F.sum("x").over(f).alias("sx"),
+        F.sum("y").over(f).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(f).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(f).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    return wdf.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        n.cast("long").alias("n_window"),
+        F.round(
+            F.when(
+                n >= 2, (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            ),
+            4,
+        ).alias("slope"),
+    ).orderBy("event_type", "day")

@@ -1808,3 +1808,94 @@ def d31_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# D31 extension — Zipf-law fit: the corpus-health diagnostic (natural text
+# follows rank^-s with s ~ 1; templated/spammy corpora bend the curve)
+# --------------------------------------------------------------------------
+ZIPF_TOP = 100
+
+
+@register(
+    "d31_zipf_fit",
+    # ln() is libm (1-ulp divergence across engines), so both log columns
+    # are rounded to 8 decimals and fixed as DECIMAL(18,8) BEFORE the
+    # moment sums — exact, order-independent arithmetic from there on
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT w, COUNT(*) AS c FROM words GROUP BY w
+      ORDER BY c DESC, w LIMIT {ZIPF_TOP}
+    ), ranked AS (
+      SELECT CAST(ROUND(ln(ROW_NUMBER() OVER (ORDER BY c DESC, w)), 8)
+                  AS DECIMAL(18,8)) AS lx,
+             CAST(ROUND(ln(c), 8) AS DECIMAL(18,8)) AS ly
+      FROM vocab
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(lx) AS sx, SUM(ly) AS sy,
+             SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy, SUM(ly * ly) AS syy
+      FROM ranked
+    )
+    SELECT n,
+           ROUND(CAST((n * sxy - sx * sy) AS DOUBLE)
+                 / CAST((n * sxx - sx * sx) AS DOUBLE), 4) AS zipf_slope,
+           ROUND(CAST((n * sxy - sx * sy) AS DOUBLE)
+                 * CAST((n * sxy - sx * sy) AS DOUBLE)
+                 / (CAST((n * sxx - sx * sx) AS DOUBLE)
+                    * CAST((n * syy - sy * sy) AS DOUBLE)), 4) AS r2
+    FROM s ORDER BY n
+    """,
+)
+def d31_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: log-log OLS of frequency
+    against rank for the top-{ZIPF_TOP} words — natural language sits near
+    slope -1 with high R², while boilerplate-heavy or synthetic corpora
+    flatten or kink the curve, making this a one-row corpus-quality
+    diagnostic next to d31_vocab_topk (which surfaces the words
+    themselves). Both log columns round to 8 decimals and become DECIMAL
+    before the moment sums, so the regression arithmetic is bit-exact and
+    order-independent on both engines (the libm-divergence defense).
+
+    Scale shape: one tokenize+count aggregate (map-side combined), a
+    top-100 TakeOrdered, and a 100-row fit — the vocabulary table is the
+    only shuffle at any corpus size."""
+    d = Catalog(spark, sf_dir).documents
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(ZIPF_TOP)
+    )
+    w_rank = Window.orderBy(F.desc("c"), "w")
+    ranked = vocab.select(
+        F.round(F.log(F.row_number().over(w_rank)), 8)
+        .cast("decimal(18,8)")
+        .alias("lx"),
+        F.round(F.log("c"), 8).cast("decimal(18,8)").alias("ly"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "n",
+        F.round(num / den, 4).alias("zipf_slope"),
+        F.round(num * num / (den * deny), 4).alias("r2"),
+    ).orderBy("n")
