@@ -1248,3 +1248,17 @@ def test_d07_band_join_pure_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_d14_rolling_ols_one_window_exec(spark):
+    """All five frame sums must share ONE WindowExec over the pre-reduced
+    daily series (the raw stream never reaches a window)."""
+    plan = _plan(spark, "d14_rolling_ols")
+    assert plan.count("Window [") <= 2  # row_number + fused frame sums
+    assert "partial_sum(cast(value" in plan  # daily pre-agg is map-side
+
+
+def test_d31_zipf_topk_no_global_sort(spark):
+    """The vocabulary top-100 must flow through TakeOrderedAndProject."""
+    plan = _plan(spark, "d31_zipf_fit")
+    assert "TakeOrderedAndProject" in plan

@@ -171,6 +171,8 @@ AUDIT = [
     "d15_diversified_topk",
     "d07_band_join",
     "d16_pipe_syntax",
+    "d14_rolling_ols",
+    "d31_zipf_fit",
 ]
 
 
