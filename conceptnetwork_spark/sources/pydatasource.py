@@ -345,3 +345,132 @@ def d01_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round("o_totalprice", 4).alias("price"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Spark 4.1 Python data source FILTER PUSHDOWN (DataSourceReader.pushFilters)
+# — and a result that can only hash-match if the pushdown actually reached
+# read(): every emitted row carries scan_rows, the number of rows the
+# reader GENERATED for its partition. With the grp filter pushed, each
+# partition generates exactly per/10 rows; without pushdown it would
+# generate `per` rows, scan_rows would be 10x larger, and the oracle hash
+# would break. The residual val-range filter stays Spark-side (pushFilters
+# returns it), certifying the split contract too.
+# --------------------------------------------------------------------------
+PD_N = 20_000
+PD_PARTS = 4
+PD_GRP = 3  # the equality literal the query pushes down
+
+
+class _PushdownReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", PD_N))
+        self.n_parts = int(options.get("partitions", PD_PARTS))
+        self.grp: int | None = None
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import EqualTo
+
+        for f in filters:
+            # accept only `grp = <lit>`; everything else stays Spark-side
+            if isinstance(f, EqualTo) and f.attribute == ("grp",):
+                self.grp = int(f.value)
+            else:
+                yield f
+
+    def partitions(self):
+        return [InputPartition(p) for p in range(self.n_parts)]
+
+    def read(self, partition):
+        per = (self.n + self.n_parts - 1) // self.n_parts
+        lo = partition.value * per
+        hi = min(lo + per, self.n)
+        rows = [
+            (i, i % 10, (i * 7) % 1000)
+            for i in range(lo, hi)
+            if self.grp is None or i % 10 == self.grp
+        ]
+        scan = len(rows)  # what this partition actually generated
+        for i, grp, val in rows:
+            yield (i, grp, val, partition.value, scan)
+
+
+class PushdownSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "synthpushdown"
+
+    def schema(self):
+        return "i bigint, grp int, val bigint, part int, scan_rows bigint"
+
+    def reader(self, schema):
+        return _PushdownReader(self.options)
+
+
+def register_pushdown_source(spark: SparkSession) -> None:
+    if getattr(spark, "_cn_pushdown_src", False):
+        return
+    spark.dataSource.register(PushdownSource)
+    spark._cn_pushdown_src = True
+
+
+@register(
+    "d01_python_pushdown",
+    # oracle re-derives what a PUSHED scan generates: per partition,
+    # exactly the grp==3 slice (per/10 rows) — scan_rows != that value
+    # (e.g. the unpushed `per`) breaks the hash
+    oracle=f"""
+    WITH rows AS (
+      SELECT i, i % 10 AS grp, (i * 7) % 1000 AS val,
+             CAST(i // {(PD_N + PD_PARTS - 1) // PD_PARTS} AS INT) AS part
+      FROM (SELECT unnest(range({PD_N})) AS i)
+    ), pushed AS (
+      SELECT * FROM rows WHERE grp = {PD_GRP}
+    ), scans AS (
+      SELECT part, COUNT(*) AS scan_rows FROM pushed GROUP BY part
+    )
+    SELECT p.part,
+           CAST(s.scan_rows AS BIGINT) AS scan_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_result,
+           CAST(SUM(p.val) AS BIGINT) AS sum_val
+    FROM pushed p JOIN scans s USING (part)
+    WHERE p.val > 500
+    GROUP BY p.part, s.scan_rows
+    ORDER BY p.part
+    """,
+)
+def d01_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown INTO a Python data source (Spark 4.1
+    ``DataSourceReader.pushFilters``): the query's ``grp = 3`` equality is
+    accepted by the reader (each partition then generates only its grp-3
+    slice) while the ``val > 500`` range predicate is returned as residual
+    and evaluated by Spark after the scan. The emitted ``scan_rows`` column
+    is the count each partition actually produced, so the oracle hash
+    certifies the pushdown CONTRACT itself: an unpushed scan would emit
+    scan_rows 10x larger, a reader that wrongly swallowed the residual
+    filter would change n_result. This is the API that makes bespoke
+    Python connectors (internal feeds, service APIs) scan-efficient
+    instead of filter-after-transfer.
+
+    Scale shape: split planning + per-partition generation identical to
+    d01_python_datasource; the pushdown removes 90% of the transfer before
+    Arrow ever sees it."""
+    register_pushdown_source(spark)
+    # runtime SQL conf, read at scan planning; default false in 4.1
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("synthpushdown")
+        .option("n", PD_N)
+        .option("partitions", PD_PARTS)
+        .load()
+    )
+    filtered = df.where((F.col("grp") == PD_GRP) & (F.col("val") > 500))
+    return (
+        filtered.groupBy("part", "scan_rows")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_result"),
+            F.sum("val").cast("long").alias("sum_val"),
+        )
+        .select("part", F.col("scan_rows").cast("long"), "n_result", "sum_val")
+        .orderBy("part")
+    )
