@@ -1288,3 +1288,97 @@ def d30_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="rank int, vec_id long, rel double, mmr double",
     )
     return out.orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# D30 extension — ColBERT-style late interaction (MaxSim): multi-vector
+# retrieval scoring. Each "document" is a bag of token embeddings (here:
+# a label's first 8 vectors); the query is itself a bag (the 4 lowest
+# vec_ids); score(doc) = sum over query tokens of the MAX dot product
+# against any doc token. This is the retrieval scorer that beats
+# single-vector cosine on long documents, expressed relationally.
+# --------------------------------------------------------------------------
+MAXSIM_Q = 4  # query tokens
+MAXSIM_T = 8  # doc tokens per label
+
+
+@register(
+    "d30_maxsim",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      ORDER BY vec_id LIMIT {MAXSIM_Q}
+    ), toks AS (
+      SELECT label, vec_id, embedding FROM (
+        SELECT label, vec_id, embedding,
+               ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM embeddings
+      ) WHERE rn <= {MAXSIM_T}
+    ), dots AS (
+      SELECT t.label, q.q_id,
+             MAX(list_dot_product(CAST(t.embedding AS DOUBLE[]),
+                                  CAST(q.q_emb AS DOUBLE[]))) AS m
+      FROM toks t CROSS JOIN q
+      GROUP BY t.label, q.q_id
+    ), nt AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY label
+    )
+    SELECT d.label, nt.n_tokens, ROUND(SUM(d.m), 4) AS maxsim
+    FROM dots d JOIN nt USING (label)
+    GROUP BY d.label, nt.n_tokens
+    ORDER BY d.label
+    """,
+)
+def d30_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (MaxSim) retrieval scoring: each label is a
+    multi-vector document (its first {MAXSIM_T} token embeddings), the
+    query is a {MAXSIM_Q}-token bag, and the document score sums the best
+    dot product per query token — the ColBERT scoring rule, which
+    single-vector d30_knn_exact/d30_mips_topk cannot express. Entirely
+    relational: broadcast the query bag, codegen'd zip_with dot per
+    (doc-token, query-token) pair, MAX per (doc, query-token), SUM per
+    doc. No UDF, no Python.
+
+    Scale shape: the query bag broadcasts (Q rows); the per-pair dot work
+    is map-side over the token table; both reductions are partial+final
+    aggregates keyed by (label[, q_id]) — at corpus scale this is exactly
+    one scan of the token-embedding table per query bag, with the
+    candidate-set pruning (d30_lsh_ann / d30_ivf_ann) composable in front
+    as stage one."""
+    e = Catalog(spark, sf_dir).embeddings
+    q = (
+        e.orderBy("vec_id")
+        .limit(MAXSIM_Q)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    w = Window.partitionBy("label").orderBy("vec_id")
+    toks = (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= MAXSIM_T)
+        .select("label", "vec_id", "embedding")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "q_emb",
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dots = (
+        toks.crossJoin(F.broadcast(q))
+        .select("label", "q_id", dot.alias("d"))
+        .groupBy("label", "q_id")
+        .agg(F.max("d").alias("m"))
+    )
+    nt = toks.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    return (
+        dots.groupBy("label")
+        .agg(F.round(F.sum("m"), 4).alias("maxsim"))
+        .join(F.broadcast(nt), "label")
+        .select("label", "n_tokens", "maxsim")
+        .orderBy("label")
+    )

@@ -173,6 +173,7 @@ AUDIT = [
     "d16_pipe_syntax",
     "d14_rolling_ols",
     "d31_zipf_fit",
+    "d30_maxsim",
 ]
 
 
