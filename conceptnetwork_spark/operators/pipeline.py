@@ -2501,3 +2501,99 @@ def d34_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rejected_chars",
         (F.col("chosen_chars") - F.col("rejected_chars")).alias("margin"),
     ).orderBy("source", "lang")
+
+
+# --------------------------------------------------------------------------
+# D34 extension — T5-style span corruption (denoising-objective dataprep)
+# --------------------------------------------------------------------------
+# mask positions p with p % 7 in {3, 4}: a 2-token span every 7 tokens,
+# span id s = p div 7. The corrupted sequence replaces each span with one
+# sentinel <Xs>; the target sequence lists each sentinel followed by the
+# tokens it hid — the (inputs, targets) pair of Raffel et al. (2020).
+@register(
+    "d34_span_corruption",
+    # Spark transform/filter lambdas index 0-based, DuckDB 1-based — the
+    # oracle uses (i - 1) throughout
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+      FROM documents
+    ), built AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, (x, i) -> (i - 1) % 7 IN (3, 4)))
+                  AS BIGINT) AS n_masked,
+             array_to_string(list_filter(list_transform(toks, (x, i) ->
+               CASE WHEN (i - 1) % 7 = 3
+                      THEN '<X' || CAST((i - 1) // 7 AS VARCHAR) || '>'
+                    WHEN (i - 1) % 7 = 4 THEN ''
+                    ELSE x END), x -> x <> ''), ' ') AS corrupted,
+             array_to_string(list_filter(list_transform(toks, (x, i) ->
+               CASE WHEN (i - 1) % 7 = 3
+                      THEN '<X' || CAST((i - 1) // 7 AS VARCHAR) || '> ' || x
+                    WHEN (i - 1) % 7 = 4 THEN x
+                    ELSE '' END), x -> x <> ''), ' ') AS targets
+      FROM t
+    )
+    SELECT doc_id, n_tokens, n_masked,
+           md5(corrupted) AS corrupted_md5,
+           md5(targets) AS targets_md5
+    FROM built ORDER BY doc_id
+    """,
+)
+def d34_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption: every document becomes a denoising
+    (inputs, targets) pair — deterministic 2-token spans every 7 tokens
+    replaced by per-span sentinels in the input, re-emitted after their
+    sentinel in the target. Both rendered strings are md5-certified, so a
+    corruptor that mis-numbers sentinels, drops the wrong token, or
+    reorders targets breaks the hash (position-indexed masking instead of
+    seeded randomness is what makes the pair content-addressed and
+    therefore certifiable — and reproducible across reruns, the
+    d34_repro_fingerprint requirement).
+
+    Scale shape: pure higher-order array expressions (transform with
+    index, filter, array_join, md5) — one codegen'd map-only projection,
+    no UDF, no shuffle; the 100 TB form is this exact plan."""
+    d = Catalog(spark, sf_dir).documents
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+
+    def corrupt(x, i):
+        s = (i / 7).cast("long")
+        return (
+            F.when(i % 7 == 3, F.concat(F.lit("<X"), s.cast("string"), F.lit(">")))
+            .when(i % 7 == 4, F.lit(""))
+            .otherwise(x)
+        )
+
+    def target(x, i):
+        s = (i / 7).cast("long")
+        return (
+            F.when(
+                i % 7 == 3,
+                F.concat(F.lit("<X"), s.cast("string"), F.lit("> "), x),
+            )
+            .when(i % 7 == 4, x)
+            .otherwise(F.lit(""))
+        )
+
+    built = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda x, i: (i % 7 == 3) | (i % 7 == 4))
+        ).cast("long").alias("n_masked"),
+        F.array_join(
+            F.filter(F.transform(toks, corrupt), lambda x: x != ""), " "
+        ).alias("corrupted"),
+        F.array_join(
+            F.filter(F.transform(toks, target), lambda x: x != ""), " "
+        ).alias("targets"),
+    )
+    return built.select(
+        "doc_id",
+        "n_tokens",
+        "n_masked",
+        F.md5("corrupted").alias("corrupted_md5"),
+        F.md5("targets").alias("targets_md5"),
+    ).orderBy("doc_id")

@@ -627,3 +627,60 @@ def d02_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_price"
         ),
     ).orderBy("replicate")
+
+
+# --------------------------------------------------------------------------
+# D2 extension — deterministic k-fold cross-validation assignment
+# --------------------------------------------------------------------------
+KFOLD = 5
+
+
+@register(
+    "d02_kfold",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, {_bucket_sql('doc_id')} % {KFOLD} AS fold
+      FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM f)
+    SELECT CAST(fold AS INT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_val,
+           CAST(MAX(tot.n) - COUNT(*) AS BIGINT) AS n_train,
+           CAST(SUM(doc_id) AS BIGINT) AS val_id_sum,
+           ROUND(COUNT(*) * 100.0 / MAX(tot.n), 2) AS val_pct
+    FROM f, tot GROUP BY fold ORDER BY fold
+    """,
+)
+def d02_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment: every document lands in exactly one
+    of {KFOLD} validation folds by md5 bucket — permanent, content-addressed
+    membership (re-runs, re-partitions, and appends of OTHER rows never move
+    a document between folds, the property seeded randomSplit cannot give).
+    The per-fold id checksum certifies the exact membership, not just the
+    sizes — the same contract as d02_class_balance.
+
+    Scale shape: one map-side bucket expression, one tiny agg; the total
+    count broadcasts. Fold i's TRAIN view is the complement filter
+    ``fold != i`` over the same expression — no data movement to
+    materialize any of the k splits."""
+    d = Catalog(spark, sf_dir).documents
+    f = d.select(
+        "doc_id", (hash_bucket(F.col("doc_id")) % KFOLD).alias("fold")
+    )
+    tot = f.agg(F.count(F.lit(1)).alias("n"))
+    agg = (
+        f.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_val"),
+            F.sum("doc_id").cast("long").alias("val_id_sum"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return agg.select(
+        F.col("fold").cast("int").alias("fold"),
+        "n_val",
+        (F.col("n") - F.col("n_val")).cast("long").alias("n_train"),
+        "val_id_sum",
+        F.round(F.col("n_val") * F.lit(100.0) / F.col("n"), 2).alias(
+            "val_pct"
+        ),
+    ).orderBy("fold")

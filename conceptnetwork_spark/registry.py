@@ -142,7 +142,7 @@ CERT_FIRST: tuple[str, ...] = (
     "d31_bigram_logprob",
 )
 # Every oracle-backed query outside this window already holds >=1 driver
-# hash-match (r1-r5; ledger: CERTIFIED.md) — except the FORTY-FIVE newest
+# hash-match (r1-r5; ledger: CERTIFIED.md) — except the FORTY-SEVEN newest
 # round-6 queries (the window holds 50; they are the declared r7
 # carry-over): d34_chat_template, d35_clustering_depth, d11_countmin,
 # d14_theil_sen, d16_sql_scripting, d01_parameterized_sql,
@@ -169,7 +169,10 @@ CERT_FIRST: tuple[str, ...] = (
 # d01_python_pushdown (4.1 pushFilters into a Python source; the
 # emitted scan_rows column makes the pushdown itself hash-certified),
 # d30_maxsim (ColBERT late-interaction multi-vector scoring, fully
-# relational — broadcast query bag, zip_with dots, MAX-then-SUM).
+# relational — broadcast query bag, zip_with dots, MAX-then-SUM),
+# d02_kfold (content-addressed k-fold CV assignment with per-fold id
+# checksums), d34_span_corruption (T5 denoising pairs, md5-certified
+# corrupted/target renderings via indexed array lambdas).
 # For the record, the FIFTY-EIGHT oracle queries registered during
 # round 6 were, per wave — Wave 1-2: d30_hamming_topk (bit-packed binary
 # retrieval), d14_date_bin_rollup (hypertable-style time-bucket rollup),
@@ -240,9 +243,9 @@ CERT_FIRST: tuple[str, ...] = (
 # tokenization over decoded rasters, closed-form patch-grid oracle),
 # d32_audio_energy (framewise RMS/peak/zero-crossings over decoded
 # PCM16, power-of-two frames for bit-identical RMS).
-# All EIGHTY-THREE round-6 oracle queries pass the local DuckDB gate
+# All EIGHTY-FIVE round-6 oracle queries pass the local DuckDB gate
 # (wave 7 verified at sf0.001/0.01/0.1); 38 sit in the window above,
-# the forty-five newest are the declared r7 carry-over. d30_mmr_rerank
+# the forty-seven newest are the declared r7 carry-over. d30_mmr_rerank
 # (greedy MMR re-rank) is oracle-less by design (numpy-equivalence +
 # diversity pytest).
 # d30_ivf_pq (composed IVFPQ) is oracle-less by design (recall-tested).

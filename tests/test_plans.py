@@ -1262,3 +1262,11 @@ def test_d31_zipf_topk_no_global_sort(spark):
     """The vocabulary top-100 must flow through TakeOrderedAndProject."""
     plan = _plan(spark, "d31_zipf_fit")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_d34_span_corruption_map_only(spark):
+    """The corruptor is one codegen'd projection of indexed array lambdas:
+    no shuffle besides the presentation sort, no Python eval."""
+    plan = _plan(spark, "d34_span_corruption")
+    assert plan.count("Exchange hashpartitioning") == 0, plan[:800]
+    assert "Python" not in plan

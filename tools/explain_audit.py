@@ -174,6 +174,8 @@ AUDIT = [
     "d14_rolling_ols",
     "d31_zipf_fit",
     "d30_maxsim",
+    "d34_span_corruption",
+    "d02_kfold",
 ]
 
 
