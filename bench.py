@@ -259,6 +259,15 @@ def _emit(metric: str, total: float, timings: dict[str, float], extra: dict) -> 
     detail = {"metric": metric + "_detail", "value": total, "unit": "sec",
               "queries": timings, **extra}
     print(json.dumps(detail))
+    # the headline detail also lands as a FILE (VERDICT r6 ask #7): the
+    # driver's tail-capture truncates the multi-KB detail line as the query
+    # count grows, so per-query visibility must not depend on stdout at all —
+    # tools/roundclose.py snapshots this as BENCHDETAIL_r{N}.json
+    if not metric.startswith("full_sweep"):
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCHDETAIL.json"), "w") as f:
+            json.dump(detail, f)
+            f.write("\n")
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     summary = {"metric": metric, "value": total, "unit": "sec",
                "queries": slowest, "n_queries": len(timings),

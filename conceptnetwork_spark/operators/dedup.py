@@ -577,11 +577,15 @@ def d29_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings'; the same block-then-verify shape as the MinHash (set) and
     SimHash (vector) families, here for edit distance.
 
-    Blocking is sound for this threshold family: two words within edit
-    distance k share at least one q-gram whenever min_len >= q*(k+1)
-    isn't violated by the distance — and the oracle applies the IDENTICAL
-    candidate generator, so the comparison certifies block+verify as a
-    unit, not an approximation against ground truth.
+    Blocking is a HEURISTIC at these parameters, not a guarantee: the
+    classic count-filter bound (strings within edit distance k share >=
+    max_len - q + 1 - k*q grams) only forces a shared gram while
+    len < q*(k+1) + q - 1; with q=3, k=2 two longer words with spread
+    edits (e.g. 'abcdef' vs 'aXcdeY') can share NO 3-gram and the pair is
+    missed. The oracle applies the IDENTICAL candidate generator, so the
+    certification is of block+verify as a unit — not recall against
+    ground-truth edit distance. Guaranteed-recall variants would lower q,
+    partition words into k+1 segments (pigeonhole), or length-band.
 
     Scale shape (100 TB): grams explode map-side; the candidate join is an
     equi-join on the q-gram key whose fanout is bounded by gram frequency

@@ -47,9 +47,45 @@ def _oracle_sf_dir() -> str:
     )
 
 
+def _sf_fingerprint(sf_dir: str) -> str:
+    """Short content fingerprint (names, sizes, mtimes of every parquet
+    under sf_dir). Baked into every staging-dir name so regenerating the
+    testdata at the SAME path invalidates all cached fixture stages instead
+    of silently replaying stale bytes across sessions (same contract as
+    streaming.stateful._src_fingerprint). Cached per-process: staging dirs
+    must not flap mid-session if the driver regenerates data underneath."""
+    cached = _SF_FP_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    import hashlib
+
+    h = hashlib.md5()
+    try:
+        for name in sorted(os.listdir(sf_dir)):
+            p = os.path.join(sf_dir, name)
+            if os.path.isdir(p):
+                for root, _dirs, files in sorted(os.walk(p)):
+                    for fn in sorted(files):
+                        st = os.stat(os.path.join(root, fn))
+                        h.update(f"{name}/{fn}:{st.st_size}:{st.st_mtime_ns}".encode())
+            else:
+                st = os.stat(p)
+                h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:
+        pass
+    fp = h.hexdigest()[:10]
+    _SF_FP_CACHE[sf_dir] = fp
+    return fp
+
+
+_SF_FP_CACHE: dict[str, str] = {}
+
+
 def _stage_dir(sf_dir: str, fmt: str) -> str:
     base = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(tempfile.gettempdir(), f"cn_spark_{fmt}_{base}")
+    return os.path.join(
+        tempfile.gettempdir(), f"cn_spark_{fmt}_{base}_{_sf_fingerprint(sf_dir)}"
+    )
 
 
 def stage_nation_csv(sf_dir: str) -> str:

@@ -192,14 +192,17 @@ def d01_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     deadline = _time.time() + 120
     try:
         while _time.time() < deadline:
-            if not q.isActive:
-                # fail fast with the underlying error instead of spinning
-                # out the deadline and masking it as a TimeoutError
-                exc = q.exception()
-                if exc is not None:
-                    raise exc
             if spark.table(name).count() >= expected:
                 break
+            if not q.isActive:
+                # fail fast with the underlying error instead of spinning
+                # out the deadline and masking it as a TimeoutError; a CLEAN
+                # stop (exception() None) is equally terminal — no more rows
+                # are coming
+                exc = q.exception()
+                raise exc if exc is not None else RuntimeError(
+                    f"stream stopped cleanly before reaching {expected} rows"
+                )
             _time.sleep(0.5)
         else:
             raise TimeoutError(f"stream never reached {expected} rows")

@@ -2230,15 +2230,19 @@ def d25_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     deadline = _time.time() + 120
     try:
         while _time.time() < deadline:
-            if not q.isActive:
-                exc = q.exception()
-                if exc is not None:
-                    raise exc
             if (
                 spark.table(table).where(F.col("value") < RATE_TARGET_ROWS).count()
                 >= RATE_TARGET_ROWS
             ):
                 break
+            if not q.isActive:
+                # a clean stop (exception() None) must not busy-spin to the
+                # deadline: no more rows are coming either way
+                exc = q.exception()
+                raise exc if exc is not None else RuntimeError(
+                    f"rate source stopped cleanly before reaching "
+                    f"{RATE_TARGET_ROWS} rows"
+                )
             _time.sleep(0.3)
         else:
             raise TimeoutError(f"rate source never reached {RATE_TARGET_ROWS} rows")

@@ -176,7 +176,73 @@ AUDIT = [
     "d30_maxsim",
     "d34_span_corruption",
     "d02_kfold",
+    # round-7 additions (VERDICT r6 ask #4)
+    "d01_python_pushdown",
 ]
+
+
+def _aux_bpe_train_round(spark, sf_dir):
+    """One BPE training round's pair-count plan (the shape that iterates):
+    exactly one (pair, partial-count) exchange around a partial+final
+    HashAggregate pair over the persisted vocabulary table — proving no
+    text re-tokenization happens across rounds (the corpus collapses to
+    the word table ONCE; see pipeline.d34_bpe_train)."""
+    from pyspark.sql import functions as F
+
+    from conceptnetwork_spark.operators.pipeline import (
+        BPE_SEP,
+        bpe_word_table,
+    )
+
+    words = bpe_word_table(spark, sf_dir)
+    n = F.size("syms")
+    return (
+        words.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, n - 1),
+                    F.slice("syms", 2, n - 1),
+                    lambda x, y: F.concat_ws(BPE_SEP, x, y),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("pc"))
+    )
+
+
+def _aux_python_stream_source(spark, sf_dir):
+    """The UN-STARTED streaming read from the custom Python source — the
+    lazy plan pins the PythonMicroBatchStream scan node + the filter above
+    it (the executed query in d01_python_stream_source wraps this in a
+    memory sink with a per-run uuid name, which would flap the drift
+    radar)."""
+    from pyspark.sql import functions as F
+
+    from conceptnetwork_spark.sources.pydatasource import (
+        STREAM_CHUNK,
+        SYNTH_N,
+        register_python_source,
+    )
+
+    register_python_source(spark)
+    return (
+        spark.readStream.format("synthrange")
+        .option("n", str(SYNTH_N))
+        .option("chunk", str(STREAM_CHUNK))
+        .load()
+        .where(F.col("v") < 50)
+    )
+
+
+# queries whose AUDITABLE plan is not the returned DataFrame: iterative
+# operators (pin the per-round shape) and eagerly-executed streaming
+# queries (pin the un-started source plan)
+AUX_PLANS = {
+    "d34_bpe_train@per-round-pair-count-shape": _aux_bpe_train_round,
+    "d01_python_stream_source@unstarted-stream-plan": _aux_python_stream_source,
+}
 
 
 def main() -> None:
@@ -201,9 +267,11 @@ def main() -> None:
         "audited by their batch-equivalence oracles instead.",
         "",
     ]
-    for name in names:
+    builders = {n: qs[n] for n in names}
+    builders.update(AUX_PLANS)
+    for name, build in builders.items():
         try:
-            df = qs[name](spark, sf_dir)
+            df = build(spark, sf_dir)
             plan = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
@@ -215,7 +283,7 @@ def main() -> None:
         out += [f"## {name}", "", "```", plan.strip(), "```", ""]
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md ({len(names)} plans)")
+    print(f"wrote PLANS.md ({len(builders)} plans)")
     spark.stop()
 
 

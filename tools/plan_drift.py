@@ -20,7 +20,10 @@ def _normalize(body: str) -> str:
     body = re.sub(r"plan_id=\d+", "plan_id=N", body)
     # RDD lineage ids vary with session history (e.g. MapPartitionsRDD[234])
     body = re.sub(r"RDD\[\d+\]", "RDD[N]", body)
-    body = re.sub(r"Location: \S+", "Location: X", body)
+    # the bracketed path after the file-index class varies too (staged
+    # fixture dirs are content-fingerprinted, so regenerated testdata —
+    # or another machine — changes the tmp path, not the plan)
+    body = re.sub(r"Location: \S+( \[[^\]]*\])?", "Location: X", body)
     # per-run uuid'd streaming checkpoints (d25_state_reader reads state
     # back from a checkpoint created fresh each invocation)
     body = re.sub(r"stateCkptLocation=\S+?\]", "stateCkptLocation=X]", body)

@@ -44,12 +44,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
 
-    exact = _sets(qs["d30_knn_exact"](spark, sf_dir).collect())
     result: dict[str, float] = {}
-    for name in ("d30_lsh_ann", "d30_ivf_ann", "d30_pq_ann"):
-        result[f"{name}_recall_at_10"] = round(
-            _avg_recall(exact, _sets(qs[name](spark, sf_dir).collect())), 4
-        )
+    # two corpora per retriever: the driver testdata (near-uniform vectors)
+    # AND the clustered/anisotropic fixture (VERDICT r6 ask #5 — uniform
+    # vectors don't discriminate retriever quality; the clustered fixture
+    # is what real embedding spaces look like)
+    from conceptnetwork_spark.operators.similarity import (
+        stage_clustered_embeddings,
+    )
+
+    corpora = {"": sf_dir, "_clustered": stage_clustered_embeddings()}
+    for suffix, corpus_dir in corpora.items():
+        exact = _sets(qs["d30_knn_exact"](spark, corpus_dir).collect())
+        for name in ("d30_lsh_ann", "d30_ivf_ann", "d30_pq_ann"):
+            result[f"{name}_recall_at_10{suffix}"] = round(
+                _avg_recall(exact, _sets(qs[name](spark, corpus_dir).collect())),
+                4,
+            )
 
     # MinHash-LSH pair recall vs exact shingle-Jaccard >= 0.5 (the same
     # inverted-index ground-truth construction as tests/test_dedup.py —

@@ -29,15 +29,26 @@ PARITY_SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
 
 
 def _run(cmd: list[str], timeout: int = 3600) -> tuple[int, str]:
-    """Run a gate in a fresh subprocess; return (exit, combined output)."""
-    p = subprocess.run(
-        cmd,
-        cwd=ROOT,
-        stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT,
-        text=True,
-        timeout=timeout,
-    )
+    """Run a gate in a fresh subprocess; return (exit, combined output).
+
+    A hung gate must NOT abort the close — a TimeoutExpired here would
+    otherwise propagate and leave no ROUNDCLOSE_r{N}.json at all, so it is
+    reported as a failing exit (124) with whatever output was captured.
+    """
+    try:
+        p = subprocess.run(
+            cmd,
+            cwd=ROOT,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired as ex:
+        out = ex.stdout if isinstance(ex.stdout, str) else (
+            ex.stdout.decode(errors="replace") if ex.stdout else ""
+        )
+        return 124, out + f"\n[roundclose] gate timed out after {timeout}s"
     return p.returncode, p.stdout
 
 
@@ -65,6 +76,22 @@ def main() -> None:
     print(f"window: {'OK' if code == 0 else 'FAIL'} "
           f"({report['window']['green']}/{report['window']['total']})")
 
+    # 1b. regenerate the CERTIFIED.md ledger from every CORRECTNESS file on
+    # disk + the LIVE registry (VERDICT r6 ask #2: the ledger drifted one
+    # round stale twice in a row when regeneration was left as a mid-round
+    # manual step) — the round cannot close with a stale ledger
+    code, out = _run([py, "tools/make_certified.py"], timeout=300)
+    m = re.search(r"(\d+)/(\d+) certified, (\d+) pending", out)
+    report["certified_ledger"] = {
+        "certified": int(m.group(1)) if m else None,
+        "oracle_total": int(m.group(2)) if m else None,
+        "pending_in_window": int(m.group(3)) if m else None,
+        "ok": code == 0,
+    }
+    ok &= code == 0
+    print(f"certified ledger: {'OK' if code == 0 else 'FAIL'} "
+          f"({report['certified_ledger']})")
+
     # 2. cross-SF parity at the scale factors pytest does NOT use
     report["parity"] = {}
     if not skip_parity:
@@ -87,11 +114,14 @@ def main() -> None:
     # silent physical-plan regression)
     code, out = _run([py, "tools/plan_drift.py", "HEAD"])
     m = re.search(r"(\d+) changed, (\d+) added, (\d+) removed", out)
+    # removed plans are drift too (a query silently dropping out of the
+    # audit is as suspicious as a changed plan); added is informational —
+    # new queries legitimately add plans mid-round
     report["plan_drift"] = {
         "changed": int(m.group(1)) if m else None,
         "added": int(m.group(2)) if m else None,
         "removed": int(m.group(3)) if m else None,
-        "ok": code == 0 and bool(m) and m.group(1) == "0",
+        "ok": code == 0 and bool(m) and m.group(1) == "0" and m.group(3) == "0",
     }
     ok &= report["plan_drift"]["ok"]
     print(f"plan drift: {'OK' if report['plan_drift']['ok'] else 'FAIL'} "
@@ -149,6 +179,31 @@ def main() -> None:
         }
         ok &= code == 0
         print(f"sweep: {'OK' if code == 0 else 'FAIL'} ({report['sweep']})")
+
+    # 6. headline bench -> BENCHDETAIL_r{N}.json (VERDICT r6 ask #7: the
+    # driver's BENCH_r{N}.json tail-capture truncates the full-detail line,
+    # so the per-query headline detail is persisted as its own artifact)
+    if "--skip-bench" not in args:
+        code, out = _run([py, "bench.py"], timeout=1800)
+        dsrc = os.path.join(ROOT, "BENCHDETAIL.json")
+        headline = None
+        if code == 0 and os.path.exists(dsrc):
+            with open(dsrc) as f:
+                headline = json.load(f)
+            dpath = os.path.join(ROOT, f"BENCHDETAIL_r{rnd:02d}.json")
+            with open(dpath, "w") as f:
+                json.dump(headline, f)
+                f.write("\n")
+            print(f"wrote {dpath}")
+        report["headline"] = {
+            "exit": code,
+            "total_sec": (headline or {}).get("value"),
+            "n_queries": len((headline or {}).get("queries", {})) or None,
+            "ok": code == 0 and headline is not None,
+        }
+        ok &= report["headline"]["ok"]
+        print(f"headline: {'OK' if report['headline']['ok'] else 'FAIL'} "
+              f"({report['headline']})")
 
     report["ok"] = bool(ok)
     report["finished_unix"] = int(time.time())
