@@ -188,15 +188,12 @@ def _twsp_available() -> bool:
         return False
 
 
-def run_first_seen_stats(
-    spark: SparkSession, sf_dir: str, n_files: int = 3
-) -> DataFrame:
-    """Per-user (first_seen, n_events) via ``transformWithStateInPandas`` —
-    the Spark-4 arbitrary-stateful API (typed ValueState, RocksDB state
-    store) that supersedes applyInPandasWithState. State carries across
-    micro-batches (maxFilesPerTrigger=1 over a staged multi-file copy), and
-    the final emission per key must equal the batch MIN(ts)/COUNT(*).
-    """
+def first_seen_processor():
+    """Build the per-user (first_seen, n_events) StatefulProcessor —
+    module-level factory so the 10^6-key state-cardinality stress test
+    (tests/test_streaming.py) drives the IDENTICAL production processor,
+    not a copy. Imports stay inside: the StatefulProcessor API only exists
+    where TWSP_AVAILABLE."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -207,13 +204,6 @@ def run_first_seen_stats(
         StructType,
         TimestampType,
     )
-
-    from conceptnetwork_spark.protoshim import ship_to_workers
-
-    # the state client runs in the Python WORKER; if the vendored protobuf
-    # shim is active, ship it there (addPyFile) in case this session's JVM
-    # predates ensure_protobuf()'s PYTHONPATH export
-    ship_to_workers(spark)
 
     class FirstSeenProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -244,11 +234,33 @@ def run_first_seen_stats(
         def close(self) -> None:
             pass
 
+    return FirstSeenProcessor()
+
+
+FIRST_SEEN_SCHEMA = "user_id long, first_seen timestamp, n_events long"
+
+
+def run_first_seen_stats(
+    spark: SparkSession, sf_dir: str, n_files: int = 3
+) -> DataFrame:
+    """Per-user (first_seen, n_events) via ``transformWithStateInPandas`` —
+    the Spark-4 arbitrary-stateful API (typed ValueState, RocksDB state
+    store) that supersedes applyInPandasWithState. State carries across
+    micro-batches (maxFilesPerTrigger=1 over a staged multi-file copy), and
+    the final emission per key must equal the batch MIN(ts)/COUNT(*).
+    """
+    from conceptnetwork_spark.protoshim import ship_to_workers
+
+    # the state client runs in the Python WORKER; if the vendored protobuf
+    # shim is active, ship it there (addPyFile) in case this session's JVM
+    # predates ensure_protobuf()'s PYTHONPATH export
+    ship_to_workers(spark)
+
     raw = _run_tws_update_log(
         spark,
         sf_dir,
-        FirstSeenProcessor(),
-        "user_id long, first_seen timestamp, n_events long",
+        first_seen_processor(),
+        FIRST_SEEN_SCHEMA,
         n_files,
     )
     from pyspark.sql import functions as F
