@@ -2597,3 +2597,150 @@ def d34_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("corrupted").alias("corrupted_md5"),
         F.md5("targets").alias("targets_md5"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# D34n — SFT loss-mask spans (round 7): which characters of the rendered
+# chat sample the loss actually trains on
+# --------------------------------------------------------------------------
+@register(
+    "d34_loss_mask",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('view', 'click') THEN 'user'
+                  ELSE 'assistant' END AS role,
+             event_type || ':' ||
+               CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR)
+               AS content
+      FROM events
+    ), p AS (
+      SELECT user_id,
+             list(role || '\x1f' || content
+                  ORDER BY ts, event_id)[1:{CHAT_MAX_TURNS}] AS turns
+      FROM t GROUP BY user_id
+    ), r AS (
+      SELECT user_id, turns,
+             '{CHAT_SYSTEM}' || array_to_string(
+               list_transform(turns,
+                 x -> '<|' || string_split(x, '\x1f')[1] || '|>'
+                      || string_split(x, '\x1f')[2] || '<|end|>'), '')
+               AS rendered
+      FROM p
+    ), u AS (
+      SELECT user_id, rendered,
+             unnest(turns) AS turn,
+             generate_subscripts(turns, 1) AS idx
+      FROM r
+    ), x AS (
+      SELECT user_id, rendered, idx,
+             string_split(turn, '\x1f')[1] AS role,
+             string_split(turn, '\x1f')[2] AS content
+      FROM u
+    ), o AS (
+      SELECT user_id, rendered, idx, role, content,
+             {len(CHAT_SYSTEM)}
+               + COALESCE(SUM(len(role) + len(content) + 11) OVER (
+                   PARTITION BY user_id ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + len(role) + 4 AS span_start
+      FROM x
+    )
+    SELECT user_id,
+           CAST(idx AS INT) AS turn_idx,
+           CAST(span_start AS BIGINT) AS span_start,
+           CAST(len(content) AS BIGINT) AS span_len,
+           substr(rendered, CAST(span_start + 1 AS BIGINT), CAST(len(content) AS BIGINT)) AS masked
+    FROM o WHERE role = 'assistant'
+    ORDER BY user_id, turn_idx
+    """,
+)
+def d34_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask spans over the d34_chat_template rendering: the
+    character ranges covering ASSISTANT content — the only tokens the
+    fine-tune loss trains on (user/system text is context, training on
+    it teaches the model to hallucinate the user). Spans are computed as
+    running offsets over the turn list, and the `masked` column is cut
+    FROM THE RENDERED STRING with those offsets — so the hash check
+    proves the offsets index the actual rendering, not a parallel
+    reconstruction; an off-by-one would surface as mangled substrings.
+
+    Scale shape (100 TB): the same single user_id shuffle as
+    d34_chat_template builds (turns, rendered); posexplode + one
+    SUM-over-rows window per user computes offsets on the turn-count-
+    sized exploded frame (<= CHAT_MAX_TURNS rows per user). Rendering
+    happens once; masks are arithmetic, not re-rendering."""
+    e = Catalog(spark, sf_dir).events
+    role = F.when(
+        F.col("event_type").isin("view", "click"), F.lit("user")
+    ).otherwise(F.lit("assistant"))
+    content = F.concat_ws(
+        ":",
+        F.col("event_type"),
+        F.round(F.col("value") * 100, 0).cast("long").cast("string"),
+    )
+    turns = (
+        e.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id", role.alias("role"), content.alias("content")
+            ).alias("t"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("t")), 1, CHAT_MAX_TURNS).alias(
+                "turns"
+            )
+        )
+    )
+    rendered = F.concat(
+        F.lit(CHAT_SYSTEM),
+        F.array_join(
+            F.transform(
+                "turns",
+                lambda x: F.concat(
+                    F.lit("<|"), x["role"], F.lit("|>"), x["content"], F.lit("<|end|>")
+                ),
+            ),
+            "",
+        ),
+    )
+    ex = turns.select(
+        "user_id", rendered.alias("rendered"), F.posexplode("turns").alias("pos", "t")
+    )
+    piece_len = (
+        F.length(F.col("t.role")) + F.length(F.col("t.content")) + F.lit(11)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    span_start = (
+        F.lit(len(CHAT_SYSTEM))
+        + F.coalesce(F.sum(piece_len).over(w), F.lit(0))
+        + F.length(F.col("t.role"))
+        + F.lit(4)
+    )
+    spans = ex.select(
+        "user_id",
+        "rendered",
+        (F.col("pos") + 1).cast("int").alias("turn_idx"),
+        span_start.cast("long").alias("span_start"),
+        F.length(F.col("t.content")).cast("long").alias("span_len"),
+        F.col("t.role").alias("role"),
+    )
+    return (
+        spans.where(F.col("role") == "assistant")
+        .select(
+            "user_id",
+            "turn_idx",
+            "span_start",
+            "span_len",
+            F.expr(
+                "substring(rendered, cast(span_start as int) + 1,"
+                " cast(span_len as int))"
+            ).alias("masked"),
+        )
+        .orderBy("user_id", "turn_idx")
+    )

@@ -5939,3 +5939,350 @@ def d14_rolling_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("slope"),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# D19 extension (round 7) — numerically stable grouped log-sum-exp
+# --------------------------------------------------------------------------
+@register(
+    "d19_logsumexp",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             AVG(value) AS x
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, MAX(x) AS mx, COUNT(*) AS n_days
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(m.n_days AS BIGINT) AS n_days,
+           ROUND(m.mx, 4) AS max_x,
+           ROUND(m.mx + ln(SUM(exp(d.x - m.mx))), 4) AS lse
+    FROM daily d JOIN m USING (event_type)
+    GROUP BY d.event_type, m.n_days, m.mx
+    ORDER BY event_type
+    """,
+)
+def d19_logsumexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped log-sum-exp with the max-shift identity
+    lse(x) = max(x) + ln(sum(exp(x - max(x)))) — the numerically stable
+    reduction under every softmax / mixture log-likelihood / logit
+    calibration job; the naive ln(sum(exp(x))) overflows the moment any
+    x exceeds ~709. Inputs are per-(event_type, day) mean values, so the
+    exp terms span the real dynamic range of the metric.
+
+    Scale shape (100 TB): two chained partial+final hash aggregates —
+    (type, day) means, then the max, then the shifted-exp sum as a third
+    agg keyed on type joined against the broadcast per-type max (a
+    |types|-row table). No window, no sort until the final |types|-row
+    ORDER BY. The shift join broadcasts; nothing but partial sums
+    shuffle."""
+    ev = Catalog(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.avg("value").alias("x"))
+    m = daily.groupBy("event_type").agg(
+        F.max("x").alias("mx"), F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        daily.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n_days", "mx")
+        .agg(F.sum(F.exp(F.col("x") - F.col("mx"))).alias("se"))
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round("mx", 4).alias("max_x"),
+            F.round(F.col("mx") + F.log("se"), 4).alias("lse"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# D10 extension (round 7) — Jensen-Shannon drift between two cohorts
+# --------------------------------------------------------------------------
+@register(
+    "d10_js_divergence",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+      FROM events GROUP BY event_type
+    ), p AS (
+      SELECT event_type,
+             na / CAST(SUM(na) OVER () AS DOUBLE) AS pa,
+             nb / CAST(SUM(nb) OVER () AS DOUBLE) AS pb
+      FROM c
+    )
+    SELECT event_type,
+           ROUND(pa, 4) AS p_a,
+           ROUND(pb, 4) AS p_b,
+           ROUND(0.5 * pa * log2(pa / ((pa + pb) / 2))
+                 + 0.5 * pb * log2(pb / ((pa + pb) / 2)), 4) AS js_term
+    FROM p
+    UNION ALL
+    SELECT 'TOTAL' AS event_type,
+           NULL AS p_a, NULL AS p_b,
+           ROUND(SUM(0.5 * pa * log2(pa / ((pa + pb) / 2))
+                     + 0.5 * pb * log2(pb / ((pa + pb) / 2))), 4) AS js_term
+    FROM p
+    ORDER BY event_type
+    """,
+)
+def d10_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two event cohorts (deterministic
+    even/odd event_id split standing in for reference-vs-candidate
+    snapshots): per-category JS contribution plus the TOTAL row — the
+    symmetric, finite (bounded by 1 bit, log2) drift metric teams prefer
+    over one-sided KL (which is infinite the moment a category vanishes
+    from one side). Complements d10_psi_drift (PSI) and d10_ks_drift
+    (two-sample KS) in the drift-detection battery.
+
+    Scale shape (100 TB): ONE partial+final hash agg over event_type
+    produces the |types|-row contingency; both window normalizations and
+    the JS arithmetic run on that tiny frame. Conditional aggregation
+    (SUM(CASE)) reads the table once for both cohorts — never two scans,
+    never a self-join."""
+    ev = Catalog(spark, sf_dir).events
+    c = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("event_id") % 2 == 1, 1).otherwise(0)).alias("nb"),
+    )
+    wall = Window.partitionBy()
+    p = c.select(
+        "event_type",
+        (F.col("na") / F.sum("na").over(wall).cast("double")).alias("pa"),
+        (F.col("nb") / F.sum("nb").over(wall).cast("double")).alias("pb"),
+    )
+    mid = (F.col("pa") + F.col("pb")) / 2
+    term = 0.5 * F.col("pa") * F.log2(F.col("pa") / mid) + 0.5 * F.col(
+        "pb"
+    ) * F.log2(F.col("pb") / mid)
+    per = p.select(
+        "event_type",
+        F.round("pa", 4).alias("p_a"),
+        F.round("pb", 4).alias("p_b"),
+        F.round(term, 4).alias("js_term"),
+    )
+    total = p.agg(
+        F.lit("TOTAL").alias("event_type"),
+        F.lit(None).cast("double").alias("p_a"),
+        F.lit(None).cast("double").alias("p_b"),
+        F.round(F.sum(term), 4).alias("js_term"),
+    )
+    return per.unionAll(total).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# D27 extension (round 7) — next-step entropy of the journey model
+# --------------------------------------------------------------------------
+@register(
+    "d27_path_entropy",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT src, n, n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS pr
+      FROM pairs
+    )
+    SELECT src,
+           CAST(SUM(n) AS BIGINT) AS n_transitions,
+           CAST(COUNT(*) AS INT) AS n_branches,
+           ROUND(-SUM(pr * log2(pr)), 4) AS next_entropy_bits
+    FROM p GROUP BY src ORDER BY src
+    """,
+)
+def d27_path_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-step Shannon entropy per journey state: for each source
+    event_type, H(next | src) = -sum p log2 p over its outgoing
+    transition distribution — the predictability score on top of the
+    d27_markov_transitions model (0 bits = deterministic funnel step,
+    log2(|types|) = anarchy). Product teams rank flows by this to find
+    where journeys scatter.
+
+    Scale shape (100 TB): identical to d27_markov_transitions — ONE
+    user_id shuffle for the LEAD window, partial+final agg to the
+    |types|^2 pair table, then entropy as a second tiny agg over it.
+    Event volume only ever crosses the wire once."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pr = F.col("n") / F.sum("n").over(Window.partitionBy("src")).cast("double")
+    return (
+        pairs.withColumn("pr", pr)
+        .groupBy("src")
+        .agg(
+            F.sum("n").cast("long").alias("n_transitions"),
+            F.count(F.lit(1)).cast("int").alias("n_branches"),
+            F.round(-F.sum(F.col("pr") * F.log2("pr")), 4).alias(
+                "next_entropy_bits"
+            ),
+        )
+        .orderBy("src")
+    )
+
+
+# --------------------------------------------------------------------------
+# D14 extension (round 7) — Bollinger bands (rolling mean +/- 2 sigma)
+# --------------------------------------------------------------------------
+@register(
+    "d14_bollinger",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ), wf AS (
+      SELECT event_type, day, v,
+             COUNT(*) OVER f AS n,
+             AVG(v) OVER f AS ma,
+             STDDEV_SAMP(v) OVER f AS sd
+      FROM daily
+      WINDOW f AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           ROUND(v, 4) AS v,
+           ROUND(ma, 4) AS ma7,
+           ROUND(ma + 2 * sd, 4) AS upper_band,
+           ROUND(ma - 2 * sd, 4) AS lower_band,
+           CAST(CASE WHEN v > ma + 2 * sd THEN 1
+                     WHEN v < ma - 2 * sd THEN -1 ELSE 0 END AS INT) AS breach
+    FROM wf WHERE n = 7
+    ORDER BY event_type, day
+    """,
+)
+def d14_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the per-type daily value series: trailing
+    7-day mean +/- 2 sample standard deviations, with a breach flag
+    (+1 above, -1 below) — the classic volatility-envelope anomaly
+    monitor; rows without a full 7-day trailing frame are withheld
+    (an undersized stddev reads as a false breach). Completes the
+    frame-window family next to d14_rolling_ols (trend) and
+    d14_zscore_outliers (global z).
+
+    Scale shape (100 TB): partial+final agg to the (type, day) series,
+    then ONE window exchange partitioned by event_type — frames are
+    ROWS-bounded so the state per partition is 7 rows; no self-join,
+    no second shuffle. Day count is bounded (time), so partitions stay
+    small regardless of event volume."""
+    ev = Catalog(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    wf = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.count(F.lit(1)).over(f).alias("n"),
+        F.avg("v").over(f).alias("ma"),
+        F.stddev_samp("v").over(f).alias("sd"),
+    ).where(F.col("n") == 7)
+    up = F.col("ma") + 2 * F.col("sd")
+    lo = F.col("ma") - 2 * F.col("sd")
+    return wf.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("v", 4).alias("v"),
+        F.round("ma", 4).alias("ma7"),
+        F.round(up, 4).alias("upper_band"),
+        F.round(lo, 4).alias("lower_band"),
+        F.when(F.col("v") > up, 1)
+        .when(F.col("v") < lo, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("breach"),
+    ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# D09 extension (round 7) — Herfindahl-Hirschman market concentration
+# --------------------------------------------------------------------------
+@register(
+    "d09_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), sh AS (
+      SELECT nationkey, suppkey,
+             CAST(r AS DOUBLE) / CAST(SUM(r) OVER (PARTITION BY nationkey) AS DOUBLE) AS share
+      FROM rev
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(100 * share * 100 * share), 4) AS hhi,
+           ROUND(MAX(share), 4) AS top_share
+    FROM sh JOIN nation n ON sh.nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY nation
+    """,
+)
+def d09_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index per nation: supplier revenue shares
+    squared and summed on the 0-10000 antitrust scale (10000 = monopoly,
+    <1500 = unconcentrated), plus the top supplier's share — the market-
+    concentration companion to d10_gini (inequality) and d09_pareto_abc
+    (cumulative classes). Revenue aggregates exactly as DECIMAL before
+    the share division so engines agree to the cent.
+
+    Scale shape (100 TB): fact table aggregates partial+final to
+    (nation, supplier) revenue — the only full-data shuffle; the share
+    window and HHI agg run on the supplier-count-sized result. The
+    supplier dim joins broadcast; nation likewise."""
+    c = Catalog(spark, sf_dir)
+    rev = (
+        c.lineitem.join(
+            F.broadcast(c.supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+        )
+    )
+    share = F.col("r").cast("double") / F.sum("r").over(
+        Window.partitionBy("nationkey")
+    ).cast("double")
+    sh = rev.select("nationkey", "suppkey", share.alias("share"))
+    return (
+        sh.join(
+            F.broadcast(
+                Catalog(spark, sf_dir).nation.select("n_nationkey", "n_name")
+            ),
+            F.col("nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.round(F.sum(100 * F.col("share") * 100 * F.col("share")), 4).alias(
+                "hhi"
+            ),
+            F.round(F.max("share"), 4).alias("top_share"),
+        )
+        .orderBy("nation")
+    )

@@ -178,6 +178,14 @@ AUDIT = [
     "d02_kfold",
     # round-7 additions (VERDICT r6 ask #4)
     "d01_python_pushdown",
+    # round-7 wave 1
+    "d19_logsumexp",
+    "d10_js_divergence",
+    "d27_path_entropy",
+    "d14_bollinger",
+    "d09_hhi",
+    "d17_jaro_winkler",
+    "d34_loss_mask",
 ]
 
 

@@ -20,6 +20,9 @@ def _normalize(body: str) -> str:
     body = re.sub(r"plan_id=\d+", "plan_id=N", body)
     # RDD lineage ids vary with session history (e.g. MapPartitionsRDD[234])
     body = re.sub(r"RDD\[\d+\]", "RDD[N]", body)
+    # higher-order-function lambda variables carry a session-global counter
+    # (lambda x_105 vs lambda x_106 depending on prior query history)
+    body = re.sub(r"\b(lambda [a-z]+)_\d+", r"\1_N", body)
     # the bracketed path after the file-index class varies too (staged
     # fixture dirs are content-fingerprinted, so regenerated testdata —
     # or another machine — changes the tmp path, not the plan)
