@@ -2744,3 +2744,114 @@ def d34_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "turn_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# D35s — Z-order interleave layout (round 7): multi-dimensional clustering
+# for file skipping, the lakehouse OPTIMIZE ZORDER BY primitive
+# --------------------------------------------------------------------------
+ZORDER_BITS = 16
+ZORDER_FILES = 16
+
+
+def _zorder_sql_expr(a: str, b: str) -> str:
+    """SQL for the 2-D Morton code: interleave the low ZORDER_BITS bits of
+    a (even positions) and b (odd positions). Pure integer shifts/masks —
+    identical semantics in Spark and DuckDB, so the oracle certifies the
+    curve itself."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "d35_zorder_interleave",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey,
+             o_custkey % {1 << ZORDER_BITS} AS a,
+             o_orderkey % {1 << ZORDER_BITS} AS b
+      FROM orders
+    ), keyed AS (
+      SELECT *, {_zorder_sql_expr('a', 'b')} AS zval FROM src
+    ), laid AS (
+      SELECT 'linear' AS layout, a, b,
+             NTILE({ZORDER_FILES}) OVER (ORDER BY a, o_orderkey) AS file_id
+      FROM keyed
+      UNION ALL
+      SELECT 'zorder' AS layout, a, b,
+             NTILE({ZORDER_FILES}) OVER (ORDER BY zval, o_orderkey) AS file_id
+      FROM keyed
+    )
+    SELECT layout, CAST(file_id AS INT) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(a) AS BIGINT) AS a_min, CAST(MAX(a) AS BIGINT) AS a_max,
+           CAST(MIN(b) AS BIGINT) AS b_min, CAST(MAX(b) AS BIGINT) AS b_max,
+           ROUND((MAX(a) - MIN(a) + 1) / {float(1 << ZORDER_BITS)}, 4) AS cov_a,
+           ROUND((MAX(b) - MIN(b) + 1) / {float(1 << ZORDER_BITS)}, 4) AS cov_b
+    FROM laid GROUP BY layout, file_id
+    ORDER BY layout, file_id
+    """,
+)
+def d35_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering vs linear sort, measured by the
+    zone-map coverage each layout gives its files: rows are assigned to
+    ZORDER_FILES equal-count files either by a single sort key (linear)
+    or by the bit-interleaved 2-D Morton code, and each file reports its
+    (min, max) zone per dimension plus the fraction of each domain it
+    covers. Linear layout covers ~1/F of dimension a but ~ALL of b (b
+    lookups skip nothing); Z-order covers ~sqrt(1/F) of BOTH — the whole
+    point of OPTIMIZE ZORDER BY, here certified numerically. Companion
+    to d35_minmax_file_skip (which consumes such zone maps) and
+    d35_clustering_depth (which scores overlap).
+
+    Scale shape (100 TB): the Morton code is codegen'd shift/mask
+    arithmetic on the scan; at production scale the NTILE global sort is
+    a range-partitioned write (repartitionByRange(zval) + sortWithin),
+    never a single-reducer window — the demo uses NTILE so both engines
+    share exact bucket boundaries for the hash check. Zone stats are one
+    partial+final agg per layout."""
+    o = Catalog(spark, sf_dir).orders
+    m = 1 << ZORDER_BITS
+    src = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % m).alias("a"),
+        (F.col("o_orderkey") % m).alias("b"),
+    )
+    keyed = src.withColumn("zval", F.expr(_zorder_sql_expr("a", "b")))
+    lin = keyed.select(
+        F.lit("linear").alias("layout"),
+        "a",
+        "b",
+        F.ntile(ZORDER_FILES)
+        .over(Window.orderBy("a", "o_orderkey"))
+        .alias("file_id"),
+    )
+    zo = keyed.select(
+        F.lit("zorder").alias("layout"),
+        "a",
+        "b",
+        F.ntile(ZORDER_FILES)
+        .over(Window.orderBy("zval", "o_orderkey"))
+        .alias("file_id"),
+    )
+    return (
+        lin.unionAll(zo)
+        .groupBy("layout", F.col("file_id").cast("int").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("a").cast("long").alias("a_min"),
+            F.max("a").cast("long").alias("a_max"),
+            F.min("b").cast("long").alias("b_min"),
+            F.max("b").cast("long").alias("b_max"),
+            F.round((F.max("a") - F.min("a") + 1) / F.lit(float(m)), 4).alias(
+                "cov_a"
+            ),
+            F.round((F.max("b") - F.min("b") + 1) / F.lit(float(m)), 4).alias(
+                "cov_b"
+            ),
+        )
+        .orderBy("layout", "file_id")
+    )

@@ -6286,3 +6286,93 @@ def d09_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# D10 extension (round 7) — modal-value profiler: d10_column_profile's
+# counts/ranges plus the deterministic top value per column
+# --------------------------------------------------------------------------
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
+
+
+def _profile_val(col: str, strtype: str = "VARCHAR") -> str:
+    """Render a profiled value as text identically in both engines:
+    doubles through a fixed %.4f (bare CAST formatting differs between
+    engines on round values), everything else through plain CAST —
+    spelled STRING on the Spark side, VARCHAR in the DuckDB oracle."""
+    if col == "o_totalprice":
+        return f"printf('%.4f', {col})"
+    return f"CAST({col} AS {strtype})"
+
+
+@register(
+    "d10_modal_values",
+    oracle=" UNION ALL ".join(
+        f"""(
+        WITH c AS (
+          SELECT {_profile_val(col)} AS v, COUNT(*) AS cnt
+          FROM orders GROUP BY 1
+        ), top AS (
+          SELECT v, cnt FROM c ORDER BY cnt DESC, v LIMIT 1
+        )
+        SELECT '{col}' AS column_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n,
+               (SELECT CAST(COUNT(*) - COUNT({col}) AS BIGINT) FROM orders)
+                 AS n_null,
+               (SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) FROM orders)
+                 AS n_distinct,
+               (SELECT MIN({_profile_val(col)}) FROM orders) AS min_v,
+               (SELECT MAX({_profile_val(col)}) FROM orders) AS max_v,
+               top.v AS top_value, CAST(top.cnt AS BIGINT) AS top_count
+        FROM top
+        )"""
+        for col in _PROFILE_COLS
+    )
+    + " ORDER BY column_name",
+)
+def d10_modal_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal-value profiler over the orders table: per column, the
+    row/null/distinct counts and lexicographic min/max of the RENDERED
+    value (d10_column_profile covers the numeric-range form), plus the
+    MODAL value with deterministic tie-break (highest count, then
+    smallest rendering — never the engine-defined mode(), which ties
+    arbitrarily). Doubles render through a fixed %.4f so no engine's
+    float-to-string rule is on the hash — the heavy-hitter half of the
+    catalog "describe" block.
+
+    Scale shape (100 TB): each column contributes one partial+final
+    distinct-agg (count/distinct/min/max fuse into a single scan-side
+    aggregate per column) and one top-1 (TakeOrdered over the grouped
+    counts, never a global sort); branches union to a 4-row result. At
+    production width you'd fuse the scans with grouping sets over a
+    melted (column, value) frame — kept per-column here so the plan
+    stays the shape a selective profiler (subset of columns) uses."""
+    o = Catalog(spark, sf_dir).orders
+    branches = []
+    for col in _PROFILE_COLS:
+        v = F.expr(_profile_val(col, "STRING"))
+        counts = o.groupBy(v.alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+        top = counts.orderBy(F.desc("cnt"), F.asc("v")).limit(1)
+        stats = o.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.count(F.lit(1)) - F.count(col)).cast("long").alias("n_null"),
+            F.countDistinct(col).cast("long").alias("n_distinct"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+        )
+        branches.append(
+            stats.crossJoin(top).select(
+                F.lit(col).alias("column_name"),
+                "n",
+                "n_null",
+                "n_distinct",
+                "min_v",
+                "max_v",
+                F.col("v").alias("top_value"),
+                F.col("cnt").cast("long").alias("top_count"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("column_name")

@@ -1899,3 +1899,102 @@ def d31_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / den, 4).alias("zipf_slope"),
         F.round(num * num / (den * deny), 4).alias("r2"),
     ).orderBy("n")
+
+
+# --------------------------------------------------------------------------
+# D31 extension (round 7) — PII scrubbing (emails / phones / names), the
+# redaction pass every LLM training corpus runs before anything else
+# --------------------------------------------------------------------------
+PII_EMAIL_RE = r"[a-z0-9.]+@[a-z]+\.[a-z]+"
+PII_PHONE_RE = r"555-[0-9]{4}"
+PII_NAME_RE = r"Customer#[0-9]+"
+
+
+@register(
+    "d31_pii_scrub",
+    oracle=f"""
+    WITH t AS (
+      SELECT o.o_orderkey,
+             'Contact ' || c.c_name || ' at 555-' ||
+             lpad(CAST(o.o_custkey % 10000 AS VARCHAR), 4, '0') || ' or ' ||
+             lower(replace(c.c_name, '#', '.')) ||
+             '@example.com about order ' ||
+             CAST(o.o_orderkey AS VARCHAR) || '.' AS ticket
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderkey < 2000
+    )
+    SELECT o_orderkey,
+           CAST(len(regexp_extract_all(ticket, '{PII_EMAIL_RE}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(ticket, '{PII_PHONE_RE}')) AS INT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(ticket, '{PII_NAME_RE}')) AS INT)
+             AS n_names,
+           regexp_replace(regexp_replace(regexp_replace(ticket,
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g'),
+             '{PII_NAME_RE}', '<NAME>', 'g') AS redacted
+    FROM t ORDER BY o_orderkey
+    """,
+)
+def d31_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over synthesized support-ticket text (name, callback
+    number, and email are TEMPLATED from keys so both engines construct
+    byte-identical input — the same self-certifying construction as
+    d34_chat_template): count then replace emails, phone numbers, and
+    account names with typed placeholders, scrub order chosen so the
+    email pattern (which embeds a lowercased name) is consumed before
+    the name pattern runs. The counts + redacted rendering are both on
+    the hash, so a regex that under- or over-matches fails loudly.
+    Patterns stay in the Java/RE2 common subset d17_regexp_battery pins
+    (DuckDB regexp_replace needs the explicit 'g' flag; Spark replaces
+    all matches by default).
+
+    Scale shape (100 TB): customer dim broadcasts into the fact join;
+    templating, counting, and the three chained replaces are all
+    codegen'd map-side string expressions — one pass, no Python, no
+    shuffle beyond the broadcast join probe."""
+    c = Catalog(spark, sf_dir)
+    t = (
+        c.orders.where(F.col("o_orderkey") < 2000)
+        .join(
+            F.broadcast(c.customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "o_orderkey",
+            F.concat(
+                F.lit("Contact "),
+                F.col("c_name"),
+                F.lit(" at 555-"),
+                F.lpad((F.col("o_custkey") % 10000).cast("string"), 4, "0"),
+                F.lit(" or "),
+                F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+                F.lit("@example.com about order "),
+                F.col("o_orderkey").cast("string"),
+                F.lit("."),
+            ).alias("ticket"),
+        )
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("ticket", PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_NAME_RE,
+        "<NAME>",
+    )
+    return t.select(
+        "o_orderkey",
+        F.size(F.regexp_extract_all("ticket", F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("ticket", F.lit(PII_PHONE_RE), F.lit(0)))
+        .cast("int")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all("ticket", F.lit(PII_NAME_RE), F.lit(0)))
+        .cast("int")
+        .alias("n_names"),
+        redacted.alias("redacted"),
+    ).orderBy("o_orderkey")

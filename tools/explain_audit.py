@@ -186,6 +186,10 @@ AUDIT = [
     "d09_hhi",
     "d17_jaro_winkler",
     "d34_loss_mask",
+    # round-7 wave 2
+    "d35_zorder_interleave",
+    "d31_pii_scrub",
+    "d10_modal_values",
 ]
 
 
