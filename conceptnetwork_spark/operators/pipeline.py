@@ -2855,3 +2855,130 @@ def d35_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout", "file_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D33 companion (round 7) — calibration / reliability audit of a scored
+# classifier, with expected calibration error (ECE)
+# --------------------------------------------------------------------------
+@register(
+    "d33_calibration_ece",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             length(text) AS n,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+               AS n_words
+      FROM documents
+    ), z AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             ({QUALITY_W['bias']}
+              + {QUALITY_W['alpha_ratio']} * (alpha / greatest(n, 1))
+              + {QUALITY_W['digit_ratio']} * (digits / greatest(n, 1))
+              + {QUALITY_W['mean_wlen']} * (alpha / greatest(n_words, 1))
+              + {QUALITY_W['len_score']} * (least(n, 2000) / 2000.0)) AS zv
+      FROM f
+    ), st AS (
+      SELECT AVG(zv) AS mu, STDDEV_SAMP(zv) AS sd FROM z
+    ), s AS (
+      SELECT doc_id, y,
+             0.5 + ((zv - st.mu) / st.sd)
+                   / (2 * (1 + abs((zv - st.mu) / st.sd))) AS p
+      FROM z, st
+    ), b AS (
+      SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin, p, y FROM s
+    ), g AS (
+      SELECT bin, COUNT(*) AS n_docs, AVG(p) AS conf, AVG(y) AS acc
+      FROM b GROUP BY bin
+    )
+    SELECT CAST(bin AS VARCHAR) AS bucket,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(conf, 4) AS confidence,
+           ROUND(acc, 4) AS accuracy,
+           ROUND(abs(acc - conf), 4) AS gap
+    FROM g
+    UNION ALL
+    SELECT 'ECE', CAST(SUM(n_docs) AS BIGINT), NULL, NULL,
+           ROUND(SUM(n_docs * abs(acc - conf))
+                 / CAST(SUM(n_docs) AS DOUBLE), 4)
+    FROM g
+    ORDER BY bucket
+    """,
+)
+def d33_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error for the
+    d34_quality_classifier scorer against a language label: equal-width
+    probability bins with per-bin confidence (mean score) vs accuracy
+    (observed positive rate), and the count-weighted |acc - conf| sum as
+    the ECE row — the audit that decides whether a model's scores can be
+    thresholded as probabilities or must be recalibrated (Platt /
+    isotonic) before use in a data-filtering pipeline. Scores are
+    z-standardized before the hard-sigmoid link (raw z values cluster,
+    collapsing the diagram into one bin); the link keeps the score
+    rational (no libm on the hash).
+
+    Scale shape (100 TB): scoring is map-side expression arithmetic on
+    the scan; binning is ONE partial+final agg to <= 10 rows; the ECE row
+    aggregates that 10-row frame. Nothing shuffles but (bin, partials) —
+    calibration of a petabyte corpus costs one pass."""
+    d = Catalog(spark, sf_dir).documents
+    n = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    digits = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    n_words = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    ).cast("long")
+    zv = (
+        F.lit(QUALITY_W["bias"])
+        + F.lit(QUALITY_W["alpha_ratio"]) * (alpha / F.greatest(n, F.lit(1)))
+        + F.lit(QUALITY_W["digit_ratio"]) * (digits / F.greatest(n, F.lit(1)))
+        + F.lit(QUALITY_W["mean_wlen"])
+        * (alpha / F.greatest(n_words, F.lit(1)))
+        + F.lit(QUALITY_W["len_score"]) * (F.least(n, F.lit(2000)) / 2000.0)
+    )
+    zdf = d.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        zv.alias("zv"),
+    )
+    st = zdf.agg(
+        F.avg("zv").alias("mu"), F.stddev_samp("zv").alias("sd")
+    )
+    zs = (F.col("zv") - F.col("mu")) / F.col("sd")
+    s = zdf.crossJoin(F.broadcast(st)).select(
+        "y", (F.lit(0.5) + zs / (2 * (1 + F.abs(zs)))).alias("p")
+    )
+    g = (
+        s.select(
+            F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int").alias("bin"),
+            "p",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("p").alias("conf"),
+            F.avg("y").alias("acc"),
+        )
+    )
+    per = g.select(
+        F.col("bin").cast("string").alias("bucket"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("conf", 4).alias("confidence"),
+        F.round("acc", 4).alias("accuracy"),
+        F.round(F.abs(F.col("acc") - F.col("conf")), 4).alias("gap"),
+    )
+    ece = g.agg(
+        F.lit("ECE").alias("bucket"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.lit(None).cast("double").alias("confidence"),
+        F.lit(None).cast("double").alias("accuracy"),
+        F.round(
+            F.sum(F.col("n_docs") * F.abs(F.col("acc") - F.col("conf")))
+            / F.sum("n_docs").cast("double"),
+            4,
+        ).alias("gap"),
+    )
+    return per.unionAll(ece).orderBy("bucket")

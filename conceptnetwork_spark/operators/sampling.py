@@ -684,3 +684,99 @@ def d02_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val_pct"
         ),
     ).orderBy("fold")
+
+
+# --------------------------------------------------------------------------
+# D2 extension (round 7) — negative downsampling with importance weights,
+# the CTR / ranking-model data-prep staple
+# --------------------------------------------------------------------------
+NEG_KEEP_DENOM = 5  # keep 1/5 of negatives
+
+
+@register(
+    "d02_negative_downsample",
+    oracle=f"""
+    WITH lab AS (
+      SELECT event_id, event_type,
+             event_type IN ('purchase', 'signup') AS is_positive
+      FROM events
+    ), r AS (
+      SELECT event_id, event_type, is_positive,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM lab
+    ), kept AS (
+      SELECT event_type, is_positive, n,
+             CASE WHEN is_positive THEN TRUE
+                  ELSE rk <= n // {NEG_KEEP_DENOM} END AS keep,
+             event_id
+      FROM r
+    )
+    SELECT event_type, is_positive,
+           CAST(MAX(n) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(MAX(n) / CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+                               AS DOUBLE), 4) AS weight,
+           CAST(SUM(CASE WHEN keep THEN event_id ELSE 0 END) AS BIGINT)
+             AS kept_id_sum
+    FROM kept GROUP BY event_type, is_positive
+    ORDER BY event_type
+    """,
+)
+def d02_negative_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative downsampling with inverse-propensity weights: positives
+    (purchase/signup) all survive; each negative class keeps a
+    deterministic 1/NEG_KEEP_DENOM — ranked by md5(event_id), the same
+    content-addressed pseudo-randomness as d02_class_balance, so the
+    SELECTED ROWS are identical in both engines and certified via
+    kept_id_sum — and carries weight = n_before/n_kept so weighted
+    training statistics stay unbiased (the CTR-model recipe: never train
+    on the full negative firehose, reweight instead).
+
+    Scale shape (100 TB): one window exchange on event_type (bounded
+    partitions only if types are bounded — at real scale the rank-window
+    becomes the hash-threshold form d02_class_balance documents:
+    md5 < n_keep/n as a map-side filter, no window at all); the summary
+    is a partial+final agg. Weights are derived from exact counts, not
+    the sampling rate, so rounding in the keep count never biases the
+    estimator."""
+    ev = Catalog(spark, sf_dir).events
+    lab = ev.select(
+        "event_id",
+        "event_type",
+        F.col("event_type").isin("purchase", "signup").alias("is_positive"),
+    )
+    wrk = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    wn = Window.partitionBy("event_type")
+    r = lab.select(
+        "event_id",
+        "event_type",
+        "is_positive",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    keep = F.when(F.col("is_positive"), F.lit(True)).otherwise(
+        F.col("rk") <= F.floor(F.col("n") / NEG_KEEP_DENOM)
+    )
+    kept = r.withColumn("keep", keep)
+    return (
+        kept.groupBy("event_type", "is_positive")
+        .agg(
+            F.max("n").cast("long").alias("n_before"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.round(
+                F.max("n")
+                / F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double"),
+                4,
+            ).alias("weight"),
+            F.sum(F.when(F.col("keep"), F.col("event_id")).otherwise(0))
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+        .orderBy("event_type")
+    )

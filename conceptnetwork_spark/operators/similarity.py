@@ -1487,3 +1487,92 @@ def d30_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "n_tokens", "maxsim")
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# D30 extension (round 7) — in-engine retrieval evaluation harness:
+# recall@k of one retriever against the exact answer, as a query
+# --------------------------------------------------------------------------
+@register(
+    "d30_recall_eval",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ), ex AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 list_sum(list_transform(list_zip(q.qvec, e.embedding),
+                          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(q.qvec,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                 DESC, e.vec_id) AS rank
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid
+      ) WHERE rank <= 10
+    ), hm AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 list_sum(list_transform(list_zip(e.embedding, q.qvec),
+                   s -> CASE WHEN (CAST(s[1] AS DOUBLE) > 0)
+                              <> (CAST(s[2] AS DOUBLE) > 0)
+                        THEN 1 ELSE 0 END)), e.vec_id) AS rank
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid
+      ) WHERE rank <= 10
+    ), per AS (
+      SELECT ex.qid, COUNT(hm.vec_id) AS n_hit
+      FROM ex LEFT JOIN hm ON ex.qid = hm.qid AND ex.vec_id = hm.vec_id
+      GROUP BY ex.qid
+    )
+    SELECT CAST(qid AS VARCHAR) AS query,
+           CAST(n_hit AS BIGINT) AS n_hits,
+           ROUND(n_hit / 10.0, 4) AS recall_at_10
+    FROM per
+    UNION ALL
+    SELECT 'MEAN', CAST(SUM(n_hit) AS BIGINT), ROUND(AVG(n_hit / 10.0), 4)
+    FROM per
+    ORDER BY query
+    """,
+)
+def d30_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation AS A QUERY: recall@10 of the bit-sign Hamming
+    retriever (d30_hamming_topk) against exact cosine (d30_knn_exact),
+    per query plus the MEAN row — the eval harness a retrieval pipeline
+    materializes beside its index instead of shipping result sets to a
+    driver script (tools/recall_at_scale.py is the offline twin; this is
+    the in-engine form). Both retrievers are deterministic, so — unlike
+    the seeded LSH/IVF/PQ evals, which are pytest-floored — the whole
+    harness is exactly oracle-certified end to end.
+
+    Scale shape (100 TB): both arms share the broadcast 5-row query bag
+    and one corpus pass each; the eval itself is an equi-join on
+    (qid, vec_id) between two k*|Q|-row leaderboards — negligible next
+    to retrieval. Swap the exact arm for labeled qrels and the same
+    harness scores production retrievers."""
+    exact = d30_knn_exact(spark, sf_dir).select("qid", "vec_id")
+    ham = (
+        d30_hamming_topk(spark, sf_dir)
+        .select(F.col("qid").alias("hqid"), F.col("vec_id").alias("hvec"))
+    )
+    per = (
+        exact.join(
+            ham,
+            (F.col("qid") == F.col("hqid")) & (F.col("vec_id") == F.col("hvec")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("hvec").alias("n_hit"))
+    )
+    rows = per.select(
+        F.col("qid").cast("string").alias("query"),
+        F.col("n_hit").cast("long").alias("n_hits"),
+        F.round(F.col("n_hit") / 10.0, 4).alias("recall_at_10"),
+    )
+    mean = per.agg(
+        F.lit("MEAN").alias("query"),
+        F.sum("n_hit").cast("long").alias("n_hits"),
+        F.round(F.avg(F.col("n_hit") / 10.0), 4).alias("recall_at_10"),
+    )
+    return rows.unionAll(mean).orderBy("query")

@@ -190,6 +190,10 @@ AUDIT = [
     "d35_zorder_interleave",
     "d31_pii_scrub",
     "d10_modal_values",
+    # round-7 wave 3
+    "d30_recall_eval",
+    "d02_negative_downsample",
+    "d33_calibration_ece",
 ]
 
 
