@@ -63,7 +63,13 @@ def get_spark(
         # GC-thrashes once a long session accumulates shuffle/codegen state
         # (measured: late-session queries inflate ~10x at 8g, flat at 24g)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test noise); SPARK_GRAFT_UI=1 enables it so
+        # tools/shuffle_audit.py can read per-stage shuffle/spill bytes from
+        # the status REST API — the only stable metrics surface PySpark has
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+        )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
     return builder.getOrCreate()

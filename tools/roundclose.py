@@ -180,6 +180,35 @@ def main() -> None:
         ok &= code == 0
         print(f"sweep: {'OK' if code == 0 else 'FAIL'} ({report['sweep']})")
 
+    # 5b. shuffle-volume audit -> SHUFFLE_r{N}.json: every query's actual
+    # shuffled/spilled bytes at sf0.1 (fresh process: needs its own session
+    # with the status REST API on); fails on any >2 GB single-query shuffle
+    if "--skip-shuffle" not in args and "--skip-bench" not in args:
+        code, out = _run(
+            [py, "tools/shuffle_audit.py", "/root/testdata/sf0.1",
+             "--round", str(rnd)],
+            timeout=1800,
+        )
+        srec = None
+        for line in out.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    srec = json.loads(line)
+                except json.JSONDecodeError:
+                    pass
+        report["shuffle"] = {
+            "exit": code,
+            "total_shuffle_write_bytes": (srec or {}).get(
+                "total_shuffle_write_bytes"
+            ),
+            "over_cap": (srec or {}).get("over_cap"),
+            "failures": (srec or {}).get("failures"),
+            "ok": code == 0,
+        }
+        ok &= code == 0
+        print(f"shuffle: {'OK' if code == 0 else 'FAIL'} ({report['shuffle']})")
+
     # 6. headline bench -> BENCHDETAIL_r{N}.json (VERDICT r6 ask #7: the
     # driver's BENCH_r{N}.json tail-capture truncates the full-detail line,
     # so the per-query headline detail is persisted as its own artifact)

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Shuffle-volume audit: run every registered query once at the given scale
+factor and record how many bytes it actually SHUFFLED (and spilled) — the
+100x-scale signal .explain() can't give you. A query whose plan looks right
+but moves the whole fact table through an exchange shows up here, not in
+the plan audit.
+
+Per-query numbers come from the Spark status REST API (per-stage
+shuffleWriteBytes / memoryBytesSpilled / diskBytesSpilled, summed and
+deltaed around each query) — the only stable metrics surface PySpark
+exposes; requires SPARK_GRAFT_UI=1, which this tool sets for its own
+session.
+
+Writes SHUFFLE_r{N}.json when --round N is passed, else prints one JSON
+line. Exits nonzero if any query shuffles more than SHUFFLE_CAP_BYTES at
+the audited SF (a generous blow-up guard: the whole sf0.1 lineitem table
+is ~70 MB on disk, so >2 GB shuffled by one query means quadratic fanout
+or a lost broadcast, not honest work).
+
+Usage: python tools/shuffle_audit.py [sf_dir] [--round N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import urllib.request
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SHUFFLE_CAP_BYTES = 2 * 1024**3
+
+
+def _stage_totals(app_id: str) -> dict[str, int]:
+    url = f"http://localhost:4040/api/v1/applications/{app_id}/stages"
+    data = json.loads(urllib.request.urlopen(url, timeout=10).read())
+    out = {"shuffle_write": 0, "mem_spill": 0, "disk_spill": 0}
+    for s in data:
+        out["shuffle_write"] += s.get("shuffleWriteBytes", 0)
+        out["mem_spill"] += s.get("memoryBytesSpilled", 0)
+        out["disk_spill"] += s.get("diskBytesSpilled", 0)
+    return out
+
+
+def main() -> None:
+    os.environ["SPARK_GRAFT_UI"] = "1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    rnd = None
+    if "--round" in sys.argv:
+        rnd = int(sys.argv[sys.argv.index("--round") + 1])
+
+    from conceptnetwork_spark import registry
+    from conceptnetwork_spark.session import get_spark
+
+    spark = get_spark(app_name="shuffle-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+
+    qs = registry.queries()
+    per: dict[str, dict] = {}
+    failures: list[str] = []
+    before = _stage_totals(app_id)
+    for name, fn in qs.items():
+        try:
+            fn(spark, sf_dir).count()
+        except Exception as ex:
+            failures.append(name)
+            print(f"# FAIL {name}: {str(ex)[:150]}", file=sys.stderr)
+            before = _stage_totals(app_id)
+            continue
+        after = _stage_totals(app_id)
+        per[name] = {k: after[k] - before[k] for k in after}
+        before = after
+
+    over = {
+        n: m["shuffle_write"]
+        for n, m in per.items()
+        if m["shuffle_write"] > SHUFFLE_CAP_BYTES
+    }
+    top = sorted(per.items(), key=lambda kv: -kv[1]["shuffle_write"])[:15]
+    record = {
+        "sf_dir": sf_dir,
+        "n_queries": len(per),
+        "failures": failures,
+        "total_shuffle_write_bytes": sum(m["shuffle_write"] for m in per.values()),
+        "total_disk_spill_bytes": sum(m["disk_spill"] for m in per.values()),
+        "over_cap": over,
+        "top_shufflers": {n: m for n, m in top},
+        "per_query": per,
+    }
+    if rnd is not None:
+        path = os.path.join(ROOT, f"SHUFFLE_r{rnd:02d}.json")
+        with open(path, "w") as f:
+            json.dump(record, f)
+            f.write("\n")
+        print(f"wrote {path}")
+    summary = {k: v for k, v in record.items() if k != "per_query"}
+    summary["top_shufflers"] = {
+        n: m["shuffle_write"] for n, m in top[:10]
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    sys.exit(1 if (over or failures) else 0)
+
+
+if __name__ == "__main__":
+    main()
