@@ -2982,3 +2982,99 @@ def d33_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gap"),
     )
     return per.unionAll(ece).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# D34o — block-diagonal attention-mask spans for packed contexts (round 7):
+# the mask spec that stops cross-document attention inside a pack
+# --------------------------------------------------------------------------
+@register(
+    "d34_pack_attention_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN {_bucket_sql('doc_id')} < 80 THEN 'train'
+                  WHEN {_bucket_sql('doc_id')} < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             {_bucket_sql('doc_id', PACK_SHARDS)} AS shard,
+             CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT)
+               AS tokens
+      FROM documents
+    ), g AS (
+      SELECT *, SUM(tokens) OVER (PARTITION BY split, shard
+                                  ORDER BY doc_id) - tokens AS gstart
+      FROM t WHERE tokens > 0
+    ), seg AS (
+      SELECT doc_id, split, shard, gstart, tokens,
+             unnest(generate_series(CAST(gstart // {PACK_CTX} AS BIGINT),
+                    CAST((gstart + tokens - 1) // {PACK_CTX} AS BIGINT)))
+               AS pack_id
+      FROM g
+    )
+    SELECT split, CAST(shard AS BIGINT) AS shard,
+           CAST(pack_id AS BIGINT) AS pack_id, doc_id,
+           CAST(greatest(gstart, pack_id * {PACK_CTX})
+                - pack_id * {PACK_CTX} AS BIGINT) AS seg_start,
+           CAST(least(gstart + tokens, (pack_id + 1) * {PACK_CTX})
+                - greatest(gstart, pack_id * {PACK_CTX}) AS BIGINT) AS seg_len
+    FROM seg
+    ORDER BY split, shard, pack_id, seg_start, doc_id
+    """,
+)
+def d34_pack_attention_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-diagonal attention-mask spans for the d34_sequence_pack
+    layout: every (pack, document-segment) with its [seg_start,
+    seg_start+seg_len) token range INSIDE the context window — exactly
+    the spec an attention kernel needs to keep tokens from attending
+    across document boundaries within a pack (skipping this silently
+    degrades pretraining; it's the most common packing bug). A document
+    split across window boundaries contributes one segment per window it
+    touches (the sequence-explode), so concatenating a pack's segments
+    tiles [0, PACK_CTX) exactly — a property the hash certifies since
+    both engines derive segments independently.
+
+    Scale shape (100 TB): the same single (split, shard) exchange as
+    d34_sequence_pack for the running start; the window-span explode is
+    map-side with fanout = ceil(doc_tokens / PACK_CTX) (bounded by doc
+    length, not corpus size). No joins; output is ordered segments."""
+    d = Catalog(spark, sf_dir).documents
+    base = d.select(
+        "doc_id",
+        F.when(hash_bucket(F.col("doc_id")) < 80, "train")
+        .when(hash_bucket(F.col("doc_id")) < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        hash_bucket(F.col("doc_id"), PACK_SHARDS).alias("shard"),
+        F.regexp_count("text", F.lit(TOKEN_PATTERN)).cast("long").alias("tokens"),
+    ).where(F.col("tokens") > 0)
+    w = Window.partitionBy("split", "shard").orderBy("doc_id")
+    g = base.withColumn("gstart", F.sum("tokens").over(w) - F.col("tokens"))
+    seg = g.select(
+        "doc_id",
+        "split",
+        "shard",
+        "gstart",
+        "tokens",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("gstart") / PACK_CTX).cast("long"),
+                F.floor((F.col("gstart") + F.col("tokens") - 1) / PACK_CTX).cast(
+                    "long"
+                ),
+            )
+        ).alias("pack_id"),
+    )
+    seg_abs_start = F.greatest(F.col("gstart"), F.col("pack_id") * PACK_CTX)
+    seg_abs_end = F.least(
+        F.col("gstart") + F.col("tokens"), (F.col("pack_id") + 1) * PACK_CTX
+    )
+    return seg.select(
+        "split",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        "doc_id",
+        (seg_abs_start - F.col("pack_id") * PACK_CTX)
+        .cast("long")
+        .alias("seg_start"),
+        (seg_abs_end - seg_abs_start).cast("long").alias("seg_len"),
+    ).orderBy("split", "shard", "pack_id", "seg_start", "doc_id")

@@ -194,6 +194,8 @@ AUDIT = [
     "d30_recall_eval",
     "d02_negative_downsample",
     "d33_calibration_ece",
+    # round-7 wave 4
+    "d34_pack_attention_spans",
 ]
 
 

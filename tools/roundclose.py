@@ -129,7 +129,10 @@ def main() -> None:
 
     # 4. full pytest suite
     if not skip_suite:
-        code, out = _run([py, "-m", "pytest", "tests/", "-q"], timeout=5400)
+        # no explicit -q: pyproject addopts already applies one -q, and a
+        # second escalates to -qq which suppresses the "N passed" summary
+        # line this step parses
+        code, out = _run([py, "-m", "pytest", "tests/"], timeout=5400)
         m = re.search(r"(\d+) passed", out)
         report["suite"] = {
             "exit": code,
