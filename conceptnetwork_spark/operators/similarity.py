@@ -1576,3 +1576,120 @@ def d30_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("n_hit") / 10.0), 4).alias("recall_at_10"),
     )
     return rows.unionAll(mean).orderBy("query")
+
+
+@register(
+    "d30_ndcg_eval",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.qid, e.vec_id,
+             greatest(
+               list_sum(list_transform(list_zip(q.qvec, e.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qvec,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 0)
+               AS rel,
+             list_sum(list_transform(list_zip(e.embedding, q.qvec),
+               s -> CASE WHEN (CAST(s[1] AS DOUBLE) > 0)
+                          <> (CAST(s[2] AS DOUBLE) > 0) THEN 1 ELSE 0 END))
+               AS ham
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    ), ranked AS (
+      SELECT qid, rel,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, vec_id)
+               AS ham_rank,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id)
+               AS ideal_rank
+      FROM scored
+    ), parts AS (
+      SELECT qid,
+             SUM(CASE WHEN ham_rank <= 10
+                      THEN rel / log2(ham_rank + 1) ELSE 0 END) AS dcg,
+             SUM(CASE WHEN ideal_rank <= 10
+                      THEN rel / log2(ideal_rank + 1) ELSE 0 END) AS idcg
+      FROM ranked GROUP BY qid
+    )
+    SELECT CAST(qid AS VARCHAR) AS query,
+           ROUND(dcg, 4) AS dcg_at_10,
+           ROUND(dcg / idcg, 4) AS ndcg_at_10
+    FROM parts
+    UNION ALL
+    SELECT 'MEAN', ROUND(AVG(dcg), 4), ROUND(AVG(dcg / idcg), 4) FROM parts
+    ORDER BY query
+    """,
+)
+def d30_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking evaluation: NDCG@10 of the Hamming retriever with
+    exact cosine as the (continuous, clamped-at-0) relevance grade — the
+    companion to d30_recall_eval's binary hit metric; NDCG credits a
+    retriever for returning NEAR neighbors even when they aren't the
+    exact top-10, which is what embedding retrieval quality actually
+    means. Both the retriever and the grade are deterministic, so the
+    whole metric is exactly oracle-certified (the seeded retrievers'
+    NDCG would be pytest-floored like their recall).
+
+    Scale shape (100 TB): one corpus pass computes grade AND Hamming
+    distance per (query, candidate) against the broadcast query bag; two
+    row_number windows partitioned by qid rank it both ways; DCG/IDCG
+    are a |Q|-row agg. Same single-pass shape as d30_knn_exact."""
+    e = Catalog(spark, sf_dir).embeddings
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scored = e.join(F.broadcast(q), F.col("qid") != F.col("vec_id")).select(
+        "qid",
+        "vec_id",
+        F.greatest(
+            _dot(F.col("qvec"), F.col("embedding"))
+            / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
+            F.lit(0.0),
+        ).alias("rel"),
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("qvec").cast("array<double>"),
+                lambda a, b: ((a > 0) != (b > 0)).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("ham"),
+    )
+    ranked = scored.select(
+        "qid",
+        "rel",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(F.asc("ham"), F.asc("vec_id")))
+        .alias("ham_rank"),
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id")))
+        .alias("ideal_rank"),
+    )
+    parts = ranked.groupBy("qid").agg(
+        F.sum(
+            F.when(
+                F.col("ham_rank") <= 10,
+                F.col("rel") / F.log2(F.col("ham_rank") + 1),
+            ).otherwise(0.0)
+        ).alias("dcg"),
+        F.sum(
+            F.when(
+                F.col("ideal_rank") <= 10,
+                F.col("rel") / F.log2(F.col("ideal_rank") + 1),
+            ).otherwise(0.0)
+        ).alias("idcg"),
+    )
+    rows = parts.select(
+        F.col("qid").cast("string").alias("query"),
+        F.round("dcg", 4).alias("dcg_at_10"),
+        F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg_at_10"),
+    )
+    mean = parts.agg(
+        F.lit("MEAN").alias("query"),
+        F.round(F.avg("dcg"), 4).alias("dcg_at_10"),
+        F.round(F.avg(F.col("dcg") / F.col("idcg")), 4).alias("ndcg_at_10"),
+    )
+    return rows.unionAll(mean).orderBy("query")

@@ -1944,7 +1944,10 @@ def d31_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d34_chat_template): count then replace emails, phone numbers, and
     account names with typed placeholders, scrub order chosen so the
     email pattern (which embeds a lowercased name) is consumed before
-    the name pattern runs. The counts + redacted rendering are both on
+    the name pattern runs. Complements d31_pii_redact (which certifies
+    counts/lengths over the PII-free documents corpus): here the corpus
+    actually CONTAINS every entity class and the full redacted rendering
+    is on the hash, so placeholder placement itself is certified. The counts + redacted rendering are both on
     the hash, so a regex that under- or over-matches fails loudly.
     Patterns stay in the Java/RE2 common subset d17_regexp_battery pins
     (DuckDB regexp_replace needs the explicit 'g' flag; Spark replaces

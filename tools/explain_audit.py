@@ -196,6 +196,7 @@ AUDIT = [
     "d33_calibration_ece",
     # round-7 wave 4
     "d34_pack_attention_spans",
+    "d30_ndcg_eval",
 ]
 
 
