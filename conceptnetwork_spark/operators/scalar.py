@@ -966,10 +966,10 @@ def _jaro_winkler_py(s1: str, s2: str) -> float:
     jaro_winkler_similarity implements (verified on the canonical
     martha/marhta=0.9611 and dixon/dicksonx=0.8133 vectors and on
     sub-threshold pairs, where DuckDB returns the raw Jaro)."""
+    if not s1 or not s2:
+        return 0.0  # DuckDB scores ANY empty side 0, including ('','')
     if s1 == s2:
         return 1.0
-    if not s1 or not s2:
-        return 0.0
     md = max(len(s1), len(s2)) // 2 - 1
     m1 = [False] * len(s1)
     m2 = [False] * len(s2)

@@ -1270,3 +1270,49 @@ def test_d34_span_corruption_map_only(spark):
     plan = _plan(spark, "d34_span_corruption")
     assert plan.count("Exchange hashpartitioning") == 0, plan[:800]
     assert "Python" not in plan
+
+
+def test_d09_hhi_dims_broadcast_fact_single_shuffle(spark):
+    """HHI: supplier + nation dims must broadcast; the fact table shuffles
+    once — to the (nation, supplier) revenue grid — never into a sort-merge
+    against a dimension."""
+    plan = _plan(spark, "d09_hhi")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_d31_pii_scrub_map_side_only(spark):
+    """PII scrub: customer broadcasts into the probe; templating + regex
+    redaction are map-side expressions — the only exchange is the final
+    presentation sort (rangepartitioning), no hash-partitioned shuffle."""
+    plan = _plan(spark, "d31_pii_scrub")
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_d35_zorder_no_cartesian(spark):
+    """Z-order demo: the Morton code must be codegen'd arithmetic on the
+    scan (no Python), and neither layout arm may plan a cartesian or
+    nested-loop join."""
+    plan = _plan(spark, "d35_zorder_interleave")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_d30_eval_harness_broadcast_query_bag(spark):
+    """Both eval arms (recall + NDCG) score the corpus against a BROADCAST
+    5-row query bag — the corpus must never shuffle into a join against
+    the queries."""
+    for name in ("d30_recall_eval", "d30_ndcg_eval"):
+        plan = _plan(spark, name)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_d19_logsumexp_broadcast_max_join(spark):
+    """The max-shift join must broadcast the |types|-row max table; the
+    event scan aggregates partially before any exchange."""
+    plan = _plan(spark, "d19_logsumexp")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # daily partial+final, lse partial+final

@@ -912,3 +912,56 @@ def test_band_bucket_decomposition_lossless(ts, delta):
                 if abs(a - b) <= delta:
                     pairs_bucketed.add((a, b))
     assert pairs_bucketed == pairs_naive
+
+
+# ---------------------------------------------------------------------------
+# d17_jaro_winkler: the from-scratch scorer must agree with DuckDB's
+# independent implementation on ARBITRARY strings, not just the 190 blocked
+# part-name pairs the oracle covers.
+# ---------------------------------------------------------------------------
+@given(
+    a=st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122), max_size=12),
+    b=st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122), max_size=12),
+)
+@settings(max_examples=300)
+def test_jaro_winkler_matches_duckdb_on_random_strings(a, b):
+    from conceptnetwork_spark.operators.scalar import _jaro_winkler_py
+
+    got = _jaro_winkler_py(a, b)
+    want = duckdb.sql(
+        "SELECT jaro_winkler_similarity(?, ?)", params=[a, b]
+    ).fetchone()[0]
+    assert abs(got - want) < 1e-9, (a, b, got, want)
+
+
+# ---------------------------------------------------------------------------
+# d34_pack_attention_spans: every NON-TAIL context window's segments must
+# tile [0, PACK_CTX) exactly — no gaps, no overlaps — and segment count per
+# doc equals the number of windows it crosses.
+# ---------------------------------------------------------------------------
+@given(
+    tokens=st.lists(st.integers(1, 1500), min_size=1, max_size=40),
+    ctx=st.sampled_from([128, 512]),
+)
+@settings(max_examples=100)
+def test_pack_span_tiling_property(tokens, ctx):
+    # reference single-threaded packer over one (split, shard) stream
+    segs: dict[int, list[tuple[int, int]]] = {}
+    g = 0
+    for t in tokens:
+        w0, w1 = g // ctx, (g + t - 1) // ctx
+        for w in range(w0, w1 + 1):
+            s = max(g, w * ctx) - w * ctx
+            e = min(g + t, (w + 1) * ctx) - w * ctx
+            segs.setdefault(w, []).append((s, e))
+        g += t
+    last = max(segs)
+    for w, spans in segs.items():
+        spans.sort()
+        # contiguity: each span starts where the previous ended
+        pos = 0
+        for s, e in spans:
+            assert s == pos and e > s, (w, spans)
+            pos = e
+        if w < last:
+            assert pos == ctx, (w, spans)  # full windows tile exactly
