@@ -228,6 +228,13 @@ def sweep(spark, sf_dir: str) -> None:
     round and diff against the previous sweep before the driver bench sees a
     regression."""
     qs = registry.queries()
+    # session warmup OUTSIDE the timings: without it, JVM/codegen/first-read
+    # cost lands on whichever queries lead the registry — i.e. the current
+    # certification window — and cross-round sweep diffs misattribute it as
+    # a regression of the rotated-in queries (observed r6→r7: the new head
+    # read 2-10x slower, the old head equally faster)
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
     timings: dict[str, float] = {}
     failures: list[str] = []
     for name, fn in qs.items():

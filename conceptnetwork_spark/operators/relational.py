@@ -6376,3 +6376,225 @@ def d10_modal_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in branches[1:]:
         out = out.unionAll(b)
     return out.orderBy("column_name")
+
+
+# --------------------------------------------------------------------------
+# D14 extension (round 7) — period-over-period growth (the WoW/MoM staple)
+# --------------------------------------------------------------------------
+@register(
+    "d14_period_growth",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type, date_trunc('week', CAST(ts AS DATE)) AS week_start,
+             SUM(value) AS revenue
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           strftime(week_start, '%Y-%m-%d') AS week_start,
+           ROUND(revenue, 4) AS revenue,
+           ROUND(LAG(revenue) OVER (PARTITION BY event_type
+                                    ORDER BY week_start), 4) AS prev_revenue,
+           ROUND((revenue - LAG(revenue) OVER (PARTITION BY event_type
+                                               ORDER BY week_start))
+                 / LAG(revenue) OVER (PARTITION BY event_type
+                                      ORDER BY week_start) * 100, 4)
+             AS growth_pct
+    FROM weekly ORDER BY event_type, week_start
+    """,
+)
+def d14_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: ISO-week revenue, the prior
+    week via LAG, and the percent change — the period-over-period
+    spelling every metrics dashboard is built on (first week's growth is
+    NULL, not 0: no prior period, no claim). Spark's weekofyear/trunc and
+    DuckDB's date_trunc('week') share ISO Monday weeks, so bucket
+    boundaries agree by construction.
+
+    Scale shape (100 TB): partial+final agg to the (type, week) grid —
+    the only full-data pass; LAG runs on the grid (bounded by the
+    calendar, not the corpus). Same agg-before-window discipline as
+    d14_cusum."""
+    ev = Catalog(spark, sf_dir).events
+    weekly = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias(
+            "week_start"
+        ),
+    ).agg(F.sum("value").alias("revenue"))
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "event_type",
+        F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
+        F.round("revenue", 4).alias("revenue"),
+        F.round(prev, 4).alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("growth_pct"),
+    ).orderBy("event_type", "week_start")
+
+
+# --------------------------------------------------------------------------
+# D2 extension (round 7) — temporal train/test split with leakage audit
+# --------------------------------------------------------------------------
+TEMPORAL_CUTOFF = "2024-01-22"
+
+
+@register(
+    "d02_temporal_split",
+    oracle=f"""
+    WITH lab AS (
+      SELECT *, CASE WHEN ts < TIMESTAMP '{TEMPORAL_CUTOFF}'
+                     THEN 'train' ELSE 'test' END AS split
+      FROM events
+    ), per AS (
+      SELECT split, COUNT(*) AS n_rows,
+             COUNT(DISTINCT user_id) AS n_users,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+             strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+      FROM lab GROUP BY split
+    )
+    SELECT split, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_users AS BIGINT) AS n_users, min_ts, max_ts
+    FROM per
+    UNION ALL
+    SELECT 'USER_OVERLAP', COUNT(*), COUNT(*), NULL, NULL FROM (
+      SELECT user_id FROM lab GROUP BY user_id
+      HAVING COUNT(DISTINCT split) = 2
+    )
+    ORDER BY split
+    """,
+)
+def d02_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split at a fixed cutoff with the leakage audit
+    a time-series model demands: per-split row/user counts and time
+    bounds (max train ts < cutoff <= min test ts is ON the hash via the
+    rendered bounds), plus the USER_OVERLAP row counting users present on
+    both sides — the population where target leakage through user-level
+    features would occur. The hash-based splits (d34_llm_dataprep,
+    d02_kfold) are the exchangeable-data tools; THIS is the one you must
+    use when the label is the future.
+
+    Scale shape (100 TB): the split label is a scan-side comparison; both
+    the per-split stats and the overlap audit are single partial+final
+    aggs (the overlap = a user-grouped two-level agg). At production the
+    cutoff comes from the feature-store watermark, not a literal."""
+    ev = Catalog(spark, sf_dir).events
+    lab = ev.withColumn(
+        "split",
+        F.when(F.col("ts") < F.lit(TEMPORAL_CUTOFF).cast("timestamp"), "train")
+        .otherwise("test"),
+    )
+    per = lab.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+    )
+    overlap = (
+        lab.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") == 2)
+        .agg(
+            F.lit("USER_OVERLAP").alias("split"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.lit(None).cast("string").alias("min_ts"),
+            F.lit(None).cast("string").alias("max_ts"),
+        )
+    )
+    return per.unionAll(overlap).orderBy("split")
+
+
+# --------------------------------------------------------------------------
+# D33 companion (round 7) — regression-metric battery over a closed-form
+# OLS fit (MAE / RMSE / R^2, the eval block next to d33_ols_mse)
+# --------------------------------------------------------------------------
+@register(
+    "d33_regression_metrics",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS DOUBLE) AS x,
+             SUM(value) AS y
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, COUNT(*) AS n, AVG(x) AS mx, AVG(y) AS my,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM daily GROUP BY event_type
+    ), fit AS (
+      SELECT event_type, n, my,
+             (sxy - n * mx * my) / (sxx - n * mx * mx) AS b,
+             my - (sxy - n * mx * my) / (sxx - n * mx * mx) * mx AS a
+      FROM m
+    )
+    SELECT d.event_type,
+           CAST(f.n AS BIGINT) AS n_days,
+           ROUND(AVG(abs(d.y - (f.a + f.b * d.x))), 4) AS mae,
+           ROUND(sqrt(AVG((d.y - (f.a + f.b * d.x))
+                          * (d.y - (f.a + f.b * d.x)))), 4) AS rmse,
+           ROUND(1 - SUM((d.y - (f.a + f.b * d.x))
+                         * (d.y - (f.a + f.b * d.x)))
+                     / SUM((d.y - f.my) * (d.y - f.my)), 4) AS r2
+    FROM daily d JOIN fit f USING (event_type)
+    GROUP BY d.event_type, f.n
+    ORDER BY event_type
+    """,
+)
+def d33_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The regression eval block: MAE, RMSE, and R^2 of a closed-form OLS
+    trend fit per event type — the three numbers a model-quality gate
+    thresholds before a forecast ships. The fit (moment sums) and all
+    three metrics are engine-side aggregates; d33_ols_mse certifies the
+    MLlib pipeline's MSE, THIS certifies the metric arithmetic itself
+    against an independent engine.
+
+    Scale shape (100 TB): partial+final agg to the daily grid, a
+    broadcast of the |types|-row fit table back onto it, one residual
+    agg. Two passes over the GRID, one over the data."""
+    ev = Catalog(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("y")).select(
+        "event_type",
+        F.datediff("day", F.lit("2024-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        "y",
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    b = (F.col("sxy") - F.col("n") * F.col("mx") * F.col("my")) / (
+        F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx")
+    )
+    fit = m.select(
+        "event_type", "n", "my", b.alias("b"), (F.col("my") - b * F.col("mx")).alias("a")
+    )
+    pred = F.col("a") + F.col("b") * F.col("x")
+    return (
+        daily.join(F.broadcast(fit), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.round(F.avg(F.abs(F.col("y") - pred)), 4).alias("mae"),
+            F.round(
+                F.sqrt(F.avg((F.col("y") - pred) * (F.col("y") - pred))), 4
+            ).alias("rmse"),
+            F.round(
+                1
+                - F.sum((F.col("y") - pred) * (F.col("y") - pred))
+                / F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))),
+                4,
+            ).alias("r2"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            "mae",
+            "rmse",
+            "r2",
+        )
+        .orderBy("event_type")
+    )

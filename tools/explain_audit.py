@@ -197,6 +197,10 @@ AUDIT = [
     # round-7 wave 4
     "d34_pack_attention_spans",
     "d30_ndcg_eval",
+    # round-7 wave 5
+    "d14_period_growth",
+    "d02_temporal_split",
+    "d33_regression_metrics",
 ]
 
 
