@@ -1693,3 +1693,79 @@ def d30_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("dcg") / F.col("idcg")), 4).alias("ndcg_at_10"),
     )
     return rows.unionAll(mean).orderBy("query")
+
+
+# --------------------------------------------------------------------------
+# D30 extension (round 7) — embedding-table health audit: the data-quality
+# gate every ANN index build runs before trusting its corpus
+# --------------------------------------------------------------------------
+@register(
+    "d30_embedding_audit",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, label,
+             len(embedding) AS dim,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2,
+             len(list_filter(embedding, x -> x = 0)) AS n_zero,
+             len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))))
+               AS n_nan
+      FROM embeddings
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN n_nan > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_nan,
+           CAST(SUM(CASE WHEN l2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_norm,
+           ROUND(MIN(l2), 4) AS min_norm,
+           ROUND(quantile_cont(l2, 0.5), 4) AS p50_norm,
+           ROUND(MAX(l2), 4) AS max_norm,
+           ROUND(AVG(n_zero / CAST(dim AS DOUBLE)), 4) AS mean_zero_frac
+    FROM s GROUP BY dim ORDER BY dim
+    """,
+)
+def d30_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health audit, grouped by dimensionality (a mixed-dim
+    table is itself the first finding): vector count, NaN-poisoned and
+    zero-norm counts (either silently corrupts cosine math — zero norms
+    divide by zero, one NaN eats a whole reduction), the L2-norm
+    min/median/max envelope (norm collapse or explosion flags a bad
+    encoder checkpoint), and the mean zero-component fraction (dead
+    dimensions). This is the gate an index build (IVF/PQ/LSH) runs
+    BEFORE trusting its corpus; exact percentile is oracle-comparable —
+    at production scale the documented approx_percentile swap applies.
+
+    Scale shape (100 TB): all per-vector statistics are map-side array
+    lambdas (codegen'd, no Python); ONE partial+final agg keyed by dim
+    — the exact percentile is the only sort, over the (tiny) per-dim
+    norm sets; nothing but (dim, partials) shuffles."""
+    e = Catalog(spark, sf_dir).embeddings
+    arr = F.col("embedding").cast("array<double>")
+    s = e.select(
+        F.size("embedding").alias("dim"),
+        F.sqrt(
+            F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("l2"),
+        F.size(F.filter("embedding", lambda x: x == 0)).alias("n_zero"),
+        F.size(F.filter(arr, lambda x: F.isnan(x))).alias("n_nan"),
+    )
+    return (
+        s.groupBy(F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(F.when(F.col("n_nan") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_nan"),
+            F.sum(F.when(F.col("l2") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero_norm"),
+            F.round(F.min("l2"), 4).alias("min_norm"),
+            F.round(F.expr("percentile(l2, 0.5)"), 4).alias("p50_norm"),
+            F.round(F.max("l2"), 4).alias("max_norm"),
+            F.round(
+                F.avg(F.col("n_zero") / F.col("dim").cast("double")), 4
+            ).alias("mean_zero_frac"),
+        )
+        .orderBy("dim")
+    )

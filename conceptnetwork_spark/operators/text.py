@@ -2001,3 +2001,88 @@ def d31_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_names"),
         redacted.alias("redacted"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# D34 companion (round 7) — tokenizer vocabulary coverage / OOV rate: the
+# decision input for choosing vocab size before training a tokenizer
+# --------------------------------------------------------------------------
+COVERAGE_VOCAB_K = 20
+
+
+@register(
+    "d34_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(lower(trim(
+               regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rk
+        FROM tok GROUP BY term
+      ) WHERE rk <= {COVERAGE_VOCAB_K}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS coverage,
+           CAST(COUNT(DISTINCT CASE WHEN v.term IS NULL THEN t.term END)
+                AS BIGINT) AS n_oov_types
+    FROM tok t LEFT JOIN vocab v USING (term)
+    GROUP BY source ORDER BY source
+    """,
+)
+def d34_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV audit per corpus source: with the global
+    top-K term vocabulary, what fraction of each source's token
+    OCCURRENCES is covered, how many occurrences and distinct TYPES fall
+    out-of-vocabulary — the curve you walk (K vs coverage) to size a
+    tokenizer's vocab, and the per-source breakdown that flags a domain
+    the vocab underserves before training does. Same whitespace
+    tokenization as d31_vocab_topk, so the two queries compose.
+
+    Scale shape (100 TB): token explode is map-side; the vocabulary is
+    top-K of a partial+final term count (TakeOrdered, never a global
+    sort) and joins BROADCAST back onto the token stream; per-source
+    stats are one more partial+final agg. Two passes over tokens, zero
+    over text."""
+    d = Catalog(spark, sf_dir).documents
+    tok = d.select(
+        "source",
+        F.explode(
+            F.split(
+                F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "
+            )
+        ).alias("term"),
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(COVERAGE_VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNotNull(), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("coverage"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("term"))
+            )
+            .cast("long")
+            .alias("n_oov_types"),
+        )
+        .orderBy("source")
+    )

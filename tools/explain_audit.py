@@ -201,6 +201,9 @@ AUDIT = [
     "d14_period_growth",
     "d02_temporal_split",
     "d33_regression_metrics",
+    # round-7 wave 6
+    "d34_vocab_coverage",
+    "d30_embedding_audit",
 ]
 
 
