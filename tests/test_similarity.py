@@ -313,3 +313,47 @@ def test_mmr_matches_numpy_reference_and_diversifies(spark):
 
     topk_ids = [int(ids[i]) for i in order[:MMR_K]]
     assert mean_pairwise(got_ids) <= mean_pairwise(topk_ids) + 1e-9
+
+
+def test_ndcg_floors_on_clustered_fixture(spark):
+    """Graded quality floors (the NDCG companion to the recall floors):
+    on the clustered fixture, every retriever's top-10 — graded by exact
+    clamped cosine, per d30_ndcg_eval's metric — must clear its measured
+    NDCG@10 minus headroom (measured r7: LSH 1.00 / IVF 1.00 / PQ 0.9999 /
+    Hamming 0.873). NDCG catches a retriever that keeps recall by
+    returning the right SET in a quality-inverted order or swaps near
+    ties for far misses."""
+    import numpy as np
+
+    fix_dir = similarity.stage_clustered_embeddings()
+    rows = (
+        spark.read.parquet(f"{fix_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+
+    def ndcg_at_10(candidate_ids, q):
+        sims = (x[candidate_ids] @ x[q]) / (norms[candidate_ids] * norms[q])
+        rel = np.maximum(sims, 0)
+        dcg = (rel / np.log2(np.arange(2, len(rel) + 2))).sum()
+        all_s = (x @ x[q]) / (norms * norms[q])
+        all_s[q] = -9
+        ideal = np.sort(np.maximum(all_s, 0))[::-1][:10]
+        idcg = (ideal / np.log2(np.arange(2, 12))).sum()
+        return dcg / idcg
+
+    qs = queries()
+    for name, floor in [
+        ("d30_lsh_ann", 0.95),
+        ("d30_ivf_ann", 0.95),
+        ("d30_pq_ann", 0.95),
+        ("d30_hamming_topk", 0.75),
+    ]:
+        per: dict[int, list[int]] = {}
+        for r in qs[name](spark, fix_dir).collect():
+            per.setdefault(r.qid, []).append(r.vec_id)
+        vals = [ndcg_at_10(np.array(v[:10]), q) for q, v in per.items()]
+        avg = sum(vals) / len(vals)
+        assert avg >= floor, f"{name} NDCG@10 on clustered fixture: {avg:.3f}"
