@@ -140,11 +140,17 @@ CERT_FIRST: tuple[str, ...] = (
     "d04_q10_returned",
     "d04_q18_big_orders",
 )
-# With this window green, EVERY oracle-backed query (311/311) holds >=1
-# driver hash-match (cumulative ledger: CERTIFIED.md, regenerated by
-# tools/roundclose.py from CORRECTNESS_r01..r07). Oracle queries added
-# DURING round 7 (if any) are the declared r8 carry-over and are
-# enumerated in the rotation comment of the round that certifies them.
+# With this window green, EVERY round-6-or-earlier oracle query (311/311)
+# holds >=1 driver hash-match (cumulative ledger: CERTIFIED.md, regenerated
+# by tools/roundclose.py from CORRECTNESS_r01..r07). The TWENTY oracle
+# queries added during round 7 are the declared r8 carry-over (all verified
+# at sf0.001/0.01/0.1 through the driver contract before their commits):
+# d19_logsumexp, d10_js_divergence, d27_path_entropy, d14_bollinger,
+# d09_hhi, d17_jaro_winkler, d34_loss_mask, d35_zorder_interleave,
+# d31_pii_scrub, d10_modal_values, d30_recall_eval, d02_negative_downsample,
+# d33_calibration_ece, d34_pack_attention_spans, d30_ndcg_eval,
+# d14_period_growth, d02_temporal_split, d33_regression_metrics,
+# d34_vocab_coverage, d30_embedding_audit.
 # The 27 oracle-less queries (approx sketches, seeded LSH/IVF/PQ ANN,
 # streaming-only semantics, d30_mmr_rerank, d30_ivf_pq, d34_bpe_train,
 # d33_pca_spectrum, ...) are pytest-pinned instead (tolerance / recall /
