@@ -6598,3 +6598,84 @@ def d33_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# D10 extension (round 7, final) — candidate-key discovery: which columns
+# (and pairs) uniquely identify a row — the schema-inference op a catalog
+# runs before declaring primary keys or choosing bucketing/merge keys
+# --------------------------------------------------------------------------
+_KEY_SINGLE = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+_KEY_PAIRS = (("o_custkey", "o_orderdate"), ("o_orderstatus", "o_orderdate"))
+
+
+@register(
+    "d10_key_discovery",
+    oracle=" UNION ALL ".join(
+        [
+            f"""
+        SELECT '{c}' AS candidate,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               COUNT(DISTINCT {c}) = (SELECT COUNT(*) FROM orders) AS is_key,
+               ROUND(COUNT(DISTINCT {c})
+                     / (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders), 4)
+                 AS uniqueness
+        FROM orders"""
+            for c in _KEY_SINGLE
+        ]
+        + [
+            f"""
+        SELECT '{a}+{b}',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+               CAST(COUNT(*) AS BIGINT),
+               COUNT(*) = (SELECT COUNT(*) FROM orders),
+               ROUND(COUNT(*)
+                     / (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders), 4)
+        FROM (SELECT DISTINCT {a}, {b} FROM orders)"""
+            for a, b in _KEY_PAIRS
+        ]
+    )
+    + " ORDER BY candidate",
+)
+def d10_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery over orders: for each declared candidate
+    (four single columns, two pairs), the distinct count, the is_key
+    verdict (distinct == rows), and the uniqueness ratio — the profiling
+    step a catalog runs before declaring a primary key, choosing a MERGE
+    key (d35_upsert_cdc), or picking bucketing columns (d03_bucketed_join);
+    a composite's uniqueness ratio also predicts join fanout.
+
+    Scale shape (100 TB): each candidate is ONE partial+final
+    distinct-style aggregate (pairs via a two-level agg), unioned into a
+    6-row verdict table; no candidate requires a sort, and at corpus
+    scale the documented approx_count_distinct swap gives the same
+    verdicts for any uniqueness gap the sketch error can't bridge."""
+    o = Catalog(spark, sf_dir).orders
+    total = o.count()
+    branches = []
+    for c in _KEY_SINGLE:
+        branches.append(
+            o.agg(
+                F.lit(c).alias("candidate"),
+                F.lit(total).cast("long").alias("n_rows"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+                (F.countDistinct(c) == total).alias("is_key"),
+                F.round(F.countDistinct(c) / float(total), 4).alias("uniqueness"),
+            )
+        )
+    for a, b in _KEY_PAIRS:
+        d = o.select(a, b).distinct()
+        branches.append(
+            d.agg(
+                F.lit(f"{a}+{b}").alias("candidate"),
+                F.lit(total).cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                (F.count(F.lit(1)) == total).alias("is_key"),
+                F.round(F.count(F.lit(1)) / float(total), 4).alias("uniqueness"),
+            )
+        )
+    out = branches[0]
+    for br in branches[1:]:
+        out = out.unionAll(br)
+    return out.orderBy("candidate")

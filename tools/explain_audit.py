@@ -204,6 +204,7 @@ AUDIT = [
     # round-7 wave 6
     "d34_vocab_coverage",
     "d30_embedding_audit",
+    "d10_key_discovery",
 ]
 
 
