@@ -3078,3 +3078,152 @@ def d34_pack_attention_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("seg_start"),
         (seg_abs_end - seg_abs_start).cast("long").alias("seg_len"),
     ).orderBy("split", "shard", "pack_id", "seg_start", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# D35t — incremental statistics maintenance (round 7, final): table stats
+# merged from per-partition stats must equal stats recomputed from scratch
+# --------------------------------------------------------------------------
+STATS_KMV_K = 64
+_STATS_H60 = 1152921504606846976  # 2^60, max of a 15-hex-digit md5 prefix
+_STATS_KEY_SQL = (
+    "CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "d35_stats_merge",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey % 2 AS half, o_totalprice,
+             {_STATS_KEY_SQL} AS h
+      FROM orders
+    ), basic_half AS (
+      SELECT half, COUNT(*) AS n,
+             MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sm
+      FROM src GROUP BY half
+    ), kmv_half AS (
+      SELECT half, h FROM (
+        SELECT half, h,
+               ROW_NUMBER() OVER (PARTITION BY half ORDER BY h) AS rk
+        FROM (SELECT DISTINCT half, h FROM src)
+      ) WHERE rk <= {STATS_KMV_K}
+    ), kmv_merged AS (
+      SELECT h FROM (SELECT DISTINCT h FROM kmv_half)
+      ORDER BY h LIMIT {STATS_KMV_K}
+    ), kmv_full AS (
+      SELECT h FROM (SELECT DISTINCT h FROM src)
+      ORDER BY h LIMIT {STATS_KMV_K}
+    ), arms AS (
+      SELECT 'merged' AS source,
+             (SELECT CAST(SUM(n) AS BIGINT) FROM basic_half) AS n_rows,
+             (SELECT ROUND(MIN(mn), 4) FROM basic_half) AS min_price,
+             (SELECT ROUND(MAX(mx), 4) FROM basic_half) AS max_price,
+             (SELECT ROUND(CAST(SUM(sm) AS DOUBLE), 4) FROM basic_half)
+               AS sum_price,
+             (SELECT CAST(ROUND({STATS_KMV_K - 1}.0 * {_STATS_H60}
+                                / MAX(h)) AS BIGINT) FROM kmv_merged)
+               AS ndv_cust_est
+      UNION ALL
+      SELECT 'full',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM src),
+             (SELECT ROUND(MIN(o_totalprice), 4) FROM src),
+             (SELECT ROUND(MAX(o_totalprice), 4) FROM src),
+             (SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                                AS DOUBLE), 4) FROM src),
+             (SELECT CAST(ROUND({STATS_KMV_K - 1}.0 * {_STATS_H60}
+                                / MAX(h)) AS BIGINT) FROM kmv_full)
+    )
+    SELECT * FROM arms ORDER BY source
+    """,
+)
+def d35_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental statistics maintenance, certified: table-level stats
+    assembled by MERGING per-partition stats (counts/sums added, min/max
+    folded, KMV distinct sketches unioned-and-truncated) must equal the
+    stats recomputed from scratch — the associativity contract that lets
+    a lakehouse maintain NDV/min-max/rowcount per ingest batch instead of
+    rescanning history. count/min/max/DECIMAL-sum merge exactly by
+    algebra; NDV via the deterministic md5-KMV sketch merges exactly
+    because the k smallest of a union equal the k smallest of the
+    per-part k-smallest sets. Both arms land in one result, so the hash
+    certifies merged == full column-for-column (modulo the source label).
+
+    Scale shape (100 TB): per-partition stats are one partial+final agg
+    each (the KMV arm a distinct + per-part top-k, never a global sort of
+    hashes — LIMIT k plans as TakeOrdered); the merge itself touches only
+    sketch-sized state (64 longs + 4 scalars per partition). This is the
+    exact shape of partition-stats maintenance in d35_partition_stats,
+    here with the merge path proven against the recompute path."""
+    o = Catalog(spark, sf_dir).orders
+    key = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    src = o.select(
+        (F.col("o_orderkey") % 2).alias("half"),
+        "o_totalprice",
+        key.alias("h"),
+    )
+    basic_half = src.groupBy("half").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("sm"),
+    )
+    est = lambda df: df.agg(  # noqa: E731 — tiny local shaping helper
+        F.round(
+            F.lit(float(STATS_KMV_K - 1)) * _STATS_H60 / F.max("h")
+        )
+        .cast("long")
+        .alias("ndv")
+    )
+    dist = src.select("half", "h").distinct()
+    wk = Window.partitionBy("half").orderBy("h")
+    kmv_half = (
+        dist.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= STATS_KMV_K)
+        .select("half", "h")
+    )
+    kmv_merged = kmv_half.select("h").distinct().orderBy("h").limit(STATS_KMV_K)
+    kmv_full = src.select("h").distinct().orderBy("h").limit(STATS_KMV_K)
+    merged = (
+        basic_half.agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.round(F.min("mn"), 4).alias("min_price"),
+            F.round(F.max("mx"), 4).alias("max_price"),
+            F.round(F.sum("sm").cast("double"), 4).alias("sum_price"),
+        )
+        .crossJoin(est(kmv_merged).select(F.col("ndv").alias("ndv_cust_est")))
+        .select(
+            F.lit("merged").alias("source"),
+            "n_rows",
+            "min_price",
+            "max_price",
+            "sum_price",
+            "ndv_cust_est",
+        )
+    )
+    full = (
+        src.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("sum_price"),
+        )
+        .crossJoin(est(kmv_full).select(F.col("ndv").alias("ndv_cust_est")))
+        .select(
+            F.lit("full").alias("source"),
+            "n_rows",
+            "min_price",
+            "max_price",
+            "sum_price",
+            "ndv_cust_est",
+        )
+    )
+    return merged.unionAll(full).orderBy("source")

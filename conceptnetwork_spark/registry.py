@@ -150,8 +150,8 @@ CERT_FIRST: tuple[str, ...] = (
 # d31_pii_scrub, d10_modal_values, d30_recall_eval, d02_negative_downsample,
 # d33_calibration_ece, d34_pack_attention_spans, d30_ndcg_eval,
 # d14_period_growth, d02_temporal_split, d33_regression_metrics,
-# d34_vocab_coverage, d30_embedding_audit, d10_key_discovery
-# (twenty-one with the post-close key-discovery addition).
+# d34_vocab_coverage, d30_embedding_audit, d10_key_discovery,
+# d35_stats_merge (twenty-two with the post-close additions).
 # The 27 oracle-less queries (approx sketches, seeded LSH/IVF/PQ ANN,
 # streaming-only semantics, d30_mmr_rerank, d30_ivf_pq, d34_bpe_train,
 # d33_pca_spectrum, ...) are pytest-pinned instead (tolerance / recall /

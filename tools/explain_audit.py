@@ -205,6 +205,7 @@ AUDIT = [
     "d34_vocab_coverage",
     "d30_embedding_audit",
     "d10_key_discovery",
+    "d35_stats_merge",
 ]
 
 
