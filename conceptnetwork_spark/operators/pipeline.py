@@ -2808,10 +2808,15 @@ def d35_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     d35_clustering_depth (which scores overlap).
 
     Scale shape (100 TB): the Morton code is codegen'd shift/mask
-    arithmetic on the scan; at production scale the NTILE global sort is
-    a range-partitioned write (repartitionByRange(zval) + sortWithin),
-    never a single-reducer window — the demo uses NTILE so both engines
-    share exact bucket boundaries for the hash check. Zone stats are one
+    arithmetic on the scan; file assignment is the DISTRIBUTED two-pass
+    row-number (the d34_curriculum_order pattern): repartitionByRange on
+    the layout's sort key gives non-overlapping sorted ranges, a MAP-ONLY
+    mapInPandas counter numbers each range (running count carried across
+    Arrow batches), per-range counts (a KB-sized aggregate) are broadcast
+    back as offsets, and the NTILE bucket is computed CLOSED-FORM from
+    the exact global rank (first N%F files get ceil(N/F) rows, the rest
+    floor(N/F)) — bit-identical to the oracle's NTILE, with no
+    single-reducer global sort anywhere in the plan. Zone stats are one
     partial+final agg per layout."""
     o = Catalog(spark, sf_dir).orders
     m = 1 << ZORDER_BITS
@@ -2821,22 +2826,65 @@ def d35_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % m).alias("b"),
     )
     keyed = src.withColumn("zval", F.expr(_zorder_sql_expr("a", "b")))
-    lin = keyed.select(
-        F.lit("linear").alias("layout"),
-        "a",
-        "b",
-        F.ntile(ZORDER_FILES)
-        .over(Window.orderBy("a", "o_orderkey"))
-        .alias("file_id"),
-    )
-    zo = keyed.select(
-        F.lit("zorder").alias("layout"),
-        "a",
-        "b",
-        F.ntile(ZORDER_FILES)
-        .over(Window.orderBy("zval", "o_orderkey"))
-        .alias("file_id"),
-    )
+
+    def _number_partition(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = 0
+        for pdf in it:
+            n = len(pdf)
+            yield pdf.assign(pid=pid, lrn=range(base + 1, base + n + 1))
+            base += n
+
+    def _layout(sort_cols: list, name: str) -> DataFrame:
+        # pass 1+2: exact global rank in sort_cols order ((.., o_orderkey)
+        # is a total order, so range boundaries can never split a tie)
+        local = (
+            keyed.repartitionByRange(8, *sort_cols)
+            .sortWithinPartitions(*sort_cols)
+            .mapInPandas(
+                _number_partition,
+                schema="o_orderkey long, a long, b long, zval long, "
+                "pid int, lrn long",
+            )
+        )
+        cnts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+        w_off = Window.orderBy("pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = cnts.select(
+            "pid",
+            F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        )
+        tot = cnts.agg(F.sum("cnt").alias("n_tot"))
+        # closed-form NTILE(F) of rank r over n_tot rows: the first
+        # n_tot%F buckets take q+1 rows (q = n_tot div F), the rest q
+        return (
+            local.join(F.broadcast(offsets), "pid")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(name).alias("layout"),
+                "a",
+                "b",
+                F.expr(
+                    f"""CASE WHEN (off + lrn)
+                             <= (n_tot % {ZORDER_FILES})
+                                * ((n_tot div {ZORDER_FILES}) + 1)
+                        THEN (off + lrn - 1)
+                             div ((n_tot div {ZORDER_FILES}) + 1) + 1
+                        ELSE (n_tot % {ZORDER_FILES})
+                             + (off + lrn
+                                - (n_tot % {ZORDER_FILES})
+                                  * ((n_tot div {ZORDER_FILES}) + 1) - 1)
+                               div (n_tot div {ZORDER_FILES}) + 1
+                        END"""
+                ).alias("file_id"),
+            )
+        )
+
+    lin = _layout(["a", "o_orderkey"], "linear")
+    zo = _layout(["zval", "o_orderkey"], "zorder")
     return (
         lin.unionAll(zo)
         .groupBy("layout", F.col("file_id").cast("int").alias("file_id"))
