@@ -2811,12 +2811,19 @@ def d35_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on the scan; file assignment is the DISTRIBUTED two-pass
     row-number (the d34_curriculum_order pattern): repartitionByRange on
     the layout's sort key gives non-overlapping sorted ranges, a MAP-ONLY
-    mapInPandas counter numbers each range (running count carried across
-    Arrow batches), per-range counts (a KB-sized aggregate) are broadcast
-    back as offsets, and the NTILE bucket is computed CLOSED-FORM from
-    the exact global rank (first N%F files get ceil(N/F) rows, the rest
-    floor(N/F)) — bit-identical to the oracle's NTILE, with no
-    single-reducer global sort anywhere in the plan. Zone stats are one
+    mapInPandas counter numbers each range, and per-range counts — a
+    readout bounded by the PARTITION COUNT, never the data (the same
+    metadata job RDD.zipWithIndex runs) — become broadcast offsets, so
+    the NTILE bucket is computed CLOSED-FORM from the exact global rank
+    (first N%F files get ceil(N/F) rows, the rest floor(N/F)) —
+    bit-identical to the oracle's NTILE, with NO single-reducer sort,
+    window, or exchange anywhere in the plan (pinned). Ranges identify
+    themselves by their first (sort-key, o_orderkey) tuple — a
+    content-derived key invariant under plan placement — because
+    TaskContext.partitionId() is stage-relative and renumbers under
+    Union (the r8 regression: union children got pids 8–15 while the
+    offsets carried 0–7). The numbering pass is persisted so the counts
+    job and the final aggregate see one evaluation. Zone stats are one
     partial+final agg per layout."""
     o = Catalog(spark, sf_dir).orders
     m = 1 << ZORDER_BITS
@@ -2827,60 +2834,67 @@ def d35_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = src.withColumn("zval", F.expr(_zorder_sql_expr("a", "b")))
 
-    def _number_partition(it):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        base = 0
-        for pdf in it:
-            n = len(pdf)
-            yield pdf.assign(pid=pid, lrn=range(base + 1, base + n + 1))
-            base += n
-
     def _layout(sort_cols: list, name: str) -> DataFrame:
         # pass 1+2: exact global rank in sort_cols order ((.., o_orderkey)
-        # is a total order, so range boundaries can never split a tie)
+        # is a total order, so range boundaries can never split a tie,
+        # and each non-empty range has a UNIQUE first tuple -> (k1, k2)
+        # is a safe partition identity that also ORDERS the ranges)
+        c1 = sort_cols[0]
+
+        def _number_partition(it):
+            k1 = k2 = None
+            base = 0
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                if k1 is None:
+                    k1 = int(pdf[c1].iloc[0])
+                    k2 = int(pdf["o_orderkey"].iloc[0])
+                n = len(pdf)
+                yield pdf.assign(
+                    k1=k1, k2=k2, lrn=range(base + 1, base + n + 1)
+                )
+                base += n
+
         local = (
             keyed.repartitionByRange(8, *sort_cols)
             .sortWithinPartitions(*sort_cols)
             .mapInPandas(
                 _number_partition,
                 schema="o_orderkey long, a long, b long, zval long, "
-                "pid int, lrn long",
+                "k1 long, k2 long, lrn long",
             )
+            .persist()
         )
-        cnts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-        w_off = Window.orderBy("pid").rowsBetween(
-            Window.unboundedPreceding, -1
+        # KB-sized metadata readout: one row per range partition. The
+        # collect also materializes the persisted numbering pass, so the
+        # final job reuses it instead of re-sampling the range exchange.
+        cnt_rows = sorted(
+            local.groupBy("k1", "k2")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect(),
+            key=lambda r: (r["k1"], r["k2"]),
         )
-        offsets = cnts.select(
-            "pid",
-            F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
-        )
-        tot = cnts.agg(F.sum("cnt").alias("n_tot"))
+        n_tot = sum(r["cnt"] for r in cnt_rows)
+        offs, run = [], 0
+        for r in cnt_rows:
+            offs.append((r["k1"], r["k2"], run))
+            run += r["cnt"]
+        offsets = spark.createDataFrame(offs, "k1 long, k2 long, off long")
         # closed-form NTILE(F) of rank r over n_tot rows: the first
         # n_tot%F buckets take q+1 rows (q = n_tot div F), the rest q
-        return (
-            local.join(F.broadcast(offsets), "pid")
-            .crossJoin(F.broadcast(tot))
-            .select(
-                F.lit(name).alias("layout"),
-                "a",
-                "b",
-                F.expr(
-                    f"""CASE WHEN (off + lrn)
-                             <= (n_tot % {ZORDER_FILES})
-                                * ((n_tot div {ZORDER_FILES}) + 1)
-                        THEN (off + lrn - 1)
-                             div ((n_tot div {ZORDER_FILES}) + 1) + 1
-                        ELSE (n_tot % {ZORDER_FILES})
-                             + (off + lrn
-                                - (n_tot % {ZORDER_FILES})
-                                  * ((n_tot div {ZORDER_FILES}) + 1) - 1)
-                               div (n_tot div {ZORDER_FILES}) + 1
-                        END"""
-                ).alias("file_id"),
-            )
+        q, rem = divmod(n_tot, ZORDER_FILES)
+        hi = rem * (q + 1)
+        return local.join(F.broadcast(offsets), ["k1", "k2"]).select(
+            F.lit(name).alias("layout"),
+            "a",
+            "b",
+            F.expr(
+                f"""CASE WHEN (off + lrn) <= {hi}
+                    THEN (off + lrn - 1) div {q + 1} + 1
+                    ELSE {rem} + (off + lrn - {hi} - 1) div {max(q, 1)} + 1
+                    END"""
+            ).alias("file_id"),
         )
 
     lin = _layout(["a", "o_orderkey"], "linear")

@@ -1292,12 +1292,16 @@ def test_d31_pii_scrub_map_side_only(spark):
 
 def test_d35_zorder_no_cartesian(spark):
     """Z-order demo: the Morton code must be codegen'd arithmetic on the
-    scan (no Python), and neither layout arm may plan a cartesian or
-    nested-loop join."""
+    scan (no Python), neither layout arm may plan a cartesian or
+    nested-loop join, and — the point of the distributed two-pass
+    row-number — NOTHING may funnel through a single-partition exchange
+    (no single-reducer NTILE, no driver-side window over the data)."""
     plan = _plan(spark, "d35_zorder_interleave")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "SinglePartition" not in plan
 
 
 def test_d30_eval_harness_broadcast_query_bag(spark):
