@@ -1728,18 +1728,23 @@ def stage_orders_rangefiles(sf_dir: str) -> str:
     o_orderdate (chunk_00..chunk_07, deterministic equal-row slices of the
     date-sorted table) — the layout d35_compact_files/d35_zorder_key
     produce, rebuilt here with pyarrow so ORACLE resolution never depends
-    on a SparkSession. Idempotent per sf_dir; fixture-only staging (a
-    3-column projection, bounded), never a data path — at 100 TB the
-    engine harvests stats from files already written by the table format.
+    on a SparkSession. Idempotent per (sf_dir, source fingerprint):
+    regenerated testdata at the same path restages instead of replaying a
+    stale fixture. Fixture-only staging (a 3-column projection, bounded),
+    never a data path — at 100 TB the engine harvests stats from files
+    already written by the table format.
     """
     import os as _os
     import tempfile as _tempfile
 
     import pyarrow.parquet as _pq
 
+    from conceptnetwork_spark.sources.formats import _sf_fingerprint
+
     base = _os.path.join(
         _tempfile.gettempdir(),
-        f"cn_spark_fileskip_{_os.path.basename(sf_dir.rstrip('/'))}",
+        f"cn_spark_fileskip_{_os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_sf_fingerprint(sf_dir)}",
     )
     marker = _os.path.join(base, "_DONE")
     if not _os.path.exists(marker):
@@ -1956,15 +1961,19 @@ def stage_orders_fragfiles(sf_dir: str) -> str:
     deterministic PSEUDO-RANDOM order (Knuth multiplicative hash of the
     key) sliced into the same number of files — the layout a parallel
     unordered ingest leaves behind, where every file spans nearly the full
-    key range. Fixture-only staging; idempotent per sf_dir."""
+    key range. Fixture-only staging; idempotent per (sf_dir, source
+    fingerprint) so regenerated testdata restages instead of replaying."""
     import os as _os
     import tempfile as _tempfile
 
     import pyarrow.parquet as _pq
 
+    from conceptnetwork_spark.sources.formats import _sf_fingerprint
+
     base = _os.path.join(
         _tempfile.gettempdir(),
-        f"cn_spark_fragfiles_{_os.path.basename(sf_dir.rstrip('/'))}",
+        f"cn_spark_fragfiles_{_os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_sf_fingerprint(sf_dir)}",
     )
     marker = _os.path.join(base, "_DONE")
     if not _os.path.exists(marker):

@@ -99,3 +99,50 @@ def test_vacuum_retention_layout(spark, tmp_path):
     assert all(os.path.exists(os.path.join(work, f)) for f in live)
     after = sorted(r.k for r in spark.read.parquet(*[os.path.join(work, f) for f in live]).collect())
     assert after == before
+
+
+def test_staging_restages_on_source_change(tmp_path):
+    """Fixture staging dirs must be keyed on a CONTENT fingerprint of the
+    source, not just its basename: regenerating the testdata at the same
+    path (new bytes, new mtime) must produce a NEW staging dir with the new
+    rows, never silently replay the stale fixture (r7 ask #3). The
+    fingerprint is cached per-process (staging must not flap mid-session),
+    so a new session is simulated by clearing the cache."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from conceptnetwork_spark.operators.pipeline import (
+        stage_orders_fragfiles,
+        stage_orders_rangefiles,
+    )
+    from conceptnetwork_spark.sources import formats
+
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    src = str(sf / "orders.parquet")
+    full = pq.read_table(f"{SF_ORACLE}/orders.parquet")
+
+    formats._SF_FP_CACHE.clear()
+    pq.write_table(full.slice(0, 100), src)
+    d1_range = stage_orders_rangefiles(str(sf))
+    d1_frag = stage_orders_fragfiles(str(sf))
+    n1 = pq.read_table(d1_range).num_rows
+    assert n1 == 100 and pq.read_table(d1_frag).num_rows == 100
+
+    # same content, new session: must hit the same staging dir (idempotent)
+    formats._SF_FP_CACHE.clear()
+    assert stage_orders_rangefiles(str(sf)) == d1_range
+
+    # regenerate the source in place with DIFFERENT content, new session
+    formats._SF_FP_CACHE.clear()
+    pq.write_table(full.slice(0, 250), src)
+    d2_range = stage_orders_rangefiles(str(sf))
+    d2_frag = stage_orders_fragfiles(str(sf))
+    assert d2_range != d1_range and d2_frag != d1_frag
+    assert pq.read_table(d2_range).num_rows == 250
+    assert pq.read_table(d2_frag).num_rows == 250
+
+    for d in (d1_range, d1_frag, d2_range, d2_frag):
+        shutil.rmtree(d, ignore_errors=True)
+    formats._SF_FP_CACHE.clear()
