@@ -218,7 +218,89 @@ HEADLINE = [
     "d22_sql_udf",
     "d09_pareto_abc",
     "d34_bpe_train",
+    # round-7 additions, headlined from round 9 (VERDICT r8 ask #7): until
+    # now these were sweep-only, so their first recorded numbers absorbed
+    # session cold-start and polluted cross-round comparisons
+    "d19_logsumexp",
+    "d10_js_divergence",
+    "d27_path_entropy",
+    "d14_bollinger",
+    "d09_hhi",
+    "d10_modal_values",
+    "d14_period_growth",
+    "d02_temporal_split",
+    "d33_regression_metrics",
+    "d10_key_discovery",
+    "d02_negative_downsample",
+    "d17_jaro_winkler",
+    "d30_recall_eval",
+    "d30_ndcg_eval",
+    "d30_embedding_audit",
+    "d31_pii_scrub",
+    "d34_vocab_coverage",
+    "d34_loss_mask",
+    "d35_zorder_interleave",
+    "d33_calibration_ece",
+    "d34_pack_attention_spans",
+    "d35_stats_merge",
 ]
+
+
+def _calibrate(spark) -> float:
+    """Fixed micro-calibration workload: a constant 10^7-row whole-stage-
+    codegen aggregate with NO data dependence (spark.range), timed min-of-5
+    after one warm-up. Its wall-clock tracks the host's effective speed
+    (CPU contention, thermal state, JVM health) and nothing about the
+    engine, so cross-round per-query comparisons can divide it out — three
+    rounds of +5% headline creep (63.8 -> 70.2 -> 74.4 s) were otherwise
+    unattributable between host variance and real drift (VERDICT r8 ask #6).
+    """
+    expr = "sum(id * 2654435761 % 1000003) AS s"
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        spark.range(10_000_000).selectExpr(expr).collect()
+        return time.perf_counter() - t0
+
+    run()  # codegen warm-up, untimed
+    return round(min(run() for _ in range(5)), 4)
+
+
+def _host_normalized_flags(
+    timings: dict[str, float], calibration_sec: float
+) -> dict:
+    """Compare this run against the newest BENCHDETAIL_r{N}.json snapshot,
+    dividing each side's per-query seconds by its own calibration_sec. A
+    query is flagged only if its HOST-NORMALIZED time regressed >1.3x —
+    uniform host slowdown cancels out, so surviving flags are real drift
+    (plan change, new shuffle, lost broadcast), not a busy machine."""
+    import glob
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    snaps = sorted(glob.glob(os.path.join(root, "BENCHDETAIL_r*.json")))
+    baseline = None
+    for p in reversed(snaps):
+        try:
+            with open(p) as f:
+                cand = json.load(f)
+            if cand.get("calibration_sec"):
+                baseline = (os.path.basename(p), cand)
+                break
+        except (OSError, json.JSONDecodeError):
+            continue
+    if baseline is None:
+        return {"vs": None, "note": "no prior snapshot with calibration_sec"}
+    name, prev = baseline
+    prev_cal = prev["calibration_sec"]
+    flags = {}
+    for q, t in timings.items():
+        pt = prev.get("queries", {}).get(q)
+        if not pt or pt <= 0 or t <= 0:
+            continue
+        ratio = round((t / calibration_sec) / (pt / prev_cal), 3)
+        if ratio > 1.3:
+            flags[q] = ratio
+    return {"vs": name, "flagged_over_1.3x": flags}
 
 
 def sweep(spark, sf_dir: str) -> None:
@@ -300,6 +382,8 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, sf_dir).count()
 
+    calibration_sec = _calibrate(spark)
+
     # measured pass: three timed runs per query, min reported — a single GC
     # pause or OS scheduling blip otherwise lands in one query's number and
     # dominates the total (observed 10x outliers on individual runs; round-1
@@ -323,7 +407,13 @@ def main() -> None:
         metric="headline_queries_total_wall_clock",
         total=total,
         timings=timings,
-        extra={"sf": float(sf) if sf else None},
+        extra={
+            "sf": float(sf) if sf else None,
+            "calibration_sec": calibration_sec,
+            "host_normalized": _host_normalized_flags(
+                timings, calibration_sec
+            ),
+        },
     )
     spark.stop()
 

@@ -33,14 +33,15 @@ sys.path.insert(0, ROOT)
 SHUFFLE_CAP_BYTES = 2 * 1024**3
 
 
-def _stage_totals(app_id: str) -> dict[str, int]:
-    url = f"http://localhost:4040/api/v1/applications/{app_id}/stages"
+def _stage_totals(ui_url: str, app_id: str) -> dict[str, int]:
+    url = f"{ui_url}/api/v1/applications/{app_id}/stages"
     data = json.loads(urllib.request.urlopen(url, timeout=10).read())
-    out = {"shuffle_write": 0, "mem_spill": 0, "disk_spill": 0}
+    out = {"shuffle_write": 0, "mem_spill": 0, "disk_spill": 0, "n_stages": 0}
     for s in data:
         out["shuffle_write"] += s.get("shuffleWriteBytes", 0)
         out["mem_spill"] += s.get("memoryBytesSpilled", 0)
         out["disk_spill"] += s.get("diskBytesSpilled", 0)
+        out["n_stages"] += 1
     return out
 
 
@@ -58,22 +59,44 @@ def main() -> None:
     spark = get_spark(app_name="shuffle-audit")
     spark.sparkContext.setLogLevel("ERROR")
     app_id = spark.sparkContext.applicationId
+    # the UI binds the first free port from 4040 upward — never hardcode it
+    ui_url = spark.sparkContext.uiWebUrl
+    if not ui_url:
+        print("FATAL: Spark UI disabled; cannot read stage metrics", file=sys.stderr)
+        sys.exit(2)
+    retained = int(spark.conf.get("spark.ui.retainedStages"))
 
     qs = registry.queries()
     per: dict[str, dict] = {}
     failures: list[str] = []
-    before = _stage_totals(app_id)
+    eviction = False
+    before = _stage_totals(ui_url, app_id)
     for name, fn in qs.items():
         try:
             fn(spark, sf_dir).count()
         except Exception as ex:
             failures.append(name)
             print(f"# FAIL {name}: {str(ex)[:150]}", file=sys.stderr)
-            before = _stage_totals(app_id)
+            before = _stage_totals(ui_url, app_id)
             continue
-        after = _stage_totals(app_id)
-        per[name] = {k: after[k] - before[k] for k in after}
+        after = _stage_totals(ui_url, app_id)
+        # deltas are non-negative by construction UNLESS the UI evicted
+        # stages (cumulative totals shrink) — that invalidates the audit,
+        # so detect it rather than silently clamping a lowball number
+        if any(after[k] < before[k] for k in after):
+            eviction = True
+            print(f"# EVICTION around {name}: totals shrank", file=sys.stderr)
+        per[name] = {
+            k: max(0, after[k] - before[k]) for k in after if k != "n_stages"
+        }
         before = after
+    if before["n_stages"] >= retained:
+        eviction = True
+        print(
+            f"# EVICTION: {before['n_stages']} stages at the retainedStages "
+            f"cap ({retained}) — totals are truncated",
+            file=sys.stderr,
+        )
 
     over = {
         n: m["shuffle_write"]
@@ -85,6 +108,8 @@ def main() -> None:
         "sf_dir": sf_dir,
         "n_queries": len(per),
         "failures": failures,
+        "stage_eviction_detected": eviction,
+        "retained_stages": retained,
         "total_shuffle_write_bytes": sum(m["shuffle_write"] for m in per.values()),
         "total_disk_spill_bytes": sum(m["disk_spill"] for m in per.values()),
         "over_cap": over,
@@ -103,7 +128,7 @@ def main() -> None:
     }
     print(json.dumps(summary))
     spark.stop()
-    sys.exit(1 if (over or failures) else 0)
+    sys.exit(1 if (over or failures or eviction) else 0)
 
 
 if __name__ == "__main__":
