@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Scale-stress the heaviest shufflers beyond sf0.1 (VERDICT r8 ask #8).
+
+Builds a FACTOR-x blow-up of the sf0.1 tables (default 10x: ~6M-row
+lineitem, 1.5M orders, 1M events, 50k documents) with join-consistent key
+offsets per copy — l_orderkey/o_orderkey shift together so every lineitem
+still matches exactly one order; dim tables (region nation customer
+supplier part, embeddings) stay as-is so FK references remain valid — then
+runs the top-10 shufflers from SHUFFLE_r09.json against it and reads the
+per-query shuffle-write / spill deltas from the status REST API (same
+mechanics as tools/shuffle_audit.py).
+
+Gates (the 100-TB posture check the sf0.1 audit can't give):
+  - ZERO disk spill on every query (partitions must still fit in memory
+    at 10x), and
+  - <2 GB shuffled per query (sub-linear or linear growth only; a
+    super-linear jump means a lost broadcast or quadratic fanout that
+    sf0.1 was too small to expose).
+
+The staged dir is idempotent per (source fingerprint, factor) under /tmp.
+Prints one JSON line; exits nonzero on any gate violation. Run via
+`pytest -m slow tests/test_scale_stress.py` or directly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SHUFFLE_CAP_BYTES = 2 * 1024**3
+FACTOR = 10
+KEY_OFF = 1 << 24  # > any sf0.1 key, divisible by 2^16 so a%m, b%m domains hold
+
+# top-10 by shuffle_write in SHUFFLE_r09.json (sf0.1, full 360-query audit)
+TOP10 = [
+    "d33_als_recs",
+    "d09_q21_waiting",
+    "d31_containment",
+    "d23_grouped_map",
+    "d16_sql_scripting",
+    "d10_column_profile",
+    "d23_grouped_arrow",
+    "d35_zorder_interleave",
+    "d31_bigram_logprob",
+    "d33_fpgrowth_pairs",
+]
+
+BLOWUP_KEYS = {
+    # table -> columns shifted by copy*KEY_OFF (join-consistent: lineitem
+    # and orders shift the SAME orderkey so each copy is a closed join
+    # subgraph; custkey/partkey/suppkey stay in the un-blown dim domain)
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+}
+COPY_TABLES = ["region", "nation", "customer", "supplier", "part", "embeddings"]
+
+
+def build_scaled_dir(spark, src_sf: str, factor: int = FACTOR) -> str:
+    from pyspark.sql import functions as F
+
+    from conceptnetwork_spark.sources.formats import _sf_fingerprint
+
+    out = os.path.join(
+        "/tmp", f"cn_spark_scale{factor}x_{_sf_fingerprint(src_sf)}"
+    )
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for t, keys in BLOWUP_KEYS.items():
+        df = spark.read.parquet(os.path.join(src_sf, f"{t}.parquet"))
+        df = df.withColumn(
+            "_copy", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        )
+        for k in keys:
+            df = df.withColumn(k, F.col(k) + F.col("_copy") * F.lit(KEY_OFF))
+        df.drop("_copy").write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+    import shutil
+
+    for t in COPY_TABLES:
+        src = os.path.join(src_sf, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copyfile(src, dst)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def _stage_totals(ui_url: str, app_id: str) -> dict[str, int]:
+    url = f"{ui_url}/api/v1/applications/{app_id}/stages"
+    data = json.loads(urllib.request.urlopen(url, timeout=10).read())
+    out = {"shuffle_write": 0, "mem_spill": 0, "disk_spill": 0}
+    for s in data:
+        out["shuffle_write"] += s.get("shuffleWriteBytes", 0)
+        out["mem_spill"] += s.get("memoryBytesSpilled", 0)
+        out["disk_spill"] += s.get("diskBytesSpilled", 0)
+    return out
+
+
+def main() -> None:
+    os.environ["SPARK_GRAFT_UI"] = "1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    src_sf = args[0] if args else "/root/testdata/sf0.1"
+
+    from conceptnetwork_spark import registry
+    from conceptnetwork_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    ui_url = spark.sparkContext.uiWebUrl
+    if not ui_url:
+        print("FATAL: Spark UI disabled", file=sys.stderr)
+        sys.exit(2)
+    app_id = spark.sparkContext.applicationId
+
+    sf_dir = build_scaled_dir(spark, src_sf)
+    qs = registry.queries()
+    per: dict[str, dict] = {}
+    failures: list[str] = []
+    before = _stage_totals(ui_url, app_id)
+    for name in TOP10:
+        t0 = time.perf_counter()
+        try:
+            qs[name](spark, sf_dir).count()
+        except Exception as ex:
+            failures.append(name)
+            print(f"# FAIL {name}: {str(ex)[:200]}", file=sys.stderr)
+            before = _stage_totals(ui_url, app_id)
+            continue
+        after = _stage_totals(ui_url, app_id)
+        per[name] = {
+            **{k: max(0, after[k] - before[k]) for k in after},
+            "sec": round(time.perf_counter() - t0, 2),
+        }
+        before = after
+
+    over = {
+        n: m["shuffle_write"]
+        for n, m in per.items()
+        if m["shuffle_write"] > SHUFFLE_CAP_BYTES
+    }
+    spilled = {n: m["disk_spill"] for n, m in per.items() if m["disk_spill"]}
+    record = {
+        "metric": "scale_stress_10x",
+        "factor": FACTOR,
+        "src_sf": src_sf,
+        "failures": failures,
+        "over_cap": over,
+        "disk_spilled": spilled,
+        "per_query": per,
+    }
+    print(json.dumps(record))
+    spark.stop()
+    sys.exit(1 if (over or spilled or failures) else 0)
+
+
+if __name__ == "__main__":
+    main()
