@@ -3298,3 +3298,171 @@ def d35_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.unionAll(full).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# D35 extension (round 9) — compaction planning: the OPTIMIZE bin-packing
+# decision as a query over file statistics
+# --------------------------------------------------------------------------
+COMPACT_TARGET_ROWS = 2500  # target output-file size (row proxy for bytes)
+
+
+@register(
+    "d35_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT o_orderpriority AS part,
+             strftime(o_orderdate, '%Y-%m') AS mon,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1, 2
+    ), packed AS (
+      SELECT part, mon, n_rows,
+             CAST(FLOOR(COALESCE(SUM(n_rows) OVER (
+                 PARTITION BY part ORDER BY n_rows DESC, mon
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) * 1.0 / {COMPACT_TARGET_ROWS}) AS INT) AS grp
+      FROM files
+    )
+    SELECT part, grp,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           CAST(MAX(n_rows) AS BIGINT) AS largest_file
+    FROM packed GROUP BY part, grp
+    ORDER BY part, grp
+    """,
+)
+def d35_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction (OPTIMIZE) planning as a pure metadata query: given
+    per-file statistics — here one synthetic "file" per (partition,
+    ingest month) with its row count standing in for bytes — assign files
+    to compaction groups by the standard greedy rule: walk files largest-
+    first within each partition and cut a new output group every time the
+    running total passes the target size. The plan (which files merge into
+    which output file) is exactly what a lakehouse OPTIMIZE job computes
+    before it touches any data.
+
+    Scale shape (100 TB): the input is the FILE LIST, not the data —
+    bounded by file count (millions of rows, KB each), never table bytes.
+    One partition-key exchange for the stats rollup, one window over each
+    partition's files (per-partition sorted, no global sort), and the
+    final grouping is map-side combinable. At 100 TB the same plan runs
+    on the table format's manifest instead of a scan."""
+    o = Catalog(spark, sf_dir).orders
+    files = o.groupBy(
+        F.col("o_orderpriority").alias("part"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = (
+        Window.partitionBy("part")
+        .orderBy(F.desc("n_rows"), "mon")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = files.withColumn(
+        "grp",
+        F.floor(
+            F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+            / float(COMPACT_TARGET_ROWS)
+        ).cast("int"),
+    )
+    return (
+        packed.groupBy("part", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.max("n_rows").cast("long").alias("largest_file"),
+        )
+        .orderBy("part", "grp")
+    )
+
+
+# --------------------------------------------------------------------------
+# D34 extension (round 9) — fill-in-the-middle (FIM) restructuring of
+# training documents, PSM rendering certified by md5
+# --------------------------------------------------------------------------
+@register(
+    "d34_fim_transform",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) AS h2
+      FROM documents WHERE length(text) >= 3
+    ), cuts AS (
+      SELECT doc_id, text, n,
+             1 + h1 % (n - 2) AS cut1,
+             2 + h1 % (n - 2) + h2 % (n - 2 - h1 % (n - 2)) AS cut2
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(cut1 AS INT) AS len_prefix,
+           CAST(cut2 - cut1 AS INT) AS len_middle,
+           CAST(n - cut2 AS INT) AS len_suffix,
+           md5('<fim_prefix>' || substr(text, 1, CAST(cut1 AS BIGINT))
+               || '<fim_suffix>'
+               || substr(text, CAST(cut2 + 1 AS BIGINT),
+                         CAST(n - cut2 AS BIGINT))
+               || '<fim_middle>'
+               || substr(text, CAST(cut1 + 1 AS BIGINT),
+                         CAST(cut2 - cut1 AS BIGINT))) AS psm_md5
+    FROM cuts ORDER BY doc_id
+    """,
+)
+def d34_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) restructuring: each document is split at
+    two content-derived points into (prefix, middle, suffix) and re-
+    rendered in PSM order — <fim_prefix>P<fim_suffix>S<fim_middle>M — the
+    transformation code-model pipelines apply to a fraction of training
+    docs so the model learns infilling. Split points come from two md5
+    prefixes of the text itself (position-indexed determinism, the
+    d34_span_corruption convention — no seeded RNG to disagree across
+    engines), and the rendered string is certified by md5 rather than
+    shipping megabytes of text through the compare.
+
+    Scale shape (100 TB): pure map-side string arithmetic on the scan —
+    no shuffle, no Python, whole-stage codegen end to end; the only
+    exchange in the plan is the presentation sort."""
+    d = (
+        Catalog(spark, sf_dir)
+        .documents.where(F.length("text") >= 3)
+        .select(
+            "doc_id",
+            "text",
+            F.length("text").alias("n"),
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5("text"), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        )
+    )
+    cuts = d.select(
+        "doc_id",
+        "text",
+        "n",
+        (F.lit(1) + F.col("h1") % (F.col("n") - 2)).alias("cut1"),
+        (
+            F.lit(2)
+            + F.col("h1") % (F.col("n") - 2)
+            + F.col("h2") % (F.col("n") - 2 - F.col("h1") % (F.col("n") - 2))
+        ).alias("cut2"),
+    )
+    seg = lambda pos, ln: F.expr(  # noqa: E731
+        f"substring(text, CAST({pos} AS INT), CAST({ln} AS INT))"
+    )
+    return cuts.select(
+        "doc_id",
+        F.col("cut1").cast("int").alias("len_prefix"),
+        (F.col("cut2") - F.col("cut1")).cast("int").alias("len_middle"),
+        (F.col("n") - F.col("cut2")).cast("int").alias("len_suffix"),
+        F.md5(
+            F.concat(
+                F.lit("<fim_prefix>"),
+                seg("1", "cut1"),
+                F.lit("<fim_suffix>"),
+                seg("cut2 + 1", "n - cut2"),
+                F.lit("<fim_middle>"),
+                seg("cut1 + 1", "cut2 - cut1"),
+            )
+        ).alias("psm_md5"),
+    ).orderBy("doc_id")

@@ -6679,3 +6679,96 @@ def d10_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for br in branches[1:]:
         out = out.unionAll(br)
     return out.orderBy("candidate")
+
+
+# --------------------------------------------------------------------------
+# D27 extension (round 9) — cohort retention matrix: the classic
+# week-of-first-event cohort x week-offset activity grid
+# --------------------------------------------------------------------------
+@register(
+    "d27_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, ts,
+             MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events
+    ), act AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', first_ts) AS cw,
+             CAST(date_diff('day', date_trunc('week', first_ts),
+                            date_trunc('week', ts)) / 7 AS INT) AS week_no
+      FROM f
+    ), counts AS (
+      SELECT cw, week_no, CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM act GROUP BY cw, week_no
+    ), sized AS (
+      SELECT cw, week_no, n_active,
+             MAX(CASE WHEN week_no = 0 THEN n_active END)
+               OVER (PARTITION BY cw) AS cohort_size
+      FROM counts
+    )
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           week_no, n_active,
+           CAST(cohort_size AS BIGINT) AS cohort_size,
+           ROUND(n_active * 1.0 / cohort_size, 4) AS retention_pct
+    FROM sized
+    ORDER BY cohort_week, week_no
+    """,
+)
+def d27_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users are grouped by the ISO week of their
+    FIRST event (their cohort); each cell counts how many of them were
+    active again k weeks later, as a fraction of the cohort's week-0 size.
+    The standard growth-accounting readout (is week-4 retention improving
+    cohort over cohort?) that product/data teams compute over raw event
+    logs.
+
+    Scale shape (100 TB): ONE user_id exchange total — the first-event
+    timestamp is a window MIN over the same partitioning the events
+    already need, so no groupBy+self-join round trip; the (user, cohort,
+    week) de-dup and the cell counts are partial-agg'd map-side, and the
+    week-0 cohort size comes from a window over the |cohorts x weeks|-row
+    counts table itself — NO join, so the event scan is never duplicated
+    into a broadcast build branch (a join on a derived base table would
+    re-evaluate the whole pipeline a second time). Event volume crosses
+    the wire exactly once — pinned in tests/test_plans.py."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id")
+    act = (
+        ev.select(
+            "user_id",
+            F.date_trunc("week", F.min("ts").over(w)).alias("cw"),
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")),
+                    F.date_trunc("week", F.min("ts").over(w)),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_no"),
+        )
+        .distinct()
+    )
+    counts = act.groupBy("cw", "week_no").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    wc = Window.partitionBy("cw")
+    return (
+        counts.withColumn(
+            "cohort_size",
+            F.max(
+                F.when(F.col("week_no") == 0, F.col("n_active"))
+            ).over(wc),
+        )
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            "week_no",
+            "n_active",
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 4
+            ).alias("retention_pct"),
+        )
+        .orderBy("cohort_week", "week_no")
+    )

@@ -2086,3 +2086,109 @@ def d34_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# D31 extension (round 9) — CCNet-style perplexity bucketing: head/middle/
+# tail terciles of LM cross-entropy, per language
+# --------------------------------------------------------------------------
+@register(
+    "d31_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+               AS t
+      FROM documents
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+      FROM (SELECT unnest(t) AS term FROM toks)
+    ),
+    grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ),
+    dg AS (
+      SELECT doc_id, bigram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT bigram, SUM(cnt) AS c_bg,
+             string_split(bigram, ' ')[1] AS w1
+      FROM dg GROUP BY bigram
+    ),
+    cp AS (
+      SELECT w1, SUM(c_bg) AS c_prefix FROM cb GROUP BY w1
+    ),
+    scored AS (
+      SELECT dg.doc_id,
+             -ROUND(SUM(dg.cnt * ln((cb.c_bg + 1.0) / (cp.c_prefix + vocab.v)))
+                    / SUM(dg.cnt), 4) AS ce
+      FROM dg JOIN cb USING (bigram) JOIN cp USING (w1) CROSS JOIN vocab
+      GROUP BY dg.doc_id
+    ),
+    bucketed AS (
+      SELECT d.lang, s.ce,
+             NTILE(3) OVER (PARTITION BY d.lang ORDER BY s.ce, s.doc_id)
+               AS tercile
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ROUND(SUM(CAST(ce AS DECIMAL(18,4))) / COUNT(*), 4)
+                AS DOUBLE) AS avg_ce
+    FROM bucketed GROUP BY lang, tercile
+    ORDER BY lang, bucket
+    """,
+)
+def d31_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: every document is scored by its
+    cross-entropy under the corpus's own Laplace-smoothed bigram LM (the
+    d31_bigram_logprob model, negated), then split per LANGUAGE into
+    head / middle / tail terciles of that score. Web-scale pipelines keep
+    the head, re-weight the middle, and drop or re-judge the tail — the
+    bucket boundary per language (not global) is the part naive filters
+    get wrong, since languages have different baseline entropies. Ties
+    break on (ce, doc_id) so the tercile assignment is deterministic.
+
+    Scale shape (100 TB): the LM scoring reuses d31_bigram_logprob's plan
+    wholesale (one persisted (doc,bigram) aggregate feeding model + join;
+    text never shuffles). On top of that: the per-doc score table (one
+    row per doc) joins the lang column, a per-lang NTILE partitions ONLY
+    doc-count-sized data, and per-doc ce is fixed to 4 decimals before
+    the DECIMAL tercile sums so the aggregate is summation-order-free.
+    Single-token docs have no bigrams and drop out in both engines."""
+    lp = d31_bigram_logprob(spark, sf_dir)
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "lang")
+    scored = lp.select("doc_id", (-F.col("avg_logprob")).alias("ce")).join(
+        d, "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy("ce", "doc_id")
+    return (
+        scored.withColumn("tercile", F.ntile(3).over(w))
+        .groupBy("lang", "tercile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.round(
+                    F.sum(F.col("ce").cast("decimal(18,4)"))
+                    / F.count(F.lit(1)),
+                    4,
+                )
+            )
+            .cast("double")
+            .alias("avg_ce"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("tercile") == 1, "head")
+            .when(F.col("tercile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "avg_ce",
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -1320,3 +1320,34 @@ def test_d19_logsumexp_broadcast_max_join(spark):
     plan = _plan(spark, "d19_logsumexp")
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 4  # daily partial+final, lse partial+final
+
+
+def test_d34_fim_map_side_only(spark):
+    """FIM restructuring must be pure codegen string arithmetic on the
+    scan: no Python eval, no hash shuffle — the only exchange is the
+    presentation sort (rangepartitioning)."""
+    plan = _plan(spark, "d34_fim_transform")
+    assert "Python" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_d35_compaction_plan_metadata_sized(spark):
+    """Compaction planning runs over the FILE LIST, never the data: the
+    window partitions per-partition file stats (no global sort over a
+    single reducer), and nothing drops to Python."""
+    plan = _plan(spark, "d35_compaction_plan")
+    assert "Python" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_d27_retention_single_user_exchange(spark):
+    """Retention cohorts: the first-event timestamp is a window MIN over
+    the user partitioning — exactly ONE hashpartitioning exchange may
+    carry event-volume data (user_id), and the cohort size is a window
+    over the counts table, so NO join may appear (a join on a derived
+    base table would re-evaluate the event scan into its build side)."""
+    plan = _plan(spark, "d27_retention_cohorts")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan[:600]
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
