@@ -3466,3 +3466,84 @@ def d34_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("psm_md5"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# D34 extension (round 9) — tokenizer fertility by language: the
+# tokenizer-equity readout over the d34_bpe_encode merge table
+# --------------------------------------------------------------------------
+def _fertility_oracle() -> str:
+    enc = _bpe_encode_oracle()
+    return f"""
+    WITH enc AS ({enc.strip().rstrip()}),
+    j AS (
+      SELECT d.lang, e.n_words, e.alpha_chars, e.n_tokens
+      FROM enc e JOIN documents d USING (doc_id)
+      WHERE e.n_words > 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(SUM(n_tokens) * 1.0 / SUM(n_words), 4) AS fertility,
+           ROUND(SUM(alpha_chars) * 1.0 / SUM(n_tokens), 4)
+             AS chars_per_token
+    FROM j GROUP BY lang ORDER BY lang
+    """
+
+
+@register("d34_tokenizer_fertility", oracle=_fertility_oracle())
+def d34_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: tokens-per-word (and its inverse,
+    chars-per-token) under the shipped BPE merge table, aggregated per
+    corpus language. Merge tables trained on English-heavy data tokenize
+    other languages into more, shorter pieces — higher fertility means a
+    language pays more context window and more compute per word, the
+    standard tokenizer-equity audit run before fixing a vocab. Applies
+    d34_bpe_encode's encoder (the codegen'd replace chain — see there)
+    with lang carried in the SAME projection.
+
+    Scale shape (100 TB): one pass, zero joins — lang rides the same
+    row as the encode counts, so the plan is scan → map-side string
+    arithmetic → one partial+final agg over |langs| groups (a self-join
+    back to documents for lang would broadcast billions of (doc_id,
+    lang) rows at scale; pinned join-free in tests/test_plans.py).
+    Token-count ratios are bigint sums — no float-order sensitivity."""
+    d = Catalog(spark, sf_dir).documents
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    base = d.select(
+        "lang",
+        F.array_join(words, "|").alias("joined"),
+        F.size(words).cast("long").alias("n_words"),
+    )
+    enc_col = F.regexp_replace(F.col("joined"), "([a-z])", "<$1>")
+    for a, b in BPE_ENCODE_MERGES:
+        enc_col = F.replace(enc_col, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    e = base.select(
+        "lang",
+        "n_words",
+        (F.length("joined") - F.greatest(F.col("n_words") - 1, F.lit(0)))
+        .cast("long")
+        .alias("alpha_chars"),
+        (
+            F.length(enc_col)
+            - F.length(F.replace(enc_col, F.lit("<")))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    ).where(F.col("n_words") > 0)
+    return (
+        e.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens") / F.sum("n_words").cast("double"), 4
+            ).alias("fertility"),
+            F.round(
+                F.sum("alpha_chars") / F.sum("n_tokens").cast("double"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

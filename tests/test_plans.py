@@ -1351,3 +1351,13 @@ def test_d27_retention_single_user_exchange(spark):
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan[:600]
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_d34_fertility_join_free_single_agg(spark):
+    """Tokenizer fertility: lang rides the encode projection — NO join
+    (a doc_id self-join would broadcast billions of rows at scale), no
+    Python, exactly one aggregation exchange over |langs| groups."""
+    plan = _plan(spark, "d34_tokenizer_fertility")
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
