@@ -8,6 +8,15 @@ judge can read instead of scraping BASELINE.md prose.
 Usage (from the repo root, once per round, ~20-30 min):
     python tools/roundclose.py <round_number> [--skip-suite] [--skip-parity]
 
+PRE-COMMIT RULE (the r8 lesson — a post-rehearsal edit shipped the only
+red query of the round): after ANY edit to a registered query once the
+window has been rehearsed, re-run that query's oracle test
+(tests/test_oracle_queries.py -k <name>) AND its plan pin BEFORE the
+commit. The report records the git SHA at close so the judge can verify
+the rehearsal ran against the code that actually shipped: the only
+commit allowed after a close is the artifacts-only snapshot (the files
+this tool writes); any CODE edit after it means roundclose must re-run.
+
 Artifact shape:
     {"round": 6, "window": {"green": 50, "total": 50, "ok": true},
      "parity": {"sf0.001": {...}, "sf0.1": {...}},
@@ -61,6 +70,12 @@ def main() -> None:
     skip_parity = "--skip-parity" in args
     py = sys.executable
     report: dict = {"round": rnd, "started_unix": int(time.time())}
+    # the SHA the gates run against — must equal the round's final snapshot
+    # commit, else a post-rehearsal edit shipped unverified (the r8 red)
+    sha_code, sha_out = _run(["git", "rev-parse", "HEAD"], timeout=30)
+    st_code, st_out = _run(["git", "status", "--porcelain"], timeout=30)
+    report["git_sha"] = sha_out.strip() if sha_code == 0 else None
+    report["git_dirty"] = bool(st_out.strip()) if st_code == 0 else None
     ok = True
 
     # 1. driver-window rehearsal: the exact first-50 registry slice, driver
