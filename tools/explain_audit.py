@@ -206,6 +206,12 @@ AUDIT = [
     "d30_embedding_audit",
     "d10_key_discovery",
     "d35_stats_merge",
+    # round-9 additions
+    "d27_retention_cohorts",
+    "d35_compaction_plan",
+    "d34_fim_transform",
+    "d31_perplexity_buckets",
+    "d34_tokenizer_fertility",
 ]
 
 
