@@ -2258,3 +2258,110 @@ def d25_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_ts")
     )
+
+
+# --------------------------------------------------------------------------
+# D26 extension (round 9) — STREAMING session windows: merging session
+# state across genuine micro-batches, append-mode finalization
+# --------------------------------------------------------------------------
+SESSION_STREAM_GAP = "30 minutes"
+SESSION_STREAM_DELAY = "2 hours"
+SESSION_STREAM_CHUNKS = 3
+
+
+@register(
+    "d26_stream_session_window",
+    # Closed-form oracle: time-contiguous chunks keep the watermark
+    # monotone with arrival (no late data), so the streamed sessions are
+    # exactly the batch gaps-and-islands sessions whose END (last event +
+    # gap) is <= the FINAL watermark. Spark truncates event times to ms
+    # before the watermark subtraction (EventTimeStatsAccum), mirrored
+    # with epoch_ms below; sessions ending above W stay open when the
+    # bounded stream ends and are WITHHELD (append-mode contract).
+    oracle="""
+    WITH wm AS (
+      SELECT make_timestamp(epoch_ms(max(ts)) * 1000
+                            - CAST(7200 AS BIGINT) * 1000000) AS w
+      FROM events
+    ), marks AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER uw IS NULL
+                    OR ts - lag(ts) OVER uw > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM sess, wm
+    GROUP BY user_id, sid, wm.w
+    HAVING MAX(ts) + INTERVAL 30 MINUTE <= wm.w
+    ORDER BY user_id, session_start
+    """,
+)
+def d26_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows end to end: F.session_window under a real
+    multi-micro-batch run (3 time-contiguous chunks, maxFilesPerTrigger=1)
+    with a 2-hour watermark, append mode. This exercises the one piece the
+    batch d27_session_window twin cannot: MERGING session state across
+    batches — a session whose events straddle a chunk boundary must fuse
+    into one state-store entry (gap merge), and only sessions whose end
+    has passed the watermark are finalized into the sink; the open tail
+    is withheld.
+
+    Scale shape (100 TB): state is one row per OPEN session per user —
+    the watermark bounds it exactly as it bounds window state; session
+    merge is a per-key state-store operation, never a shuffle of history.
+    State partitions sized via scoped_state_partitions (per-partition
+    per-batch commit I/O dominates small-key streams)."""
+    # stateful.py imports ops.await_finished at module level, so this
+    # import stays function-local to avoid the cycle
+    from conceptnetwork_spark.streaming.stateful import _stage_time_chunks
+
+    stage = _stage_time_chunks(spark, sf_dir, SESSION_STREAM_CHUNKS)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", SESSION_STREAM_DELAY)
+        .groupBy(
+            F.session_window("ts", SESSION_STREAM_GAP).alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    name = f"sess_stream_{uuid.uuid4().hex[:8]}"
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q, 180)
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            F.date_format("w.end", _TS_FMT).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
