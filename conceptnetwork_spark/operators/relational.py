@@ -6772,3 +6772,93 @@ def d27_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_no")
     )
+
+
+# --------------------------------------------------------------------------
+# D10 extension (round 9) — 1-Wasserstein (earth-mover) drift distance,
+# the magnitude companion to the KS sup-gap
+# --------------------------------------------------------------------------
+@register(
+    "d10_wasserstein_drift",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value, (date_part('day', ts) <= 15) AS is_ref
+      FROM events
+    ), pv AS (
+      SELECT event_type, value,
+             SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+      FROM e GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, value,
+             SUM(n_ref) OVER w AS c_ref,
+             SUM(n_cur) OVER w AS c_cur,
+             SUM(n_ref) OVER (PARTITION BY event_type) AS t_ref,
+             SUM(n_cur) OVER (PARTITION BY event_type) AS t_cur,
+             lead(value) OVER w AS nxt
+      FROM pv
+      WINDOW w AS (PARTITION BY event_type ORDER BY value)
+    )
+    SELECT event_type,
+           CAST(MAX(t_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(t_cur) AS BIGINT) AS n_cur,
+           CAST(ROUND(SUM(CAST(ROUND(
+                  ABS(CAST(c_ref AS DOUBLE) / t_ref
+                      - CAST(c_cur AS DOUBLE) / t_cur) * (nxt - value), 8)
+                AS DECIMAL(18,8))), 4) AS DOUBLE) AS w1
+    FROM c WHERE nxt IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d10_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth-mover) distance per event type between the
+    first and second half of the month: W1 = integral |ECDF_ref -
+    ECDF_cur| dv, the MAGNITUDE of distribution drift where KS reports
+    only the worst single gap — a small uniform shift and a narrow spike
+    can share a KS statistic but differ 10x in W1, which is why drift
+    gates that trigger retraining use the earth-mover form. Exact, not
+    sampled: over distinct observed values the ECDFs are step functions,
+    so the integral is a finite sum of |gap| x (next_value - value).
+
+    Scale shape (100 TB): identical to d10_ks_drift — one fact scan, one
+    shuffle to (type, distinct value), one per-type sort window (adds
+    only a LEAD to the same frame), final agg to |types| rows. Each
+    integral term is fixed to 8 decimals and summed as DECIMAL so the
+    result is summation-order-free (events.value carries exactly 2
+    decimals, so the value gaps are exact in double)."""
+    e = Catalog(spark, sf_dir).events.select(
+        "event_type", "value", (F.dayofmonth("ts") <= 15).alias("is_ref")
+    )
+    pv = e.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("value")
+    wa = Window.partitionBy("event_type")
+    c = pv.select(
+        "event_type",
+        "value",
+        F.sum("n_ref").over(wo).alias("c_ref"),
+        F.sum("n_cur").over(wo).alias("c_cur"),
+        F.sum("n_ref").over(wa).alias("t_ref"),
+        F.sum("n_cur").over(wa).alias("t_cur"),
+        F.lead("value").over(wo).alias("nxt"),
+    )
+    term = F.round(
+        F.abs(
+            F.col("c_ref").cast("double") / F.col("t_ref")
+            - F.col("c_cur").cast("double") / F.col("t_cur")
+        )
+        * (F.col("nxt") - F.col("value")),
+        8,
+    ).cast("decimal(18,8)")
+    return (
+        c.where(F.col("nxt").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.max("t_ref").cast("long").alias("n_ref"),
+            F.max("t_cur").cast("long").alias("n_cur"),
+            F.round(F.sum(term), 4).cast("double").alias("w1"),
+        )
+        .orderBy("event_type")
+    )

@@ -206,12 +206,15 @@ AUDIT = [
     "d30_embedding_audit",
     "d10_key_discovery",
     "d35_stats_merge",
-    # round-9 additions
+    # round-9 additions (d26_stream_session_window is excluded like the
+    # other true streaming queries: its returned DataFrame is the memory
+    # sink read, not the streaming plan)
     "d27_retention_cohorts",
     "d35_compaction_plan",
     "d34_fim_transform",
     "d31_perplexity_buckets",
     "d34_tokenizer_fertility",
+    "d10_wasserstein_drift",
 ]
 
 
