@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import duckdb
 import pandas as pd
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -848,7 +848,10 @@ def test_patchify_block_sums_match_naive(h, w, seed):
 
 @given(n=st.integers(10, 80), seed=st.integers(0, 2**31))
 @settings(max_examples=30)
+@example(n=16, seed=13628)  # host pow() quirk discovered by hypothesis r9
 def test_audio_framing_matches_naive(n, seed):
+    import math
+
     import numpy as np
 
     rng = np.random.RandomState(seed % (2**32 - 1))
@@ -864,8 +867,13 @@ def test_audio_framing_matches_naive(n, seed):
             if (fr[i] >= 0) != (fr[i - 1] >= 0)
         )
         assert zc == naive
-        assert float(np.sqrt(float((fr * fr).sum()) / F_)) == (
-            (float(sum(int(x) * int(x) for x in fr)) / F_) ** 0.5
+        # naive RMS mirror must use sqrt, NOT `** 0.5`: x ** 0.5 goes
+        # through libm pow(), which is not correctly rounded on every
+        # host (seed=13628 differs in the last ulp here), while sqrt IS
+        # IEEE-correctly-rounded everywhere — the same reason the engine
+        # and oracle both compute RMS via sqrt (d32_audio_energy).
+        assert float(np.sqrt(float((fr * fr).sum()) / F_)) == math.sqrt(
+            float(sum(int(x) * int(x) for x in fr)) / F_
         )
 
 
