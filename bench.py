@@ -246,24 +246,34 @@ HEADLINE = [
 ]
 
 
+CALIBRATION_KIND = "numpy_matmul_1500_median5"
+
+
 def _calibrate(spark) -> float:
-    """Fixed micro-calibration workload: a constant 10^7-row whole-stage-
-    codegen aggregate with NO data dependence (spark.range), timed min-of-5
-    after one warm-up. Its wall-clock tracks the host's effective speed
-    (CPU contention, thermal state, JVM health) and nothing about the
-    engine, so cross-round per-query comparisons can divide it out — three
-    rounds of +5% headline creep (63.8 -> 70.2 -> 74.4 s) were otherwise
-    unattributable between host variance and real drift (VERDICT r8 ask #6).
-    """
-    expr = "sum(id * 2654435761 % 1000003) AS s"
+    """Fixed micro-calibration workload measuring HOST speed so cross-round
+    per-query comparisons can divide it out — three rounds of +5% headline
+    creep (63.8 -> 70.2 -> 74.4 s) were otherwise unattributable between
+    host variance and real drift (VERDICT r8 ask #6). A dense 1500x1500
+    matmul, median of 5 after two warm-ups: measured 0.8% run-to-run on an
+    idle host. A Spark-job calibrator was tried first and rejected — any
+    spark.range aggregate is dominated by the ~0.2 s job-scheduling floor
+    (±50 ms noise regardless of row count, measured 10M-400M rows), which
+    made the normalization itself ±30% noisy. The matmul runs on the same
+    cores the executors use, so external CPU contention scales it exactly
+    like query work; `spark` is accepted for signature stability only."""
+    import statistics
+
+    import numpy as np
+
+    a = np.full((1500, 1500), 1.0001)
 
     def run() -> float:
         t0 = time.perf_counter()
-        spark.range(10_000_000).selectExpr(expr).collect()
+        _ = a @ a
         return time.perf_counter() - t0
 
-    run()  # codegen warm-up, untimed
-    return round(min(run() for _ in range(5)), 4)
+    run(), run()  # page-in + BLAS thread-pool warm-up, untimed
+    return round(statistics.median(run() for _ in range(5)), 4)
 
 
 def _host_normalized_flags(
@@ -283,7 +293,12 @@ def _host_normalized_flags(
         try:
             with open(p) as f:
                 cand = json.load(f)
-            if cand.get("calibration_sec"):
+            # only snapshots taken with the SAME calibration workload are
+            # comparable (the r9 Spark-job calibrator was ±30% noisy and
+            # its values must never normalize a matmul-calibrated run)
+            if cand.get("calibration_sec") and (
+                cand.get("calibration_kind") == CALIBRATION_KIND
+            ):
                 baseline = (os.path.basename(p), cand)
                 break
         except (OSError, json.JSONDecodeError):
@@ -410,6 +425,7 @@ def main() -> None:
         extra={
             "sf": float(sf) if sf else None,
             "calibration_sec": calibration_sec,
+            "calibration_kind": CALIBRATION_KIND,
             "host_normalized": _host_normalized_flags(
                 timings, calibration_sec
             ),
