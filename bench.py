@@ -250,17 +250,24 @@ CALIBRATION_KIND = "numpy_matmul_1500_median5"
 
 
 def _calibrate(spark) -> float:
-    """Fixed micro-calibration workload measuring HOST speed so cross-round
-    per-query comparisons can divide it out — three rounds of +5% headline
-    creep (63.8 -> 70.2 -> 74.4 s) were otherwise unattributable between
-    host variance and real drift (VERDICT r8 ask #6). A dense 1500x1500
-    matmul, median of 5 after two warm-ups: measured 0.8% run-to-run on an
-    idle host. A Spark-job calibrator was tried first and rejected — any
-    spark.range aggregate is dominated by the ~0.2 s job-scheduling floor
-    (±50 ms noise regardless of row count, measured 10M-400M rows), which
-    made the normalization itself ±30% noisy. The matmul runs on the same
-    cores the executors use, so external CPU contention scales it exactly
-    like query work; `spark` is accepted for signature stability only."""
+    """Fixed micro-calibration probe measuring HOST state so cross-round
+    per-query deltas are attributable — three rounds of +5% headline creep
+    (63.8 -> 70.2 -> 74.4 s) were otherwise unattributable between host
+    variance and real drift (VERDICT r8 ask #6). A dense 1500x1500 matmul,
+    median of 5 after two warm-ups: measured 0.8% run-to-run on an idle
+    host, 14x inflated under the contention event the r9 close caught. A
+    Spark-job calibrator was tried first and rejected — any spark.range
+    aggregate is dominated by the ~0.2 s job-scheduling floor (±50 ms
+    noise regardless of row count, measured 10M-400M rows), making the
+    probe itself ±30% noisy. `spark` is accepted for signature stability.
+
+    The probe is a COMPARABILITY GATE, not a divisor: a 1-thread probe
+    over-reacts to partial load relative to 32-way query stages (measured:
+    probe 14x vs queries 1.55x under the same contention), and a 32-way
+    probe is ±40% noisy even idle, so no single scalar can rescale a
+    loaded run onto an idle one. _host_normalized_flags therefore only
+    compares runs whose calibrations AGREE (both idle or equally loaded)
+    and declares the comparison unreliable otherwise."""
     import statistics
 
     import numpy as np
@@ -279,11 +286,14 @@ def _calibrate(spark) -> float:
 def _host_normalized_flags(
     timings: dict[str, float], calibration_sec: float
 ) -> dict:
-    """Compare this run against the newest BENCHDETAIL_r{N}.json snapshot,
-    dividing each side's per-query seconds by its own calibration_sec. A
-    query is flagged only if its HOST-NORMALIZED time regressed >1.3x —
-    uniform host slowdown cancels out, so surviving flags are real drift
-    (plan change, new shuffle, lost broadcast), not a busy machine."""
+    """Compare this run against the newest same-kind BENCHDETAIL_r{N}.json
+    snapshot. If the two calibrations agree within 25% (same host state —
+    both idle, in practice), per-query ratios are directly comparable and
+    anything >1.3x is flagged as real drift (plan change, new shuffle,
+    lost broadcast). If the calibrations DISAGREE, the host states differ
+    and no scalar can rescale one onto the other (a 1-thread probe and a
+    32-way stage respond differently to partial load), so the comparison
+    is declared unreliable instead of producing mis-scaled flags."""
     import glob
 
     root = os.path.dirname(os.path.abspath(__file__))
@@ -307,15 +317,24 @@ def _host_normalized_flags(
         return {"vs": None, "note": "no prior snapshot with calibration_sec"}
     name, prev = baseline
     prev_cal = prev["calibration_sec"]
+    cal_ratio = round(calibration_sec / prev_cal, 3)
+    if not (1 / 1.25 <= cal_ratio <= 1.25):
+        return {
+            "vs": name,
+            "host_speed_ratio": cal_ratio,
+            "note": "host states differ (calibrations disagree >25%); "
+            "per-query comparison unreliable — re-measure idle",
+        }
     flags = {}
     for q, t in timings.items():
         pt = prev.get("queries", {}).get(q)
         if not pt or pt <= 0 or t <= 0:
             continue
-        ratio = round((t / calibration_sec) / (pt / prev_cal), 3)
+        ratio = round(t / pt, 3)
         if ratio > 1.3:
             flags[q] = ratio
-    return {"vs": name, "flagged_over_1.3x": flags}
+    return {"vs": name, "host_speed_ratio": cal_ratio,
+            "flagged_over_1.3x": flags}
 
 
 def sweep(spark, sf_dir: str) -> None:
