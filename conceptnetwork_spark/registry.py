@@ -77,19 +77,29 @@ _LOADED = False
 # and _load_all() pins every oracle-less query to the registry TAIL so no
 # driver window can ever sample one into an oracle comparison.
 #
-# ROUND-9 window (verdict r8 ask #2): the TWENTY-TWO member r8 carry-over
-# block stays intact — d35_zorder_interleave (the r8 red, re-fixed this
-# round with content-derived range keys; its green row closes the ledger
-# at 333/333) plus the 21 round-7 additions first-certified only last
-# round (the youngest certifications, highest regression risk) — filled
-# with the TWENTY-EIGHT stalest greens (d18_gap_fill last green r1, the
-# rest r2-era, the oldest rows in CERTIFIED.md). All 50 are locally
-# DuckDB-green and rehearsed in driver order by tools/window_rehearsal.py
-# AFTER the final code edit of the round (the r8 lesson: any
-# post-rehearsal edit to a registered query re-runs that query's oracle +
-# plan tests before commit).
+# ROUND-10 window (verdict r9 ask #1): leads with the SEVEN round-9
+# additions that have never held a driver-green CORRECTNESS row (each
+# locally DuckDB-green since its commit, independently re-verified by the
+# r9 judge) — their green rows close the all-time oracle ledger at
+# 340/340 — then the TWENTY-TWO member block first-certified only last
+# round (d35_zorder_interleave, the re-fixed r8 red, plus the 21 round-7
+# additions: the youngest certifications, highest regression risk), then
+# the TWENTY-ONE stalest greens (r2/r3-era rows in CERTIFIED.md). All 50
+# are rehearsed in driver order by tools/window_rehearsal.py AFTER the
+# final code edit of the round (the r8 lesson: any post-rehearsal edit to
+# a registered query re-runs that query's oracle + plan tests before
+# commit).
 CERT_FIRST: tuple[str, ...] = (
-    # r8 carry-over block: the re-fixed red + the 21 youngest certs
+    # never driver-checked (round-9 additions) — these close the ledger
+    "d10_wasserstein_drift",
+    "d26_stream_session_window",
+    "d27_retention_cohorts",
+    "d31_perplexity_buckets",
+    "d34_fim_transform",
+    "d34_tokenizer_fertility",
+    "d35_compaction_plan",
+    # youngest certifications (first green r9): the re-fixed red + r7 adds
+    "d35_zorder_interleave",
     "d19_logsumexp",
     "d10_js_divergence",
     "d27_path_entropy",
@@ -108,50 +118,38 @@ CERT_FIRST: tuple[str, ...] = (
     "d31_pii_scrub",
     "d34_vocab_coverage",
     "d34_loss_mask",
-    "d35_zorder_interleave",
     "d33_calibration_ece",
     "d34_pack_attention_spans",
     "d35_stats_merge",
-    # stalest re-certifications (last driver-green: r1/r2)
-    "d18_gap_fill",
-    "d01_csv_source",
-    "d01_scan_filter",
-    "d02_case_parse",
-    "d04_q3_shipping",
-    "d06_semi_join",
-    "d09_hash_agg",
-    "d10_count_distinct",
-    "d12_pivot",
-    "d13_window_rank",
-    "d14_window_running",
-    "d20_array_funcs",
-    "d20_zip_with_dot",
-    "d21_json_funcs",
-    "d22_pandas_udf",
-    "d23_grouped_agg",
-    "d23_grouped_map",
-    "d24_explode_words",
-    "d25_stateful_totals",
-    "d25_stream_ingest",
-    "d25_stream_static_join",
-    "d25_stream_stream_join",
-    "d26_tumbling_window",
-    "d27_session_window",
-    "d29_ngram_jaccard",
-    "d30_quantize_int8",
-    "d31_fingerprint",
-    "d31_lang_id",
+    # stalest re-certifications (last driver-green: r2/r3)
+    "d31_quality_score",
+    "d31_text_stats",
+    "d32_binary_meta",
+    "d33_string_indexer",
+    "d34_llm_dataprep",
+    "d35_upsert_cdc",
+    "d01_json_source",
+    "d02_hash_sample",
+    "d02_negative_sampling",
+    "d02_stratified_sample",
+    "d02_train_test_split",
+    "d03_inner_join",
+    "d04_q2_min_acctbal_supplier",
+    "d05_left_outer_join",
+    "d06_q20_heavy_suppliers",
+    "d07_range_join",
+    "d08_asof_join",
+    "d09_q11_important_parts",
+    "d09_q14_promo",
+    "d09_q15_top_supplier",
+    "d09_q21_waiting",
 )
-# With this window green, EVERY oracle query registered through round 8
-# (333/333) holds >=1 driver hash-match (cumulative ledger: CERTIFIED.md,
-# regenerated by tools/roundclose.py from CORRECTNESS_r01..r09), and no
-# green is older than r3 except the r2-era tail scheduled for the r10
-# rotation. Oracle queries added DURING round 9 (d27_retention_cohorts,
-# d35_compaction_plan, d34_fim_transform, d31_perplexity_buckets,
-# d34_tokenizer_fertility, d26_stream_session_window,
-# d10_wasserstein_drift — each verified at sf0.001/0.01 through the
-# driver contract before its commit, sf0.1 at round close) are the
-# declared r10 carry-over; they lead the r10 window.
+# With this window green, EVERY oracle query in the registry (340/340)
+# holds >=1 driver hash-match (cumulative ledger: CERTIFIED.md,
+# regenerated by tools/roundclose.py from CORRECTNESS_r01..r10), and no
+# green is older than r3 except the r3-era tail scheduled for the r11
+# rotation (d09_q6_forecast_revenue onward in CERTIFIED.md staleness
+# order).
 # The 27 oracle-less queries (approx sketches, seeded LSH/IVF/PQ ANN,
 # streaming-only semantics, d30_mmr_rerank, d30_ivf_pq, d34_bpe_train,
 # d33_pca_spectrum, ...) are pytest-pinned instead (tolerance / recall /
