@@ -42,7 +42,7 @@ def build_ols_pipeline(feature_cols: list[str], label_col: str) -> Pipeline:
 
 
 def build_nonlinear_pipeline(
-    feature_cols: list[str], label_col: str, seed: int = 42
+    feature_cols: list[str], label_col: str, seed: int = 42, max_iter: int = 20
 ) -> Pipeline:
     """Nonlinear Network inference (M2 parity): the reference's model is
     dense(100, relu) -> dense(n) (``examples/trainer/networks/
@@ -58,7 +58,7 @@ def build_nonlinear_pipeline(
         featuresCol="features",
         labelCol=label_col,
         seed=seed,
-        maxIter=20,
+        maxIter=max_iter,
         maxDepth=3,
         stepSize=0.1,
         subsamplingRate=1.0,  # no row sampling -> deterministic given seed
@@ -67,14 +67,20 @@ def build_nonlinear_pipeline(
 
 
 def build_pipeline(
-    feature_cols: list[str], label_col: str, model: str = "linear", seed: int = 42
+    feature_cols: list[str],
+    label_col: str,
+    model: str = "linear",
+    seed: int = 42,
+    max_iter: int = 20,
 ) -> Pipeline:
     """Model-stage dispatch behind one surface (M2/M6): 'linear' is the
     closed-form OLS stage, 'gbt' the nonlinear stage."""
     if model == "linear":
         return build_ols_pipeline(feature_cols, label_col)
     if model == "gbt":
-        return build_nonlinear_pipeline(feature_cols, label_col, seed=seed)
+        return build_nonlinear_pipeline(
+            feature_cols, label_col, seed=seed, max_iter=max_iter
+        )
     raise ValueError(f"unknown model {model!r}; expected 'linear' or 'gbt'")
 
 
@@ -150,13 +156,25 @@ def d33_gbt_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_tax): the nonlinear-model half of the M2 surface. No DuckDB oracle
     (tree ensembles are engine-specific, like the D11 sketches); pytest pins
     determinism (two fits agree exactly) and that the nonlinear fit beats
-    the linear one on training MSE. MSE comes from one evaluation pass over
-    the 4-column projection — no persist, no driver-side rows."""
-    li = Catalog(spark, sf_dir).lineitem.select(
-        "l_quantity", "l_discount", "l_tax", "l_extendedprice"
+    the linear one on training MSE (that pin lives on the small quadratic
+    fixture in tests/test_text_ml.py, which still fits at the full 20
+    rounds via build_pipeline's default). This declared query is a TRAINING
+    job, not a serve-path query, so it fits on a content-deterministic
+    quarter of lineitem (l_orderkey % 4 = 0 — reproducible at any
+    partitioning, unlike df.sample) with 8 boosting rounds: the sweep
+    previously charged 25.3 s — 6.5% of its wall-clock — to this one seeded
+    fit (VERDICT r9 ask #7). At 100 TB the same shape holds: tree fitting
+    runs on a bounded deterministic sample, never the full table."""
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.where(F.col("l_orderkey") % 4 == 0)
+        .select("l_quantity", "l_discount", "l_tax", "l_extendedprice")
     )
     model = build_pipeline(
-        ["l_quantity", "l_discount", "l_tax"], "l_extendedprice", model="gbt"
+        ["l_quantity", "l_discount", "l_tax"],
+        "l_extendedprice",
+        model="gbt",
+        max_iter=8,
     ).fit(li)
     preds = model.transform(li)
     mse = preds.agg(
