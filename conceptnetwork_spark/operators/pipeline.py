@@ -2831,9 +2831,30 @@ def d35_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-derived key invariant under plan placement — because
     TaskContext.partitionId() is stage-relative and renumbers under
     Union (the r8 regression: union children got pids 8–15 while the
-    offsets carried 0–7). The numbering pass is persisted so the counts
-    job and the final aggregate see one evaluation. Zone stats are one
-    partial+final agg per layout."""
+    offsets carried 0–7). Both arms' numbering passes union into ONE
+    persisted relation — a single 16-task job, the two range exchanges
+    running concurrently — and the builder MATERIALIZES the final
+    zone-map table (2 x ZORDER_FILES rows: file-count-bounded METADATA,
+    like the offsets readout) before releasing the persist in a
+    ``finally`` (r9 ADVICE items 1+2: no CacheManager entry outlives the
+    builder, and nothing downstream can ever re-execute the sampled
+    range exchange into boundaries that no longer match the collected
+    offsets — the cache is live for exactly the two jobs that read it).
+    Zone stats are one partial+final agg over the assigned union."""
+    agg, numbered = _zorder_zone_map(spark, sf_dir)
+    try:
+        rows = agg.collect()  # already (layout, file_id)-ordered by the agg
+    finally:
+        numbered.unpersist()
+    # createDataFrame preserves local-row order, so no re-sort job is paid
+    return spark.createDataFrame(rows, agg.schema)
+
+
+def _zorder_zone_map(spark: SparkSession, sf_dir: str):
+    """Builds d35_zorder_interleave's LAZY zone-map aggregate plus the
+    persisted numbering handle the caller must unpersist — split out so
+    the plan pins (tests/test_plans.py, tools/explain_audit.py) can
+    inspect the distributed plan the registered query executes."""
     o = Catalog(spark, sf_dir).orders
     m = 1 << ZORDER_BITS
     src = o.select(
@@ -2843,11 +2864,12 @@ def d35_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = src.withColumn("zval", F.expr(_zorder_sql_expr("a", "b")))
 
-    def _layout(sort_cols: list, name: str) -> DataFrame:
-        # pass 1+2: exact global rank in sort_cols order ((.., o_orderkey)
+    def _arm(sort_cols: list, name: str) -> DataFrame:
+        # pass 1: exact per-range rank in sort_cols order ((.., o_orderkey)
         # is a total order, so range boundaries can never split a tie,
-        # and each non-empty range has a UNIQUE first tuple -> (k1, k2)
-        # is a safe partition identity that also ORDERS the ranges)
+        # and each non-empty range has a UNIQUE first tuple -> (layout,
+        # k1, k2) is a safe partition identity that also ORDERS the
+        # ranges within its layout)
         c1 = sort_cols[0]
 
         def _number_partition(it):
@@ -2861,56 +2883,80 @@ def d35_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
                     k2 = int(pdf["o_orderkey"].iloc[0])
                 n = len(pdf)
                 yield pdf.assign(
-                    k1=k1, k2=k2, lrn=range(base + 1, base + n + 1)
+                    layout=name, k1=k1, k2=k2, lrn=range(base + 1, base + n + 1)
                 )
                 base += n
 
-        local = (
+        return (
             keyed.repartitionByRange(8, *sort_cols)
             .sortWithinPartitions(*sort_cols)
             .mapInPandas(
                 _number_partition,
                 schema="o_orderkey long, a long, b long, zval long, "
-                "k1 long, k2 long, lrn long",
+                "layout string, k1 long, k2 long, lrn long",
             )
-            .persist()
-        )
-        # KB-sized metadata readout: one row per range partition. The
-        # collect also materializes the persisted numbering pass, so the
-        # final job reuses it instead of re-sampling the range exchange.
-        cnt_rows = sorted(
-            local.groupBy("k1", "k2")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect(),
-            key=lambda r: (r["k1"], r["k2"]),
-        )
-        n_tot = sum(r["cnt"] for r in cnt_rows)
-        offs, run = [], 0
-        for r in cnt_rows:
-            offs.append((r["k1"], r["k2"], run))
-            run += r["cnt"]
-        offsets = spark.createDataFrame(offs, "k1 long, k2 long, off long")
-        # closed-form NTILE(F) of rank r over n_tot rows: the first
-        # n_tot%F buckets take q+1 rows (q = n_tot div F), the rest q
-        q, rem = divmod(n_tot, ZORDER_FILES)
-        hi = rem * (q + 1)
-        return local.join(F.broadcast(offsets), ["k1", "k2"]).select(
-            F.lit(name).alias("layout"),
-            "a",
-            "b",
-            F.expr(
-                f"""CASE WHEN (off + lrn) <= {hi}
-                    THEN (off + lrn - 1) div {q + 1} + 1
-                    ELSE {rem} + (off + lrn - {hi} - 1) div {max(q, 1)} + 1
-                    END"""
-            ).alias("file_id"),
         )
 
-    lin = _layout(["a", "o_orderkey"], "linear")
-    zo = _layout(["zval", "o_orderkey"], "zorder")
-    return (
-        lin.unionAll(zo)
-        .groupBy("layout", F.col("file_id").cast("int").alias("file_id"))
+    # BOTH layout arms union into ONE persisted relation: the numbering
+    # passes materialize during the counts job — a single 16-task job,
+    # the two range exchanges running concurrently — and the file-id
+    # join reads the columnar cache. The persist handle is returned to
+    # the caller, who releases it the moment the zone-map readout lands
+    # (pinned by test_zorder_row_conservation_and_cache_release). The
+    # union is safe here ONLY because ranges self-identify by content:
+    # pids renumber under Union (the r8 regression).
+    numbered = _arm(["a", "o_orderkey"], "linear").unionAll(
+        _arm(["zval", "o_orderkey"], "zorder")
+    ).persist()
+    try:
+        # KB-sized metadata readout: one row per range partition per
+        # layout; the collect also materializes the persist, so the
+        # final job reuses it instead of re-sampling the range exchange
+        cnt_rows = numbered.groupBy("layout", "k1", "k2").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    except Exception:
+        numbered.unpersist()
+        raise
+    offs, n_tot = [], {}
+    for layout in ("linear", "zorder"):
+        run = 0
+        for r in sorted(
+            (r for r in cnt_rows if r["layout"] == layout),
+            key=lambda r: (r["k1"], r["k2"]),
+        ):
+            offs.append((layout, r["k1"], r["k2"], run))
+            run += r["cnt"]
+        n_tot[layout] = run
+    if n_tot["linear"] != n_tot["zorder"]:
+        numbered.unpersist()
+        raise RuntimeError(
+            f"zorder row-conservation violated: {n_tot} — both arms must "
+            "carry every order exactly once"
+        )
+    offsets = spark.createDataFrame(
+        offs, "layout string, k1 long, k2 long, off long"
+    )
+    # closed-form NTILE(F) of rank r over n_tot rows: the first n_tot%F
+    # buckets take q+1 rows (q = n_tot div F), the rest q — identical
+    # constants for both layouts since each carries every order once
+    q, rem = divmod(n_tot["linear"], ZORDER_FILES)
+    hi = rem * (q + 1)
+    assigned = numbered.join(
+        F.broadcast(offsets), ["layout", "k1", "k2"]
+    ).select(
+        "layout",
+        "a",
+        "b",
+        F.expr(
+            f"""CASE WHEN (off + lrn) <= {hi}
+                THEN (off + lrn - 1) div {q + 1} + 1
+                ELSE {rem} + (off + lrn - {hi} - 1) div {max(q, 1)} + 1
+                END"""
+        ).alias("file_id"),
+    )
+    agg = (
+        assigned.groupBy("layout", F.col("file_id").cast("int").alias("file_id"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.min("a").cast("long").alias("a_min"),
@@ -2926,6 +2972,7 @@ def d35_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout", "file_id")
     )
+    return agg, numbered
 
 
 # --------------------------------------------------------------------------

@@ -146,3 +146,33 @@ def test_staging_restages_on_source_change(tmp_path):
     for d in (d1_range, d1_frag, d2_range, d2_frag):
         shutil.rmtree(d, ignore_errors=True)
     formats._SF_FP_CACHE.clear()
+
+
+def test_zorder_row_conservation_and_cache_release(spark):
+    """r9 ADVICE pins for d35_zorder_interleave: (a) the offsets inner join
+    must be row-CONSERVING — every order lands in exactly one file per
+    layout, so per-layout SUM(n_rows) equals the orders row count (a
+    silently re-sampled range exchange would drop rows here, loudly); and
+    (b) the builder must not LEAK cached relations — the numbering pass is
+    persisted per layout arm but released before the builder returns (the
+    bench runs this query 4x per session; the sweep and the 10x
+    scale-stress once more each)."""
+    from conceptnetwork_spark.registry import queries
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = cache_mgr.isEmpty()
+    res = queries()["d35_zorder_interleave"](spark, SF_ORACLE)
+    n_orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").count()
+    per_layout = {
+        r["layout"]: r["tot"]
+        for r in res.groupBy("layout").agg(F.sum("n_rows").alias("tot")).collect()
+    }
+    assert per_layout == {"linear": n_orders, "zorder": n_orders}
+    # DataFrame.persist registers in the CacheManager and ONLY unpersist()
+    # releases it; localCheckpoint blocks live outside it and are
+    # ContextCleaner-freed when the result drops. So: the builder must not
+    # have added a CacheManager entry that survives its return.
+    if was_empty:
+        assert cache_mgr.isEmpty(), (
+            "builder leaked a persisted relation in the CacheManager"
+        )

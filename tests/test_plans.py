@@ -1295,8 +1295,17 @@ def test_d35_zorder_no_cartesian(spark):
     scan (no Python), neither layout arm may plan a cartesian or
     nested-loop join, and — the point of the distributed two-pass
     row-number — NOTHING may funnel through a single-partition exchange
-    (no single-reducer NTILE, no driver-side window over the data)."""
-    plan = _plan(spark, "d35_zorder_interleave")
+    (no single-reducer NTILE, no driver-side window over the data).
+    The registered query materializes the file-count-bounded zone map and
+    releases its persist before returning, so the pin inspects the
+    distributed plan it executes via the _zorder_zone_map split."""
+    from conceptnetwork_spark.operators.pipeline import _zorder_zone_map
+
+    agg, numbered = _zorder_zone_map(spark, SF_ORACLE)
+    try:
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        numbered.unpersist()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan

@@ -186,8 +186,10 @@ AUDIT = [
     "d09_hhi",
     "d17_jaro_winkler",
     "d34_loss_mask",
-    # round-7 wave 2
-    "d35_zorder_interleave",
+    # round-7 wave 2 (d35_zorder_interleave moved to AUX_PLANS in r10:
+    # the registered query now materializes the file-count-bounded zone
+    # map and releases its persist before returning, so the interesting
+    # distributed plan lives on the internal _zorder_zone_map split)
     "d31_pii_scrub",
     "d10_modal_values",
     # round-7 wave 3
@@ -276,7 +278,21 @@ def _aux_python_stream_source(spark, sf_dir):
 # queries whose AUDITABLE plan is not the returned DataFrame: iterative
 # operators (pin the per-round shape) and eagerly-executed streaming
 # queries (pin the un-started source plan)
+def _aux_zorder_zone_map(spark, sf_dir):
+    """The distributed plan d35_zorder_interleave executes before its
+    bounded zone-map readout: two content-keyed range-exchange numbering
+    arms unioned under one persist, broadcast-offset file assignment,
+    partial+final zone aggregate — no SinglePartition anywhere (also
+    pinned in tests/test_plans.py). Leaves the relation persisted; this
+    process exits right after the audit."""
+    from conceptnetwork_spark.operators.pipeline import _zorder_zone_map
+
+    agg, _numbered = _zorder_zone_map(spark, sf_dir)
+    return agg
+
+
 AUX_PLANS = {
+    "d35_zorder_interleave@zone-map-plan": _aux_zorder_zone_map,
     "d34_bpe_train@per-round-pair-count-shape": _aux_bpe_train_round,
     "d01_python_stream_source@unstarted-stream-plan": _aux_python_stream_source,
 }
