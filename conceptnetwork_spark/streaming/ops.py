@@ -2328,6 +2328,14 @@ def d26_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conceptnetwork_spark.streaming.stateful import _stage_time_chunks
 
     stage = _stage_time_chunks(spark, sf_dir, SESSION_STREAM_CHUNKS)
+    return run_session_stream_on_stage(spark, stage)
+
+
+def run_session_stream_on_stage(spark: SparkSession, stage: str) -> DataFrame:
+    """The d26_stream_session_window pipeline over an arbitrary staged
+    chunk directory — split out so the boundary-tie pin
+    (tests/test_streaming.py) can replay a CONSTRUCTED fixture whose
+    session end coincides with the final watermark to the millisecond."""
     schema = spark.read.parquet(stage).schema
     stream = (
         spark.readStream.schema(schema)

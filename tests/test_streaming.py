@@ -5,7 +5,7 @@ import pytest
 
 from conceptnetwork_spark.registry import queries
 from conceptnetwork_spark.streaming import ops
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def _rows(df, cols):
@@ -464,3 +464,164 @@ def test_tws_state_holds_at_million_keys(spark, tmp_path):
         return (r.k, r.s, r.h)
 
     assert checksum(final) == checksum(batch)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_ORACLE])
+def test_stream_session_window_cross_batch_merge(spark, sf_dir, tmp_path):
+    """r9 VERDICT ask #4: the state-MERGE arm of d26_stream_session_window
+    must be exercised, not vacuously true — (i) an EMITTED session's
+    events straddle a micro-batch boundary, proving the session fused
+    across state-store commits; (ii) the open tail is real: a non-zero
+    count of batch sessions is withheld at the final watermark (the
+    6/150/1006 fired/withheld methodology from streaming/stateful.py,
+    applied to session windows).
+
+    The registered query's equal-count chunking turns out NEVER to cut a
+    session on this data (events are ~hours apart per user vs the 30-min
+    gap; verified empirically at both SFs — zero straddles), so the pin
+    would be vacuous on the stock staging. Instead the test re-chunks the
+    REAL events table with the split placed mid-session: the boundary
+    falls between the first and second event of the largest finalized
+    multi-event session, so exactly that session MUST be merged across
+    batches; its emitted row must carry the full batch (n_events,
+    sum_value) — a partial, unmerged emission would differ."""
+    import os
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from conceptnetwork_spark.catalog import Catalog
+    from conceptnetwork_spark.streaming.ops import (
+        SESSION_STREAM_DELAY,
+        SESSION_STREAM_GAP,
+        run_session_stream_on_stage,
+    )
+
+    ev = Catalog(spark, sf_dir).events.select("ts", "event_id", "user_id", "value")
+    final_wm = ev.agg(
+        F.timestamp_millis(F.unix_millis(F.max("ts"))).alias("m")
+    ).collect()[0]["m"] - timedelta(hours=2)
+
+    # batch truth with raw extents
+    batch = (
+        ev.groupBy(F.session_window("ts", SESSION_STREAM_GAP).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+        )
+        .select("user_id", "w.start", "w.end", "n_events", "sum_value", "first_ts")
+        .collect()
+    )
+    finalized = [r for r in batch if r.end <= final_wm]
+    multi = [r for r in finalized if r.n_events >= 2]
+    assert multi, "fixture degenerate: no finalized multi-event session"
+    target = max(multi, key=lambda r: (r.n_events, r.first_ts))
+
+    # split the stream right after the target session's FIRST event: its
+    # remaining events land in chunk 1, forcing a state-store gap merge
+    import pandas as pd
+
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    pdf["ts"] = pdf["ts"].dt.tz_localize("UTC").dt.as_unit("us")
+    cutoff = pd.Timestamp(target.first_ts, tz="UTC")
+    lo = pdf[pdf["ts"] <= cutoff]
+    hi = pdf[pdf["ts"] > cutoff]
+    assert len(lo) and len(hi)
+    stage = str(tmp_path / "merge_chunks")
+    os.makedirs(stage)
+    for i, part in enumerate((lo, hi)):
+        path = os.path.join(stage, f"b{i}.parquet")
+        part.to_parquet(path, index=False)
+        base = os.path.getmtime(path)
+        os.utime(path, (base + i - 2, base + i - 2))
+
+    res = run_session_stream_on_stage(spark, stage)
+    emitted = res.collect()
+
+    key = target.start.strftime("%Y-%m-%d %H:%M:%S")
+    got = [
+        r for r in emitted if r.user_id == target.user_id and r.session_start == key
+    ]
+    assert len(got) == 1, (
+        f"target session (user {target.user_id} @ {key}) not emitted exactly "
+        f"once: {got} — cross-batch merge failed or session split in two"
+    )
+    assert got[0].n_events == target.n_events, (
+        f"merged session emitted PARTIAL counts: {got[0].n_events} vs batch "
+        f"{target.n_events}"
+    )
+    assert got[0].sum_value == target.sum_value
+    assert SESSION_STREAM_DELAY == "2 hours"  # final_wm above must match
+    # (ii) append-mode withholding is non-vacuous: open sessions remain
+    withheld = len(batch) - len(emitted)
+    assert withheld > 0, "every session finalized — watermark gate vacuous"
+
+
+@pytest.mark.slow
+def test_stream_session_window_watermark_tie(spark, tmp_path):
+    """r9 ADVICE pin: the oracle finalizes sessions with
+    MAX(ts) + gap <= watermark (INCLUSIVE). Constructed ms-exact fixture:
+    user 1's session ends exactly AT the final watermark (to the
+    millisecond), user 2's ends 1 ms past it, user 3's ends well before.
+    Pins Spark's append-mode session eviction inclusivity against the
+    oracle's closed form instead of assuming it."""
+    import os
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from conceptnetwork_spark.streaming.ops import run_session_stream_on_stage
+
+    utc = timezone.utc
+    # final max ts M = 12:00:00.000 -> watermark W = M - 2h = 10:00:00.000
+    M = datetime(2024, 3, 1, 12, 0, 0, tzinfo=utc)
+
+    def write(path, rows, mtime_off):
+        t = pa.table(
+            {
+                "ts": pa.array(
+                    [ts for ts, _, _ in rows], type=pa.timestamp("us", tz="UTC")
+                ),
+                "user_id": pa.array(
+                    [u for _, u, _ in rows], type=pa.int64()
+                ),
+                "value": pa.array([v for _, _, v in rows], type=pa.float64()),
+            }
+        )
+        pq.write_table(t, path)
+        base = os.path.getmtime(path)
+        os.utime(path, (base + mtime_off, base + mtime_off))
+
+    stage = str(tmp_path / "tie_chunks")
+    os.makedirs(stage)
+    # chunk 0 (early events): user 3 ends 08:30 << W; user 1's last event
+    # 09:30:00.000 -> end 10:00:00.000 == W exactly; user 2's last event
+    # 09:30:00.001 -> end 10:00:00.001 = W + 1 ms
+    write(
+        os.path.join(stage, "b0.parquet"),
+        [
+            (datetime(2024, 3, 1, 8, 0, 0, tzinfo=utc), 3, 1.0),
+            (datetime(2024, 3, 1, 9, 20, 0, tzinfo=utc), 1, 1.0),
+            (datetime(2024, 3, 1, 9, 30, 0, tzinfo=utc), 1, 2.0),
+            (datetime(2024, 3, 1, 9, 30, 0, 1000, tzinfo=utc), 2, 4.0),
+        ],
+        -2,
+    )
+    # chunk 1: the watermark driver at M (its own session stays open)
+    write(
+        os.path.join(stage, "b1.parquet"),
+        [(M, 99, 8.0)],
+        -1,
+    )
+
+    res = run_session_stream_on_stage(spark, stage)
+    rows = {r.user_id: r for r in res.collect()}
+    assert set(rows) == {1, 3}, (
+        f"expected users 1 (end == W, inclusive) and 3 (end < W) emitted, "
+        f"users 2 (end = W + 1 ms) and 99 (open) withheld; got {sorted(rows)}"
+    )
+    assert rows[1].n_events == 2 and rows[1].session_end == "2024-03-01 10:00:00"
+    assert rows[3].n_events == 1
