@@ -30,3 +30,73 @@ def test_top_shufflers_survive_10x():
     assert proc.returncode == 0, (rec, proc.stderr[-2000:])
     assert not rec["failures"] and not rec["over_cap"] and not rec["disk_spilled"]
     assert len(rec["per_query"]) == 10
+
+
+@pytest.mark.slow
+def test_tws_state_scales_with_keys_not_events(spark):
+    """r9 VERDICT ask #6: the 10x gate covered only batch shufflers, but
+    the slowest wall-clock queries are the TWS typed-state ops. Replay a
+    10x-events blow-up (10x rows AND 10x distinct users — user_id is a
+    blowup key) through the transformWithStateInPandas harness and assert
+    the 100-TB state posture directly from stateOperators metrics:
+
+    - state rows track DISTINCT KEYS, not event volume: final
+      numRowsTotal == count(distinct user_id), far below the event
+      count (67 events/key in this fixture);
+    - state is RECLAIMED under watermark advance: the cohort-timer run's
+      summed numRowsRemoved > 0 (fired keys drop their rows), and its
+      final store holds exactly the unmatured remainder."""
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from scale_stress import build_scaled_dir
+
+    from conceptnetwork_spark.streaming.stateful import (
+        TWSP_AVAILABLE,
+        run_cohort_maturation,
+        run_first_seen_stats,
+    )
+
+    if not TWSP_AVAILABLE:
+        pytest.skip("no protobuf runtime for transformWithStateInPandas")
+
+    scaled = build_scaled_dir(spark, "/root/testdata/sf0.1")
+    ev = spark.read.parquet(os.path.join(scaled, "events.parquet"))
+    n_events = ev.count()
+    n_keys = ev.select("user_id").distinct().count()
+    # 10x blow-up really happened: sf0.1 is 100k events / 1.5k users
+    assert n_events >= 1_000_000 and n_keys >= 15_000
+
+    sink = []
+    df = run_first_seen_stats(spark, scaled, n_files=4, progress_sink=sink)
+    assert df.count() == n_keys
+    finals = [
+        op
+        for p in sink
+        for op in p.get("stateOperators", [])
+        if p.get("batchId") == max(x.get("batchId", -1) for x in sink)
+    ]
+    assert finals, f"no stateOperators in progress: {sink[-1:]} "
+    assert finals[0]["numRowsTotal"] == n_keys, (
+        f"state rows {finals[0]['numRowsTotal']} != distinct keys {n_keys} — "
+        "state is scaling with something other than the key space"
+    )
+    assert finals[0]["numRowsTotal"] * 50 < n_events
+
+    sink2 = []
+    matured = run_cohort_maturation(spark, scaled, progress_sink=sink2).count()
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in sink2
+        for op in p.get("stateOperators", [])
+    )
+    assert removed > 0, "no state reclaimed under watermark advance"
+    assert removed == matured, (
+        f"every fired timer must drop its state row: removed {removed} "
+        f"!= matured {matured}"
+    )
+    last2 = [
+        op
+        for p in sink2
+        for op in p.get("stateOperators", [])
+        if p.get("batchId") == max(x.get("batchId", -1) for x in sink2)
+    ]
+    assert last2[0]["numRowsTotal"] == n_keys - matured
