@@ -78,6 +78,26 @@ def main() -> None:
     report["git_dirty"] = bool(st_out.strip()) if st_code == 0 else None
     ok = True
 
+    # r9 ADVICE: code dirt and artifact dirt are different things. The
+    # files THIS tool (re)writes may legitimately be dirty at close — they
+    # are committed in the artifacts-only snapshot right after — but any
+    # OTHER dirty path means the gates are running against code that is
+    # not what will ship, which is exactly the r8 post-rehearsal-edit
+    # failure mode. Fail the close on code dirt.
+    artifact_pat = re.compile(
+        r"^(ROUNDCLOSE|CORRECTNESS|BENCH|BENCHSWEEP|BENCHDETAIL|SHUFFLE)"
+        r"_r\d+\.json$|^BENCHDETAIL\.json$|^CERTIFIED\.md$"
+    )
+    dirty_paths = [
+        ln[3:].strip() for ln in st_out.splitlines() if ln.strip()
+    ] if st_code == 0 else []
+    code_dirt = [p for p in dirty_paths if not artifact_pat.match(p)]
+    report["dirty_artifacts"] = [p for p in dirty_paths if artifact_pat.match(p)]
+    report["dirty_code"] = code_dirt
+    if code_dirt:
+        ok = False
+        print(f"git: FAIL — dirty NON-artifact paths at close: {code_dirt}")
+
     # 1. driver-window rehearsal: the exact first-50 registry slice, driver
     # order, one process (catches cross-query interference)
     code, out = _run([py, "tools/window_rehearsal.py"])
