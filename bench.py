@@ -259,6 +259,13 @@ HEADLINE = [
     "d34_fim_transform",
     "d34_tokenizer_fertility",
     "d35_compaction_plan",
+    # round-10 additions, headlined the round they land (no cold first
+    # numbers in a later round — the standing r7/r9 lesson)
+    "d10_cramers_v",
+    "d10_stable_moments",
+    "d27_interval_merge",
+    "d29_shard_dup_matrix",
+    "d34_seq_len_histogram",
 ]
 
 

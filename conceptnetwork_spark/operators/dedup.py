@@ -621,3 +621,112 @@ def d29_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word_a", "word_b", dist.cast("int").alias("dist"))
         .orderBy("word_a", "word_b")
     )
+
+
+# --------------------------------------------------------------------------
+# D29 extension (round 10) — cross-shard duplicate-incidence matrix (the
+# planning readout that decides shard-local vs global dedup)
+# --------------------------------------------------------------------------
+N_DUP_SHARDS = 4  # documents sharded by doc_id % N (stand-in for file/dump shards)
+
+
+@register(
+    "d29_shard_dup_matrix",
+    # block granularity (12-word normalized blocks, d31_block_dedup's
+    # contract) because the synthetic corpus has zero WHOLE-document
+    # duplicates at every SF — block-level repeats are where its real
+    # duplication lives, and the matrix semantics are identical either way
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ') AS toks
+      FROM documents
+    ), b AS (
+      SELECT DISTINCT doc_id % 4 AS shard, doc_id,
+             array_to_string(toks[(i * 12 + 1):(i * 12 + 12)], ' ') AS block
+      FROM w, LATERAL unnest(generate_series(0,
+             CAST(ceil(len(toks) / 12.0) - 1 AS BIGINT))) AS t(i)
+      WHERE len(toks) - i * 12 >= 12
+    ), c AS (
+      SELECT block, shard, COUNT(*) AS n FROM b GROUP BY 1, 2
+    )
+    SELECT a.shard AS shard_a, b.shard AS shard_b,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN a.shard = b.shard
+                         THEN a.n * (a.n - 1) / 2
+                         ELSE a.n * b.n END) AS BIGINT) AS n_pairs
+    FROM c a JOIN c b
+      ON a.block = b.block
+     AND (a.shard < b.shard OR (a.shard = b.shard AND a.n >= 2))
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def d29_shard_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard duplicate-incidence matrix: shard the corpus by doc_id
+    (stand-in for the dump/file sharding a 100 TB corpus arrives in),
+    fingerprint every normalized 12-word block (d31_block_dedup's unit),
+    and count, for every shard pair, how many duplicated blocks span it
+    (`n_blocks`) and how many doc-level candidate pairs they induce
+    (`n_pairs`: cross-shard n_a x n_b, within-shard C(n,2)). This is the
+    PLANNING pass run before a dedup campaign: a near-diagonal matrix
+    means shard-local dedup (embarrassingly parallel, no global shuffle)
+    captures almost everything; heavy off-diagonal mass is the
+    measurement that justifies paying for the global pass.
+
+    Scale shape (100 TB): block construction is map-side; ONE exchange on
+    (block, shard) builds per-shard multiplicities (partial agg combines
+    repeats inside a doc split before the wire); the self-join runs on
+    the aggregated (block, shard, n) relation — at most |shards| rows per
+    block key, so join fanout is bounded by shards², never by corpus
+    size. Swap the block string for xxhash64(block) at scale so every
+    exchange carries 8-byte keys (the d31_block_dedup note). Output is
+    |shards|² rows."""
+    d = Catalog(spark, sf_dir).documents
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+    )
+    nblocks = F.ceil(F.size(F.col("toks")) / F.lit(12.0)).cast("int")
+    b = (
+        d.select((F.col("doc_id") % N_DUP_SHARDS).alias("shard"), "doc_id",
+                 toks.alias("toks"))
+        .select(
+            "shard",
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), nblocks - 1)).alias("i"),
+        )
+        .where(F.size("toks") - F.col("i") * 12 >= 12)
+        .select(
+            "shard",
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("i") * 12 + 1, 12)
+            ).alias("block"),
+        )
+        .distinct()
+    )
+    c = b.groupBy("block", "shard").agg(F.count(F.lit(1)).alias("n"))
+    a = c.select(
+        F.col("block"), F.col("shard").alias("shard_a"), F.col("n").alias("na")
+    )
+    bb = c.select(
+        F.col("block"), F.col("shard").alias("shard_b"), F.col("n").alias("nb")
+    )
+    pairs = a.join(bb, "block").where(
+        (F.col("shard_a") < F.col("shard_b"))
+        | ((F.col("shard_a") == F.col("shard_b")) & (F.col("na") >= 2))
+    )
+    return (
+        pairs.groupBy("shard_a", "shard_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(
+                F.when(
+                    F.col("shard_a") == F.col("shard_b"),
+                    F.col("na") * (F.col("na") - 1) / 2,
+                ).otherwise(F.col("na") * F.col("nb"))
+            ).cast("long").alias("n_pairs"),
+        )
+        .orderBy("shard_a", "shard_b")
+    )

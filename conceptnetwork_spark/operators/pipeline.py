@@ -3594,3 +3594,79 @@ def d34_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# D34 extension (round 10) — sequence-length histogram in power-of-two
+# buckets (the max_seq_len / packing-efficiency sizing readout)
+# --------------------------------------------------------------------------
+@register(
+    "d34_seq_len_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))
+                  AS BIGINT) AS n
+      FROM documents
+    ), b AS (
+      SELECT CAST(POW(2, CEIL(LOG2(GREATEST(n, 1)))) AS BIGINT) AS bucket,
+             n
+      FROM t
+    ), g AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS sum_tokens
+      FROM b GROUP BY 1
+    )
+    SELECT bucket, n_docs, sum_tokens,
+           ROUND(SUM(n_docs) OVER (ORDER BY bucket) * 1.0
+                 / SUM(n_docs) OVER (), 4) AS cum_doc_share,
+           ROUND(SUM(sum_tokens) OVER (ORDER BY bucket) * 1.0
+                 / SUM(sum_tokens) OVER (), 4) AS cum_token_share
+    FROM g ORDER BY bucket
+    """,
+)
+def d34_seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram in power-of-two buckets with cumulative doc
+    and TOKEN shares — the sizing readout behind the max_seq_len choice:
+    `cum_token_share` at bucket 2^k is exactly the fraction of training
+    tokens that survive truncation-free at that context length, and the
+    doc/token share gap quantifies how much the long tail dominates the
+    token budget (d34_token_budget prices a FIXED length; this surfaces
+    the whole curve so the fix can be chosen). Bucket = 2^ceil(log2(n)):
+    exact powers land on their own bucket, log2/pow on small ints are
+    exact in IEEE double in both engines.
+
+    Scale shape (100 TB): tokenize+bucket is map-side codegen (one
+    regexp_count per doc, no UDF); ONE map-combinable exchange carries
+    ≤ ~40 bucket rows; the cumulative windows run on that bucket relation
+    (single tiny partition by construction — |buckets| rows regardless of
+    corpus size, so the unpartitioned window is NOT a scale hazard)."""
+    d = Catalog(spark, sf_dir).documents
+    n = F.regexp_count("text", F.lit(TOKEN_PATTERN)).cast("long")
+    bucket = F.pow(
+        F.lit(2.0), F.ceil(F.log2(F.greatest(n, F.lit(1))))
+    ).cast("long")
+    g = d.select(bucket.alias("bucket"), n.alias("n")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("sum_tokens"),
+    )
+    w_cum = (
+        Window.partitionBy()
+        .orderBy("bucket")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    return g.select(
+        "bucket",
+        "n_docs",
+        "sum_tokens",
+        F.round(
+            F.sum("n_docs").over(w_cum) * F.lit(1.0)
+            / F.sum("n_docs").over(w_all),
+            4,
+        ).alias("cum_doc_share"),
+        F.round(
+            F.sum("sum_tokens").over(w_cum) * F.lit(1.0)
+            / F.sum("sum_tokens").over(w_all),
+            4,
+        ).alias("cum_token_share"),
+    ).orderBy("bucket")

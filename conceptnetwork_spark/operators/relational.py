@@ -6862,3 +6862,290 @@ def d10_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+# --------------------------------------------------------------------------
+# D10 extension (round 10) — Cramér's V categorical-association matrix,
+# the categorical companion to d10_corr_matrix's numeric Pearson triangle
+# --------------------------------------------------------------------------
+_CRAMER_PAIRS = (
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("orders", "o_orderstatus", "o_orderpriority"),
+)
+
+
+def _cramers_v_sql() -> str:
+    parts = []
+    for tbl, a, b in _CRAMER_PAIRS:
+        parts.append(f"""
+    SELECT '{tbl}' AS tbl, '{a}' AS col_a, '{b}' AS col_b, n, dof, chi2,
+           ROUND(SQRT(chi2_exact / (n * (LEAST(r_lev, c_lev) - 1))), 4)
+             AS cramers_v
+    FROM (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
+                  AS BIGINT) AS dof,
+             COUNT(DISTINCT a) AS r_lev, COUNT(DISTINCT b) AS c_lev,
+             CAST(SUM(term) + MAX(n) AS DOUBLE) AS chi2_exact,
+             CAST(ROUND(CAST(SUM(term) + MAX(n) AS DOUBLE), 4) AS DOUBLE)
+               AS chi2
+      FROM (
+        SELECT a, b, o, n,
+               CAST(ROUND(
+                 (o - ra * cb / n) * (o - ra * cb / n) / (ra * cb / n)
+                 - ra * cb / n, 8) AS DECIMAL(18,8)) AS term
+        FROM (
+          SELECT a, b, o,
+                 CAST(SUM(o) OVER (PARTITION BY a) AS DOUBLE) AS ra,
+                 CAST(SUM(o) OVER (PARTITION BY b) AS DOUBLE) AS cb,
+                 CAST(SUM(o) OVER () AS DOUBLE) AS n
+          FROM (SELECT {a} AS a, {b} AS b, COUNT(*) AS o
+                FROM {tbl} GROUP BY 1, 2)
+        )
+      )
+    )""")
+    return " UNION ALL ".join(parts) + " ORDER BY tbl, col_a"
+
+
+@register("d10_cramers_v", oracle=_cramers_v_sql)
+def d10_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength between categorical column pairs —
+    the categorical analogue of d10_corr_matrix's Pearson triangle, read
+    in the same profiling pass (redundant one-hot features, label leakage
+    through a proxy column, stratification-key choice all start here).
+    chi² is computed over the OBSERVED contingency cells only; the missing
+    (structural-zero) cells' contribution ties out exactly because
+    sum(E) over ALL cells equals N, so chi² = Σ_obs((O−E)²/E − E) + N.
+
+    Scale shape (100 TB): per pair ONE map-side-combinable groupBy whose
+    shuffle carries at most r×c cell rows (single digits here), window +
+    final agg run on those cells — the fact scan dominates and nothing
+    else grows with data size. Each cell term is fixed to 8 decimals and
+    summed as DECIMAL so chi² is summation-order-free (the
+    d10_wasserstein_drift determinism trick)."""
+    cat = Catalog(spark, sf_dir)
+    outs = []
+    for tbl, a, b in _CRAMER_PAIRS:
+        t = getattr(cat, tbl)
+        cells = t.groupBy(
+            F.col(a).alias("a"), F.col(b).alias("b")
+        ).agg(F.count(F.lit(1)).alias("o"))
+        e = cells.select(
+            "a",
+            "b",
+            "o",
+            F.sum("o").over(Window.partitionBy("a")).cast("double").alias("ra"),
+            F.sum("o").over(Window.partitionBy("b")).cast("double").alias("cb"),
+            F.sum("o").over(Window.partitionBy()).cast("double").alias("n"),
+        )
+        ev = F.col("ra") * F.col("cb") / F.col("n")
+        term = F.round(
+            (F.col("o") - ev) * (F.col("o") - ev) / ev - ev, 8
+        ).cast("decimal(18,8)")
+        agg = e.agg(
+            F.max("n").cast("long").alias("n"),
+            (
+                (F.countDistinct("a") - 1) * (F.countDistinct("b") - 1)
+            ).cast("long").alias("dof"),
+            F.countDistinct("a").alias("r_lev"),
+            F.countDistinct("b").alias("c_lev"),
+            (F.sum(term) + F.max("n").cast("decimal(18,8)"))
+            .cast("double")
+            .alias("chi2_exact"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                "n",
+                "dof",
+                F.round("chi2_exact", 4).cast("double").alias("chi2"),
+                F.round(
+                    F.sqrt(
+                        F.col("chi2_exact")
+                        / (
+                            F.col("n")
+                            * (F.least("r_lev", "c_lev") - F.lit(1))
+                        )
+                    ),
+                    4,
+                ).alias("cramers_v"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("tbl", "col_a")
+
+
+# --------------------------------------------------------------------------
+# D10 extension (round 10) — numerically-stable higher moments (two-pass
+# skewness / excess kurtosis per group)
+# --------------------------------------------------------------------------
+@register(
+    "d10_stable_moments",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS rf, AVG(l_extendedprice) AS mu,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1
+    ), c AS (
+      SELECT l.l_returnflag AS rf, g.mu, g.n,
+             l.l_extendedprice - g.mu AS d
+      FROM lineitem l JOIN g ON l.l_returnflag = g.rf
+    )
+    SELECT rf AS l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(MAX(mu), 4) AS mean,
+           ROUND(SQRT(AVG(d * d)), 4) AS std_pop,
+           ROUND(AVG(d * d * d) / POW(AVG(d * d), 1.5), 4) AS skewness,
+           ROUND(AVG(d * d * d * d) / POW(AVG(d * d), 2) - 3, 4)
+             AS kurtosis_excess
+    FROM c GROUP BY rf ORDER BY rf
+    """,
+)
+def d10_stable_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group skewness and excess kurtosis via the TWO-PASS centered
+    form: pass 1 aggregates group means, pass 2 (after a broadcast join
+    back) averages the centered powers (x−μ)^k. The one-pass raw-power-sum
+    identity (m4 from E[x⁴]−4E[x³]μ+…) is the textbook shortcut and the
+    textbook failure: at 100 TB E[x⁴] for a 1e5-scale column overflows 15
+    significant digits and the subtraction cancels catastrophically —
+    skewness of a near-symmetric column comes back with ZERO correct
+    digits. Two passes of partial+final aggregation cost one extra fact
+    scan and are exact to machine precision at any scale (Spark's own
+    `skewness`/`kurtosis` builtins are excluded here because their
+    bias-correction conventions differ from DuckDB's — the explicit form
+    pins ONE definition for both engines).
+
+    Scale shape: pass-1 shuffle carries |groups| rows; the join back is a
+    broadcast (3 groups); pass-2 shuffle carries |groups| rows of centered
+    power sums. Two fact scans, zero data-sized shuffles, no skew exposure
+    (the group key rides the broadcast, not an exchange)."""
+    li = Catalog(spark, sf_dir).lineitem.select("l_returnflag", "l_extendedprice")
+    g = li.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("mu"), F.count(F.lit(1)).alias("n")
+    )
+    d = F.col("l_extendedprice") - F.col("mu")
+    c = li.join(F.broadcast(g), "l_returnflag").select(
+        "l_returnflag", "mu", "n", d.alias("d")
+    )
+    m2, m3, m4 = (F.avg(F.pow("d", k)) for k in (2, 3, 4))
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.round(F.max("mu"), 4).alias("mean"),
+            F.round(F.sqrt(m2), 4).alias("std_pop"),
+            F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness"),
+            F.round(m4 / F.pow(m2, 2.0) - 3, 4).alias("kurtosis_excess"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# D27 extension (round 10) — overlapping-interval merge (gaps-and-islands
+# coalescing: the busy-time / coverage primitive)
+# --------------------------------------------------------------------------
+@register(
+    "d27_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, ts AS s,
+             ts + (CAST(FLOOR(value) AS INT) % 120 + 5) * INTERVAL 1 MINUTE
+               AS e
+      FROM events
+    ), m AS (
+      SELECT user_id, event_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pe
+      FROM iv
+    ), isl AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM m
+    ), g AS (
+      SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me, COUNT(*) AS nv
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(nv) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_merged,
+           CAST(SUM(date_diff('second', ms, me)) AS BIGINT) AS covered_sec,
+           ROUND(1.0 - COUNT(*) * 1.0 / SUM(nv), 4) AS merge_ratio
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)
+def d27_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval coalescing (gaps-and-islands): each event opens
+    an interval [ts, ts + 5..124 min] and per user all transitively
+    overlapping intervals merge into islands — the busy-time primitive
+    behind machine-utilization, ad-exposure and on-call coverage readouts
+    (d27_dynamic_gap_session is the GAP-threshold cousin; this is the
+    true interval-overlap form where an interval's END, not the next
+    START, decides connectivity). Islands form where an interval's start
+    exceeds the running MAX of all earlier ends — the 1-row-lookback
+    cumulative-max trick that replaces the quadratic self-join.
+
+    Determinism: the window orders by (start, end, event_id) — a total
+    order — so the running max and island numbering are engine-invariant;
+    durations are whole minutes so the covered-seconds readout is exact
+    integer arithmetic in both engines (session tz is UTC: no DST folds).
+
+    Scale shape (100 TB): ONE exchange on user_id serves both windows AND
+    both downstream groupBys (HashPartitioning(user_id) satisfies the
+    (user_id, island) clustering — Catalyst recognizes the subset), so
+    the whole gaps-and-islands cascade is a single-shuffle plan; per-user
+    sort is the only n·log(n) term, bounded by the heaviest user."""
+    ev = Catalog(spark, sf_dir).events
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, 0,"
+            " CAST(FLOOR(value) AS INT) % 120 + 5, 0)"
+        ).alias("e"),
+    )
+    order = [F.col("s"), F.col("e"), F.col("event_id")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    new_island = F.when(
+        F.max("e").over(w_prev).isNull()
+        | (F.col("s") > F.max("e").over(w_prev)),
+        1,
+    ).otherwise(0)
+    isl = iv.select(
+        "user_id", "s", "e", F.sum(new_island).over(w_run).alias("island")
+    )
+    g = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me"),
+        F.count(F.lit(1)).alias("nv"),
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.sum("nv").cast("long").alias("n_intervals"),
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+            F.sum(
+                F.col("me").cast("long") - F.col("ms").cast("long")
+            ).cast("long").alias("covered_sec"),
+            F.round(
+                F.lit(1.0)
+                - F.count(F.lit(1)) * F.lit(1.0) / F.sum("nv"),
+                4,
+            ).alias("merge_ratio"),
+        )
+        .orderBy("user_id")
+    )

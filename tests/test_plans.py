@@ -1370,3 +1370,63 @@ def test_d34_fertility_join_free_single_agg(spark):
     assert "Join" not in plan
     assert "Python" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions
+# ---------------------------------------------------------------------------
+def test_d10_cramers_v_cells_only_shuffle(spark):
+    """Cramér's V: each fact scan reads ONLY the two categorical columns
+    (pruning pin) and aggregates map-side before its exchange — the
+    windows and final agg run on the tiny cell relation. No joins of any
+    kind; per pair = partial+final agg, so >=4 HashAggregates."""
+    plan = _plan(spark, "d10_cramers_v")
+    assert "l_comment" not in plan and "l_quantity" not in plan
+    assert "o_totalprice" not in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d10_stable_moments_broadcast_means(spark):
+    """Two-pass moments: the |groups|-row mean table must BROADCAST back
+    onto the fact scan (never a shuffle join on the 3-value skew key),
+    and both passes keep partial+final aggregation."""
+    plan = _plan(spark, "d10_stable_moments")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_d27_interval_merge_single_exchange(spark):
+    """Gaps-and-islands: ONE user_id hash exchange must serve both
+    windows and both groupBys (HashPartitioning(user_id) satisfies the
+    (user_id, island) clustering) — a second hash exchange means Catalyst
+    lost the subset-distribution reuse and the plan re-shuffles the fact
+    table."""
+    plan = _plan(spark, "d27_interval_merge")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Window") >= 2
+
+
+def test_d29_shard_dup_matrix_no_allpairs(spark):
+    """Shard dup matrix: the self-join runs on the AGGREGATED
+    (block, shard, n) relation — bounded fanout, no cartesian/BNLJ —
+    and the documents scan reads only (doc_id, text)."""
+    plan = _plan(spark, "d29_shard_dup_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_d34_seq_len_histogram_map_side_tokenize(spark):
+    """Sequence-length histogram: tokenize+bucket must stay in codegen
+    (no Python), ONE map-combinable hash exchange carries the bucket
+    rows; the cumulative window's single-partition pass runs on the
+    |buckets|-row relation only (the one sanctioned SinglePartition)."""
+    plan = _plan(spark, "d34_seq_len_histogram")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ReadSchema: struct<text:string>" in plan
