@@ -973,3 +973,130 @@ def test_pack_span_tiling_property(tokens, ctx):
             pos = e
         if w < last:
             assert pos == ctx, (w, spans)  # full windows tile exactly
+
+
+def test_cramers_v_bounds_and_dof(spark):
+    """Cramér's V lies in [0,1] by construction (chi² ≤ N·(min(r,c)−1));
+    dof is positive and chi² non-negative for every measured pair."""
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_ORACLE
+
+    rows = queries()["d10_cramers_v"](spark, SF_ORACLE).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.n > 0 and r.dof >= 1, r
+        assert r.chi2 >= 0, r
+        assert 0.0 <= r.cramers_v <= 1.0, r
+
+
+def test_stable_moments_match_two_pass_numpy(spark):
+    """The centered two-pass aggregates must agree with a straight numpy
+    computation on the collected column — the cross-check that the
+    broadcast-join plan computes the same estimator it claims."""
+    import numpy as np
+
+    from conceptnetwork_spark.catalog import Catalog
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_ORACLE
+
+    got = {
+        r.l_returnflag: r
+        for r in queries()["d10_stable_moments"](spark, SF_ORACLE).collect()
+    }
+    pdf = (
+        Catalog(spark, SF_ORACLE)
+        .lineitem.select("l_returnflag", "l_extendedprice")
+        .toPandas()
+    )
+    for rf, grp in pdf.groupby("l_returnflag"):
+        x = grp["l_extendedprice"].to_numpy()
+        d = x - x.mean()
+        m2, m3, m4 = (np.mean(d**k) for k in (2, 3, 4))
+        r = got[rf]
+        assert r.n == len(x)
+        assert abs(r.skewness - m3 / m2**1.5) < 1e-3, rf
+        assert abs(r.kurtosis_excess - (m4 / m2**2 - 3)) < 1e-3, rf
+
+
+def test_interval_merge_conservation(spark):
+    """Interval coalescing conserves intervals (Σ n_intervals = |events|),
+    never grows islands past inputs (n_merged ≤ n_intervals), and covered
+    time is bounded below by the longest single interval (≥ 5 min) and
+    above by the sum of interval lengths (≤ 124 min each)."""
+    from conceptnetwork_spark.catalog import Catalog
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_ORACLE
+
+    rows = queries()["d27_interval_merge"](spark, SF_ORACLE).collect()
+    n_events = Catalog(spark, SF_ORACLE).events.count()
+    assert sum(r.n_intervals for r in rows) == n_events
+    for r in rows:
+        assert 1 <= r.n_merged <= r.n_intervals, r
+        assert r.covered_sec >= 5 * 60, r
+        assert r.covered_sec <= r.n_intervals * 124 * 60, r
+        assert 0.0 <= r.merge_ratio < 1.0, r
+
+
+def test_shard_dup_matrix_ties_out_against_block_dedup(spark):
+    """The matrix's total within+cross pair mass must reproduce the
+    Σ C(n_docs,2) computed independently per duplicated block from the
+    raw (block → distinct docs) relation — the self-join introduces no
+    double counting and drops no pair."""
+    from pyspark.sql import functions as F
+
+    from conceptnetwork_spark.catalog import Catalog
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_ORACLE
+
+    rows = queries()["d29_shard_dup_matrix"](spark, SF_ORACLE).collect()
+    assert rows, "corpus plants repeated blocks; matrix must be non-empty"
+    got_pairs = sum(r.n_pairs for r in rows)
+    d = Catalog(spark, SF_ORACLE).documents
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+    )
+    nblocks = F.ceil(F.size(F.col("toks")) / F.lit(12.0)).cast("int")
+    b = (
+        d.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id", "toks",
+            F.explode(F.sequence(F.lit(0), nblocks - 1)).alias("i"),
+        )
+        .where(F.size("toks") - F.col("i") * 12 >= 12)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("i") * 12 + 1, 12)
+            ).alias("block"),
+        )
+        .distinct()
+    )
+    per_block = (
+        b.groupBy("block")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .where(F.col("n") >= 2)
+        .select(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p"))
+        .collect()[0]
+        .p
+    )
+    assert got_pairs == int(per_block), (got_pairs, per_block)
+
+
+def test_seq_len_histogram_invariants(spark):
+    """Buckets are powers of two covering every doc exactly once
+    (Σ n_docs = |documents|), every doc's token count fits its bucket,
+    and both cumulative shares are monotone, ending at 1.0."""
+    from conceptnetwork_spark.catalog import Catalog
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_ORACLE
+
+    rows = queries()["d34_seq_len_histogram"](spark, SF_ORACLE).collect()
+    n_docs = Catalog(spark, SF_ORACLE).documents.count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    prev_doc = prev_tok = 0.0
+    for r in rows:
+        assert r.bucket & (r.bucket - 1) == 0, r  # power of two
+        assert r.sum_tokens <= r.n_docs * r.bucket, r
+        assert r.cum_doc_share >= prev_doc and r.cum_token_share >= prev_tok
+        prev_doc, prev_tok = r.cum_doc_share, r.cum_token_share
+    assert prev_doc == 1.0 and prev_tok == 1.0
