@@ -266,6 +266,10 @@ HEADLINE = [
     "d27_interval_merge",
     "d29_shard_dup_matrix",
     "d34_seq_len_histogram",
+    "d14_twap",
+    "d14_winsorize",
+    "d27_audience_overlap",
+    "d34_soft_dedup_weights",
 ]
 
 

@@ -3670,3 +3670,110 @@ def d34_seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cum_token_share"),
     ).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# D34 extension (round 10) — dedup-aware soft sampling weights (down-weight
+# instead of drop: the SlimPajama/FineWeb-style soft-dedup admission)
+# --------------------------------------------------------------------------
+@register(
+    "d34_soft_dedup_weights",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ') AS toks
+      FROM documents
+    ), b AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[(i * 12 + 1):(i * 12 + 12)], ' ') AS block
+      FROM w, LATERAL unnest(generate_series(0,
+             CAST(ceil(len(toks) / 12.0) - 1 AS BIGINT))) AS t(i)
+      WHERE len(toks) - i * 12 >= 12
+    ), m AS (
+      SELECT doc_id, block,
+             COUNT(*) OVER (PARTITION BY block) AS n_docs_with
+      FROM b
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_blocks
+      FROM m GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_blocks, 0) AS n_blocks,
+           COALESCE(p.n_dup_blocks, 0) AS n_dup_blocks,
+           ROUND(1.0 / (1.0 + COALESCE(p.n_dup_blocks, 0)), 4) AS weight,
+           ({_bucket_sql('d.doc_id')}) * 1.0
+             < 100.0 / (1.0 + COALESCE(p.n_dup_blocks, 0)) AS kept
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def d34_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware SOFT sampling: instead of dropping near-duplicates, each
+    document gets weight 1/(1+k) where k is its count of 12-word blocks
+    shared with any other document — repeated boilerplate lowers a doc's
+    admission probability smoothly, preserving unique long-tail content
+    that hard dedup (d29_exact_dedup) would keep anyway and heavy
+    duplicates would otherwise over-represent in the token budget. The
+    kept flag realizes the weight as a DETERMINISTIC md5-bucket coin
+    (d02_hash_sample's engine-portable bucket): keep iff
+    bucket(doc_id) < 100·weight, so the admitted set is reproducible
+    across engines, runs, and partitionings — E[kept] = weight without a
+    seeded RNG.
+
+    Scale shape (100 TB): block construction is map-side; ONE exchange on
+    the block key scores duplication (count-over-window on the distinct
+    (doc, block) relation); per-doc rollup exchanges ids only; the final
+    LEFT join re-admits blockless short docs at weight 1.0. Same exchange
+    skeleton as d31_block_dedup — the weights pass is literally the dedup
+    pass with the drop decision softened."""
+    d = Catalog(spark, sf_dir).documents
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+    )
+    nblocks = F.ceil(F.size(F.col("toks")) / F.lit(12.0)).cast("int")
+    b = (
+        d.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), nblocks - 1)).alias("i"),
+        )
+        .where(F.size("toks") - F.col("i") * 12 >= 12)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("i") * 12 + 1, 12)
+            ).alias("block"),
+        )
+        .distinct()
+    )
+    m = b.select(
+        "doc_id",
+        F.count(F.lit(1)).over(Window.partitionBy("block")).alias("n_docs_with"),
+    )
+    per_doc = m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum((F.col("n_docs_with") >= 2).cast("int"))
+        .cast("long")
+        .alias("n_dup_blocks"),
+    )
+    k = F.coalesce(F.col("n_dup_blocks"), F.lit(0))
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_blocks"), F.lit(0)).alias("n_blocks"),
+            k.alias("n_dup_blocks"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + k), 4).alias("weight"),
+            (
+                hash_bucket(F.col("doc_id")) * F.lit(1.0)
+                < F.lit(100.0) / (F.lit(1.0) + k)
+            ).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

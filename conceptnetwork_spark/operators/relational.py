@@ -7149,3 +7149,230 @@ def d27_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D14 extension (round 10) — time-weighted average (TWAP: each observation
+# weighted by how long it was the live value)
+# --------------------------------------------------------------------------
+@register(
+    "d14_twap",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, value, ts,
+             lead(ts) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), w AS (
+      SELECT event_type, value,
+             date_diff('second', ts, nxt) AS dt,
+             CAST(ROUND(value * date_diff('second', ts, nxt), 8)
+                  AS DECIMAL(18,8)) AS term
+      FROM o WHERE nxt IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_holds,
+           CAST(SUM(dt) AS BIGINT) AS total_sec,
+           ROUND(CAST(SUM(term) AS DOUBLE) / SUM(dt), 4) AS twap,
+           ROUND(AVG(value), 4) AS simple_avg
+    FROM w GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d14_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per event type: each value is weighted by the
+    seconds it remained the LIVE value (until the next observation of the
+    same type) — the estimator that de-biases irregular sampling, where
+    the simple mean over-counts bursts (sensor readings, price ticks,
+    metric gauges all report this form; the simple_avg column is emitted
+    beside it precisely to expose that gap). The final open-ended hold is
+    excluded (no defined duration).
+
+    Determinism: LEAD orders by (ts, event_id) — total order; each
+    value·dt term is fixed to 8 decimals and summed as DECIMAL (the
+    d10_wasserstein_drift trick) so the weighted sum is
+    summation-order-free; dt is exact integer seconds.
+
+    Scale shape (100 TB): ONE exchange on event_type serves the LEAD
+    window and the final aggregate (subset distribution); per-type sort
+    is the only n·log(n) term. A skewed type saturates one reducer — at
+    real scale pre-bucket by (type, day) and stitch boundaries, the
+    d14_window_running note."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", "value", "ts", F.lead("ts").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    dt = F.col("nxt").cast("long") - F.col("ts").cast("long")
+    term = F.round(F.col("value") * dt, 8).cast("decimal(18,8)")
+    return (
+        o.select("event_type", "value", dt.alias("dt"), term.alias("term"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_holds"),
+            F.sum("dt").cast("long").alias("total_sec"),
+            F.round(
+                F.sum("term").cast("double") / F.sum("dt"), 4
+            ).alias("twap"),
+            F.round(F.avg("value"), 4).alias("simple_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# D14 extension (round 10) — winsorized robust statistics (clamp at the
+# exact p05/p95 fences, then re-aggregate)
+# --------------------------------------------------------------------------
+@register(
+    "d14_winsorize",
+    oracle="""
+    WITH f AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type
+    ), c AS (
+      SELECT e.event_type, f.n, f.lo, f.hi,
+             CASE WHEN e.value < f.lo THEN f.lo
+                  WHEN e.value > f.hi THEN f.hi
+                  ELSE e.value END AS wv,
+             CASE WHEN e.value < f.lo THEN 1 ELSE 0 END AS cl,
+             CASE WHEN e.value > f.hi THEN 1 ELSE 0 END AS ch,
+             e.value AS v
+      FROM events e JOIN f ON e.event_type = f.event_type
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(MAX(lo), 4) AS p05, ROUND(MAX(hi), 4) AS p95,
+           CAST(SUM(cl) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(ch) AS BIGINT) AS n_clipped_high,
+           ROUND(AVG(v), 4) AS mean_raw,
+           ROUND(AVG(wv), 4) AS mean_winsorized
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d14_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: exact p05/p95 fences (pass 1),
+    values clamped TO the fences — not dropped, the distinction from
+    trimming — and re-aggregated (pass 2). The robust-location readout a
+    metrics pipeline uses when heavy tails poison the plain mean but the
+    tail mass itself still carries signal; the clipped-count columns are
+    the audit trail for how much mass each fence absorbed. Spark
+    `percentile` and DuckDB `quantile_cont` share the linear-interpolation
+    definition (the d31_corpus_stats parity), so the fences — and
+    therefore every clamped value — agree bit-for-bit.
+
+    Scale shape (100 TB): pass 1 is a sort-based exact percentile per
+    group (the price of exact fences; d11_approx_percentile is the sketch
+    alternative); its |types|-row result BROADCASTS back onto the fact
+    scan, so pass 2 is map-side clamp + one partial+final aggregate.
+    Nothing data-sized shuffles on the 5-value type key."""
+    ev = Catalog(spark, sf_dir).events
+    f = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = ev.join(F.broadcast(f), "event_type")
+    wv = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    return (
+        j.select(
+            "event_type",
+            "n",
+            "lo",
+            "hi",
+            F.col("value").alias("v"),
+            wv.alias("wv"),
+            (F.col("value") < F.col("lo")).cast("int").alias("cl"),
+            (F.col("value") > F.col("hi")).cast("int").alias("ch"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.round(F.max("lo"), 4).alias("p05"),
+            F.round(F.max("hi"), 4).alias("p95"),
+            F.sum("cl").cast("long").alias("n_clipped_low"),
+            F.sum("ch").cast("long").alias("n_clipped_high"),
+            F.round(F.avg("v"), 4).alias("mean_raw"),
+            F.round(F.avg("wv"), 4).alias("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# D27 extension (round 10) — audience-overlap matrix (Jaccard between
+# event-type user populations)
+# --------------------------------------------------------------------------
+@register(
+    "d27_audience_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT event_type AS t, user_id FROM events
+    ), s AS (
+      SELECT t, COUNT(*) AS n FROM a GROUP BY t
+    ), b AS (
+      SELECT x.t AS type_a, y.t AS type_b, COUNT(*) AS n_both
+      FROM a x JOIN a y
+        ON x.user_id = y.user_id AND x.t < y.t
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           ROUND(n_both * 1.0 / (sa.n + sb.n - n_both), 4) AS jaccard
+    FROM b JOIN s sa ON sa.t = type_a JOIN s sb ON sb.t = type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def d27_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity between the USER SETS
+    of every event-type pair — the segmentation readout behind "do
+    purchasers also search?" questions, feature-redundancy checks on
+    behavioral flags, and audience-expansion planning (d27_funnel orders
+    steps in time; this ignores order entirely and measures population
+    overlap).
+
+    Scale shape (100 TB): the (type, user) relation is first DISTINCTed
+    (one exchange, map-side partial), then self-joined ON user_id — the
+    per-user fanout is bounded by |types|² (25 here), never by event
+    volume, so the join output is ≤ |types|²·|users| pairs of 2 small
+    columns. Set sizes ride a broadcast join onto the |types|²-row
+    matrix. For web-scale type vocabularies swap the exact count for a
+    MinHash sketch per type (d11_kmv_sketch's estimator) — noted, not
+    needed at 25 pairs."""
+    ev = Catalog(spark, sf_dir).events
+    a = ev.select(F.col("event_type").alias("t"), "user_id").distinct()
+    s = a.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    x = a.select(F.col("t").alias("type_a"), "user_id")
+    y = a.select(F.col("t").alias("type_b"), "user_id")
+    b = (
+        x.join(y, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = s.select(F.col("t").alias("type_a"), F.col("n").alias("n_a"))
+    sb = s.select(F.col("t").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        b.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_both")
+                * F.lit(1.0)
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -84,11 +84,13 @@ _LOADED = False
 # then the TWENTY-TWO member block first-certified only last
 # round (d35_zorder_interleave, the re-fixed r8 red, plus the 21 round-7
 # additions: the youngest certifications, highest regression risk), then
-# the FIVE round-10 additions (same-round certification per verdict r9
+# the NINE round-10 additions (same-round certification per verdict r9
 # ask #8 — new queries never wait a round for their window slot), then
-# the SIXTEEN stalest greens (r2/r3-era rows in CERTIFIED.md; the five
-# displaced stalest — d08_asof_join, d09_q11_important_parts,
-# d09_q14_promo, d09_q15_top_supplier, d09_q21_waiting — are green-ever
+# the TWELVE stalest greens (r2/r3-era rows in CERTIFIED.md; the nine
+# displaced stalest — d04_q2_min_acctbal_supplier, d05_left_outer_join,
+# d06_q20_heavy_suppliers, d07_range_join, d08_asof_join,
+# d09_q11_important_parts, d09_q14_promo, d09_q15_top_supplier,
+# d09_q21_waiting — are green-ever
 # and lead the r11 staleness rotation). All 50
 # are rehearsed in driver order by tools/window_rehearsal.py AFTER the
 # final code edit of the round (the r8 lesson: any post-rehearsal edit to
@@ -132,6 +134,10 @@ CERT_FIRST: tuple[str, ...] = (
     "d27_interval_merge",
     "d29_shard_dup_matrix",
     "d34_seq_len_histogram",
+    "d14_twap",
+    "d14_winsorize",
+    "d27_audience_overlap",
+    "d34_soft_dedup_weights",
     # stalest re-certifications (last driver-green: r2/r3)
     "d31_quality_score",
     "d31_text_stats",
@@ -145,12 +151,8 @@ CERT_FIRST: tuple[str, ...] = (
     "d02_stratified_sample",
     "d02_train_test_split",
     "d03_inner_join",
-    "d04_q2_min_acctbal_supplier",
-    "d05_left_outer_join",
-    "d06_q20_heavy_suppliers",
-    "d07_range_join",
 )
-# With this window green, EVERY oracle query in the registry (345/345)
+# With this window green, EVERY oracle query in the registry (349/349)
 # holds >=1 driver hash-match (cumulative ledger: CERTIFIED.md,
 # regenerated by tools/roundclose.py from CORRECTNESS_r01..r10), and no
 # green is older than r3 except the r3-era tail scheduled for the r11

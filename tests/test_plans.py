@@ -1430,3 +1430,44 @@ def test_d34_seq_len_histogram_map_side_tokenize(spark):
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_d14_twap_single_exchange(spark):
+    """TWAP: one event_type exchange serves the LEAD window and the final
+    aggregate (subset-distribution reuse); no Python, no join."""
+    plan = _plan(spark, "d14_twap")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_d14_winsorize_broadcast_fences(spark):
+    """Winsorize: the |types|-row fence table must broadcast back onto the
+    fact scan (map-side clamp), never a shuffle join on the type key; the
+    scan reads only (event_type, value)."""
+    plan = _plan(spark, "d14_winsorize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ReadSchema: struct<event_type:string,value:double>" in plan
+
+
+def test_d27_audience_overlap_bounded_fanout(spark):
+    """Audience overlap: the self-join must run on the DISTINCTed
+    (type, user) relation — per-user fanout bounded by |types|² — with the
+    set-size table broadcast; no cartesian anywhere, scan pruned to two
+    columns."""
+    plan = _plan(spark, "d27_audience_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ReadSchema: struct<user_id:bigint,event_type:string>" in plan
+
+
+def test_d34_soft_dedup_weights_block_dedup_skeleton(spark):
+    """Soft-dedup weights: same exchange skeleton as d31_block_dedup (one
+    block-key window pass), per-doc rollup, and a join that re-admits
+    blockless docs; everything codegen, no Python."""
+    plan = _plan(spark, "d34_soft_dedup_weights")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan

@@ -1100,3 +1100,78 @@ def test_seq_len_histogram_invariants(spark):
         assert r.cum_doc_share >= prev_doc and r.cum_token_share >= prev_tok
         prev_doc, prev_tok = r.cum_doc_share, r.cum_token_share
     assert prev_doc == 1.0 and prev_tok == 1.0
+
+
+def test_twap_conservation_and_weighting(spark):
+    """Every event except each type's LAST one contributes a hold
+    (Σ n_holds = |events| − |types|); TWAP lies within the observed value
+    range of its type (it is a convex combination of values)."""
+    from pyspark.sql import functions as F
+
+    from conceptnetwork_spark.catalog import Catalog
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_ORACLE
+
+    rows = queries()["d14_twap"](spark, SF_ORACLE).collect()
+    ev = Catalog(spark, SF_ORACLE).events
+    n_events = ev.count()
+    n_types = ev.select("event_type").distinct().count()
+    assert sum(r.n_holds for r in rows) == n_events - n_types
+    rng = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        assert rng[r.event_type].lo - 1e-9 <= r.twap <= rng[r.event_type].hi + 1e-9
+        assert r.total_sec > 0
+
+
+def test_winsorize_clip_counts_and_pull(spark):
+    """Each fence clips ≈5% of its group (within the granularity of a
+    linear-interpolated percentile on n rows), and the winsorized mean
+    never moves outside the fences."""
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_ORACLE
+
+    for r in queries()["d14_winsorize"](spark, SF_ORACLE).collect():
+        assert r.n_clipped_low <= r.n * 0.05 + 1, r
+        assert r.n_clipped_high <= r.n * 0.05 + 1, r
+        assert r.p05 <= r.mean_winsorized <= r.p95, r
+
+
+def test_audience_overlap_jaccard_bounds(spark):
+    """Jaccard ∈ (0,1]; n_both never exceeds either set; the pair count
+    is bounded by C(|types|,2)."""
+    from conceptnetwork_spark.catalog import Catalog
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_ORACLE
+
+    rows = queries()["d27_audience_overlap"](spark, SF_ORACLE).collect()
+    n_types = (
+        Catalog(spark, SF_ORACLE).events.select("event_type").distinct().count()
+    )
+    assert 0 < len(rows) <= n_types * (n_types - 1) // 2
+    for r in rows:
+        assert 0 < r.n_both <= min(r.n_a, r.n_b), r
+        assert 0.0 < r.jaccard <= 1.0, r
+
+
+def test_soft_dedup_weights_cover_and_bound(spark):
+    """Every document gets a weight row (blockless docs re-admitted at
+    1.0); weights ∈ (0,1]; docs with zero shared blocks are always kept;
+    and the block-sharing signal is non-trivial (some doc has
+    n_dup_blocks > 0, planted by the corpus' repeated blocks)."""
+    from conceptnetwork_spark.catalog import Catalog
+    from conceptnetwork_spark.registry import queries
+    from tests.conftest import SF_ORACLE
+
+    rows = queries()["d34_soft_dedup_weights"](spark, SF_ORACLE).collect()
+    assert len(rows) == Catalog(spark, SF_ORACLE).documents.count()
+    assert any(r.n_dup_blocks > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_dup_blocks <= r.n_blocks, r
+        assert 0.0 < r.weight <= 1.0, r
+        if r.n_dup_blocks == 0:
+            assert r.weight == 1.0 and r.kept, r
