@@ -679,8 +679,11 @@ def d29_shard_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeats inside a doc split before the wire); the self-join runs on
     the aggregated (block, shard, n) relation — at most |shards| rows per
     block key, so join fanout is bounded by shards², never by corpus
-    size. Swap the block string for xxhash64(block) at scale so every
-    exchange carries 8-byte keys (the d31_block_dedup note). Output is
+    size. The block string is folded to xxhash64 BEFORE the first
+    exchange — no readout exposes block text, so every shuffle carries
+    8-byte keys while the DuckDB oracle keeps the raw strings (identical
+    matrices; a 2^-64-per-pair collision is below corpus noise — the
+    d31_block_dedup note, applied rather than deferred). Output is
     |shards|² rows."""
     d = Catalog(spark, sf_dir).documents
     toks = F.split(
@@ -700,8 +703,10 @@ def d29_shard_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "shard",
             "doc_id",
-            F.concat_ws(
-                " ", F.slice(F.col("toks"), F.col("i") * 12 + 1, 12)
+            F.xxhash64(
+                F.concat_ws(
+                    " ", F.slice(F.col("toks"), F.col("i") * 12 + 1, 12)
+                )
             ).alias("block"),
         )
         .distinct()

@@ -3724,12 +3724,15 @@ def d34_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, runs, and partitionings — E[kept] = weight without a
     seeded RNG.
 
-    Scale shape (100 TB): block construction is map-side; ONE exchange on
-    the block key scores duplication (count-over-window on the distinct
-    (doc, block) relation); per-doc rollup exchanges ids only; the final
-    LEFT join re-admits blockless short docs at weight 1.0. Same exchange
-    skeleton as d31_block_dedup — the weights pass is literally the dedup
-    pass with the drop decision softened."""
+    Scale shape (100 TB): block construction is map-side and the block
+    string folds to xxhash64 BEFORE the first exchange (no readout
+    exposes block text, so shuffles carry 8-byte keys; the DuckDB oracle
+    keeps raw strings — identical counts); ONE exchange on the block key
+    scores duplication (count-over-window on the distinct (doc, block)
+    relation); per-doc rollup exchanges ids only; the final LEFT join
+    re-admits blockless short docs at weight 1.0. Same exchange skeleton
+    as d31_block_dedup — the weights pass is literally the dedup pass
+    with the drop decision softened."""
     d = Catalog(spark, sf_dir).documents
     toks = F.split(
         F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
@@ -3745,8 +3748,10 @@ def d34_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("toks") - F.col("i") * 12 >= 12)
         .select(
             "doc_id",
-            F.concat_ws(
-                " ", F.slice(F.col("toks"), F.col("i") * 12 + 1, 12)
+            F.xxhash64(
+                F.concat_ws(
+                    " ", F.slice(F.col("toks"), F.col("i") * 12 + 1, 12)
+                )
             ).alias("block"),
         )
         .distinct()
