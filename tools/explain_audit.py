@@ -217,6 +217,16 @@ AUDIT = [
     "d31_perplexity_buckets",
     "d34_tokenizer_fertility",
     "d10_wasserstein_drift",
+    # round-10 additions
+    "d10_cramers_v",
+    "d10_stable_moments",
+    "d27_interval_merge",
+    "d29_shard_dup_matrix",
+    "d34_seq_len_histogram",
+    "d14_twap",
+    "d14_winsorize",
+    "d27_audience_overlap",
+    "d34_soft_dedup_weights",
 ]
 
 
