@@ -90,7 +90,12 @@ def build_scaled_dir(spark, src_sf: str, factor: int = FACTOR) -> str:
             "_copy", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
         )
         for k in keys:
-            df = df.withColumn(k, F.col(k) + F.col("_copy") * F.lit(KEY_OFF))
+            # long arithmetic: copy*KEY_OFF overflows int32 past factor 127
+            df = df.withColumn(
+                k,
+                F.col(k).cast("long")
+                + F.col("_copy").cast("long") * F.lit(KEY_OFF).cast("long"),
+            )
         df.drop("_copy").write.mode("overwrite").parquet(
             os.path.join(out, f"{t}.parquet")
         )
