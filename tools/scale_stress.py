@@ -29,6 +29,14 @@ scale (raise SPARK_GRAFT_DRIVER_MEM for tiers beyond what a 24 GB local
 heap honestly models; a 100x run is ~sf10 = 60M-row lineitem on one node).
 `--queries a,b,c` restricts the run (large tiers re-run the heaviest
 shapes, not all ten).
+
+`--skew P` stages a hot-key variant: ~P% of the blown-up events rows are
+re-pointed at ONE user_id (event_id stays unique), the power-law shape a
+uniform blow-up can't produce. Probe the user_id-exchange queries against
+it: partial aggregation and distinct-first designs absorb the hot key
+map-side; AQE splits skewed join partitions; per-key WINDOWS are the
+honest worst case (a window over one key cannot be split — the hot task
+is the straggler bound, and the gate is completion without failure).
 """
 
 from __future__ import annotations
@@ -46,18 +54,20 @@ SHUFFLE_CAP_BYTES = 2 * 1024**3
 FACTOR = 10
 KEY_OFF = 1 << 24  # > any sf0.1 key, divisible by 2^16 so a%m, b%m domains hold
 
-# top-10 by shuffle_write in SHUFFLE_r09.json (sf0.1, full 360-query audit)
+# top-10 by shuffle_write in SHUFFLE_r10.json (sf0.1, full 376-query audit,
+# noop-sink materialization — the count()-era list missed the pure-window
+# shufflers because count() pruned their Window operators away entirely)
 TOP10 = [
     "d33_als_recs",
     "d09_q21_waiting",
-    "d31_containment",
     "d23_grouped_map",
+    "d09_percentiles",
+    "d13_rank_dense",
+    "d31_containment",
+    "d23_mean_center",
+    "d14_window_running",
     "d16_sql_scripting",
-    "d10_column_profile",
-    "d23_grouped_arrow",
-    "d35_zorder_interleave",
-    "d31_bigram_logprob",
-    "d33_fpgrowth_pairs",
+    "d26_stream_session_window",
 ]
 
 BLOWUP_KEYS = {
@@ -72,13 +82,19 @@ BLOWUP_KEYS = {
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part", "embeddings"]
 
 
-def build_scaled_dir(spark, src_sf: str, factor: int = FACTOR) -> str:
+HOT_USER = KEY_OFF * 1024 + 7  # outside every shifted user_id domain
+
+
+def build_scaled_dir(
+    spark, src_sf: str, factor: int = FACTOR, skew_pct: int = 0
+) -> str:
     from pyspark.sql import functions as F
 
     from conceptnetwork_spark.sources.formats import _sf_fingerprint
 
+    tag = f"skew{skew_pct}_" if skew_pct else ""
     out = os.path.join(
-        "/tmp", f"cn_spark_scale{factor}x_{_sf_fingerprint(src_sf)}"
+        "/tmp", f"cn_spark_scale{factor}x_{tag}{_sf_fingerprint(src_sf)}"
     )
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
@@ -95,6 +111,23 @@ def build_scaled_dir(spark, src_sf: str, factor: int = FACTOR) -> str:
                 k,
                 F.col(k).cast("long")
                 + F.col("_copy").cast("long") * F.lit(KEY_OFF).cast("long"),
+            )
+        if skew_pct and t == "events":
+            # Hot-key variant: ~skew_pct% of the blown-up event rows land
+            # on ONE user (deterministic hash pick over the non-original
+            # copies; event_id stays unique). At factor 100 / skew 20 the
+            # hot user holds ~2M of 10M events vs a ~670-row median — the
+            # power-law reality the skew probes exercise.
+            df = df.withColumn(
+                "user_id",
+                F.when(
+                    (F.col("_copy") > 0)
+                    & (
+                        F.pmod(F.xxhash64("event_id", "_copy"), F.lit(100))
+                        < skew_pct
+                    ),
+                    F.lit(HOT_USER).cast("long"),
+                ).otherwise(F.col("user_id")),
             )
         df.drop("_copy").write.mode("overwrite").parquet(
             os.path.join(out, f"{t}.parquet")
@@ -113,7 +146,22 @@ def build_scaled_dir(spark, src_sf: str, factor: int = FACTOR) -> str:
     return out
 
 
-def _stage_totals(ui_url: str, app_id: str) -> dict[str, int]:
+def _stage_totals(
+    ui_url: str, app_id: str, quiesce: bool = False
+) -> dict[str, int]:
+    """Sum shuffle/spill bytes over all stages. With ``quiesce``, poll
+    until two consecutive reads agree (the status listener lags job
+    completion — without this, a heavy stage's bytes land in the NEXT
+    query's delta window)."""
+    if quiesce:
+        prev = _stage_totals(ui_url, app_id)
+        for _ in range(20):
+            time.sleep(0.5)
+            cur = _stage_totals(ui_url, app_id)
+            if cur == prev:
+                return cur
+            prev = cur
+        return prev
     url = f"{ui_url}/api/v1/applications/{app_id}/stages"
     data = json.loads(urllib.request.urlopen(url, timeout=10).read())
     out = {"shuffle_write": 0, "mem_spill": 0, "disk_spill": 0}
@@ -129,15 +177,18 @@ def main() -> None:
     argv = sys.argv[1:]
     factor = FACTOR
     names = list(TOP10)
+    skew_pct = 0
     if "--factor" in argv:
         factor = int(argv[argv.index("--factor") + 1])
     if "--queries" in argv:
         names = argv[argv.index("--queries") + 1].split(",")
+    if "--skew" in argv:
+        skew_pct = int(argv[argv.index("--skew") + 1])
     pos = [
         a
         for i, a in enumerate(argv)
         if not a.startswith("--")
-        and (i == 0 or argv[i - 1] not in ("--factor", "--queries"))
+        and (i == 0 or argv[i - 1] not in ("--factor", "--queries", "--skew"))
     ]
     src_sf = pos[0] if pos else "/root/testdata/sf0.1"
     cap_bytes = SHUFFLE_CAP_BYTES * factor // FACTOR
@@ -182,21 +233,25 @@ def main() -> None:
         sys.exit(2)
     app_id = spark.sparkContext.applicationId
 
-    sf_dir = build_scaled_dir(spark, src_sf, factor)
+    sf_dir = build_scaled_dir(spark, src_sf, factor, skew_pct)
     qs = registry.queries()
     per: dict[str, dict] = {}
     failures: list[str] = []
-    before = _stage_totals(ui_url, app_id)
+    before = _stage_totals(ui_url, app_id, quiesce=True)
     for name in names:
         t0 = time.perf_counter()
         try:
-            qs[name](spark, sf_dir).count()
+            # noop sink, not count() — count() lets Catalyst prune unused
+            # outputs (windows feeding pruned columns vanish entirely);
+            # the noop writer pays for the full output schema (see
+            # tools/shuffle_audit.py for the measured case)
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as ex:
             failures.append(name)
             print(f"# FAIL {name}: {str(ex)[:200]}", file=sys.stderr)
-            before = _stage_totals(ui_url, app_id)
+            before = _stage_totals(ui_url, app_id, quiesce=True)
             continue
-        after = _stage_totals(ui_url, app_id)
+        after = _stage_totals(ui_url, app_id, quiesce=True)
         per[name] = {
             **{k: max(0, after[k] - before[k]) for k in after},
             "sec": round(time.perf_counter() - t0, 2),
@@ -210,8 +265,10 @@ def main() -> None:
     }
     spilled = {n: m["disk_spill"] for n, m in per.items() if m["disk_spill"]}
     record = {
-        "metric": f"scale_stress_{factor}x",
+        "metric": f"scale_stress_{factor}x"
+        + (f"_skew{skew_pct}" if skew_pct else ""),
         "factor": factor,
+        "skew_pct": skew_pct,
         "cap_bytes": cap_bytes,
         "src_sf": src_sf,
         "failures": failures,

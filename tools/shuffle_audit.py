@@ -73,7 +73,15 @@ def main() -> None:
     before = _stage_totals(ui_url, app_id)
     for name, fn in qs.items():
         try:
-            fn(spark, sf_dir).count()
+            # noop sink, not count(): count() lets Catalyst prune unused
+            # output columns — a Window whose outputs feed only pruned
+            # aggregates is REMOVED and its exchange shrinks to the
+            # map-side-combined count plan (measured: d27_interval_merge
+            # at a 10M-row events blow-up "shuffled" 0.8 MB under count()
+            # vs the real ~180 MB). The noop writer consumes the full
+            # output schema, so the measured plan is the one a consumer
+            # of the query's rows would actually pay for.
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as ex:
             failures.append(name)
             print(f"# FAIL {name}: {str(ex)[:150]}", file=sys.stderr)
