@@ -2761,6 +2761,7 @@ def d34_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 ZORDER_BITS = 16
 ZORDER_FILES = 16
+ZORDER_BUCKETS = 8
 
 
 def _zorder_sql_expr(a: str, b: str) -> str:
@@ -2817,162 +2818,179 @@ def d35_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     d35_clustering_depth (which scores overlap).
 
     Scale shape (100 TB): the Morton code is codegen'd shift/mask
-    arithmetic on the scan; file assignment is the DISTRIBUTED two-pass
-    row-number (the d34_curriculum_order pattern): repartitionByRange on
-    the layout's sort key gives non-overlapping sorted ranges, a MAP-ONLY
-    mapInPandas counter numbers each range, and per-range counts — a
-    readout bounded by the PARTITION COUNT, never the data (the same
-    metadata job RDD.zipWithIndex runs) — become broadcast offsets, so
-    the NTILE bucket is computed CLOSED-FORM from the exact global rank
-    (first N%F files get ceil(N/F) rows, the rest floor(N/F)) —
-    bit-identical to the oracle's NTILE, with NO single-reducer sort,
-    window, or exchange anywhere in the plan (pinned). Ranges identify
-    themselves by their first (sort-key, o_orderkey) tuple — a
-    content-derived key invariant under plan placement — because
-    TaskContext.partitionId() is stage-relative and renumbers under
-    Union (the r8 regression: union children got pids 8–15 while the
-    offsets carried 0–7). Both arms' numbering passes union into ONE
-    persisted relation — a single 16-task job, the two range exchanges
-    running concurrently — and the builder MATERIALIZES the final
-    zone-map table (2 x ZORDER_FILES rows: file-count-bounded METADATA,
-    like the offsets readout) before releasing the persist in a
-    ``finally`` (r9 ADVICE items 1+2: no CacheManager entry outlives the
-    builder, and nothing downstream can ever re-execute the sampled
-    range exchange into boundaries that no longer match the collected
-    offsets — the cache is live for exactly the two jobs that read it).
-    Zone stats are one partial+final agg over the assigned union."""
-    agg, numbered = _zorder_zone_map(spark, sf_dir)
-    try:
-        rows = agg.collect()  # already (layout, file_id)-ordered by the agg
-    finally:
-        numbered.unpersist()
-    # createDataFrame preserves local-row order, so no re-sort job is paid
-    return spark.createDataFrame(rows, agg.schema)
+    arithmetic on the scan; file assignment is a DETERMINISTIC two-pass
+    exact-rank scheme with NO persisted intermediate. Both sort keys are
+    near-uniform over a KNOWN domain (a = o_custkey mod 2^16; zval = the
+    Morton interleave over 2^32), so the sort space pre-splits into
+    ZORDER_BUCKETS FIXED-WIDTH, key-monotone buckets — unlike
+    repartitionByRange there is no boundary SAMPLING, so pass 2 can
+    recompute the bucket of every row bit-identically and nothing needs
+    to stay cached between the jobs (r9 ADVICE: the CacheManager stays
+    empty by construction). Pass 1 is a pure hash-count per (layout,
+    bucket) — a stack(2) over one scan, readout bounded by 2 x
+    ZORDER_BUCKETS rows — whose running sums become exact global rank
+    offsets. Pass 2 hash-exchanges each arm on its bucket id, sorts
+    within partitions (bucket id is monotone in the sort key, so buckets
+    are contiguous runs), and an Arrow-batched numbering kernel assigns
+    rank = offset[bucket] + local position, folds the closed-form
+    NTILE(F) (first N%F files take ceil(N/F) rows — bit-identical to the
+    oracle's NTILE), and PRE-AGGREGATES zone stats per (layout, file)
+    inside the partition — at most F+1 rows leave each task, so the
+    final agg exchanges file-count-bounded METADATA, never data. No
+    single-reducer sort, window, broadcast join, or SinglePartition
+    exchange anywhere (pinned); the builder returns the LAZY plan."""
+    return _zorder_zone_map(spark, sf_dir)
 
 
-def _zorder_zone_map(spark: SparkSession, sf_dir: str):
-    """Builds d35_zorder_interleave's LAZY zone-map aggregate plus the
-    persisted numbering handle the caller must unpersist — split out so
-    the plan pins (tests/test_plans.py, tools/explain_audit.py) can
-    inspect the distributed plan the registered query executes."""
+def _zorder_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds d35_zorder_interleave's zone-map aggregate: an eager
+    KB-sized bucket-count job (exact rank offsets), then the LAZY
+    number+assign+aggregate plan — split out so the plan pins
+    (tests/test_plans.py, tools/explain_audit.py) can inspect the
+    distributed plan the registered query executes."""
+    import numpy as np
+    import pandas as pd
+
     o = Catalog(spark, sf_dir).orders
     m = 1 << ZORDER_BITS
-    src = o.select(
+    keyed = o.select(
         "o_orderkey",
         (F.col("o_custkey") % m).alias("a"),
         (F.col("o_orderkey") % m).alias("b"),
+    ).withColumn("zval", F.expr(_zorder_sql_expr("a", "b")))
+    # fixed-width, key-monotone bucket ids: deterministic across jobs
+    wa = m // ZORDER_BUCKETS
+    wz = (1 << (2 * ZORDER_BITS)) // ZORDER_BUCKETS
+    keyed = keyed.withColumn("lb", F.expr(f"a div {wa}")).withColumn(
+        "zb", F.expr(f"zval div {wz}")
     )
-    keyed = src.withColumn("zval", F.expr(_zorder_sql_expr("a", "b")))
 
-    def _arm(sort_cols: list, name: str) -> DataFrame:
-        # pass 1: exact per-range rank in sort_cols order ((.., o_orderkey)
-        # is a total order, so range boundaries can never split a tie,
-        # and each non-empty range has a UNIQUE first tuple -> (layout,
-        # k1, k2) is a safe partition identity that also ORDERS the
-        # ranges within its layout)
-        c1 = sort_cols[0]
-
-        def _number_partition(it):
-            k1 = k2 = None
-            base = 0
-            for pdf in it:
-                if len(pdf) == 0:
-                    continue
-                if k1 is None:
-                    k1 = int(pdf[c1].iloc[0])
-                    k2 = int(pdf["o_orderkey"].iloc[0])
-                n = len(pdf)
-                yield pdf.assign(
-                    layout=name, k1=k1, k2=k2, lrn=range(base + 1, base + n + 1)
-                )
-                base += n
-
-        return (
-            keyed.repartitionByRange(8, *sort_cols)
-            .sortWithinPartitions(*sort_cols)
-            .mapInPandas(
-                _number_partition,
-                schema="o_orderkey long, a long, b long, zval long, "
-                "layout string, k1 long, k2 long, lrn long",
-            )
-        )
-
-    # BOTH layout arms union into ONE persisted relation: the numbering
-    # passes materialize during the counts job — a single 16-task job,
-    # the two range exchanges running concurrently — and the file-id
-    # join reads the columnar cache. The persist handle is returned to
-    # the caller, who releases it the moment the zone-map readout lands
-    # (pinned by test_zorder_row_conservation_and_cache_release). The
-    # union is safe here ONLY because ranges self-identify by content:
-    # pids renumber under Union (the r8 regression).
-    numbered = _arm(["a", "o_orderkey"], "linear").unionAll(
-        _arm(["zval", "o_orderkey"], "zorder")
-    ).persist()
-    try:
-        # KB-sized metadata readout: one row per range partition per
-        # layout; the collect also materializes the persist, so the
-        # final job reuses it instead of re-sampling the range exchange
-        cnt_rows = numbered.groupBy("layout", "k1", "k2").agg(
-            F.count(F.lit(1)).alias("cnt")
-        ).collect()
-    except Exception:
-        numbered.unpersist()
-        raise
-    offs, n_tot = [], {}
+    # pass 1: per-(layout, bucket) counts — one scan, one hash agg, at
+    # most 2 x ZORDER_BUCKETS rows collected
+    cnt_rows = (
+        keyed.selectExpr("stack(2, 'linear', lb, 'zorder', zb) AS (layout, bkt)")
+        .groupBy("layout", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    offs: dict[str, dict[int, int]] = {"linear": {}, "zorder": {}}
+    n_tot = {}
     for layout in ("linear", "zorder"):
         run = 0
         for r in sorted(
             (r for r in cnt_rows if r["layout"] == layout),
-            key=lambda r: (r["k1"], r["k2"]),
+            key=lambda r: r["bkt"],
         ):
-            offs.append((layout, r["k1"], r["k2"], run))
+            offs[layout][int(r["bkt"])] = run
             run += r["cnt"]
         n_tot[layout] = run
     if n_tot["linear"] != n_tot["zorder"]:
-        numbered.unpersist()
         raise RuntimeError(
             f"zorder row-conservation violated: {n_tot} — both arms must "
             "carry every order exactly once"
         )
-    offsets = spark.createDataFrame(
-        offs, "layout string, k1 long, k2 long, off long"
-    )
     # closed-form NTILE(F) of rank r over n_tot rows: the first n_tot%F
-    # buckets take q+1 rows (q = n_tot div F), the rest q — identical
+    # files take q+1 rows (q = n_tot div F), the rest q — identical
     # constants for both layouts since each carries every order once
     q, rem = divmod(n_tot["linear"], ZORDER_FILES)
     hi = rem * (q + 1)
-    assigned = numbered.join(
-        F.broadcast(offsets), ["layout", "k1", "k2"]
-    ).select(
-        "layout",
-        "a",
-        "b",
-        F.expr(
-            f"""CASE WHEN (off + lrn) <= {hi}
-                THEN (off + lrn - 1) div {q + 1} + 1
-                ELSE {rem} + (off + lrn - {hi} - 1) div {max(q, 1)} + 1
-                END"""
-        ).alias("file_id"),
+
+    def _arm(sort_cols: list, bucket_col: str, name: str) -> DataFrame:
+        arm_offs = offs[name]
+
+        def _number_and_zone(it):
+            # bucket runs are contiguous under the partition sort (bucket
+            # id is monotone in the sort key) and batches arrive in sort
+            # order, so a per-bucket running base gives the exact local
+            # position; global rank = offset[bucket] + local position
+            base: dict[int, int] = {}
+            acc: dict[int, list] = {}
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                ranks = np.empty(len(pdf), dtype=np.int64)
+                bvals = pdf[bucket_col].to_numpy()
+                pos = 0
+                while pos < len(bvals):
+                    bk = int(bvals[pos])
+                    end = pos
+                    while end < len(bvals) and bvals[end] == bk:
+                        end += 1
+                    start_rank = arm_offs.get(bk, 0) + base.get(bk, 0) + 1
+                    ranks[pos:end] = np.arange(
+                        start_rank, start_rank + (end - pos), dtype=np.int64
+                    )
+                    base[bk] = base.get(bk, 0) + (end - pos)
+                    pos = end
+                files = np.where(
+                    ranks <= hi,
+                    (ranks - 1) // (q + 1) + 1,
+                    rem + (ranks - hi - 1) // max(q, 1) + 1,
+                )
+                av = pdf["a"].to_numpy()
+                bv = pdf["b"].to_numpy()
+                for fid in np.unique(files):
+                    msk = files == fid
+                    st = acc.get(int(fid))
+                    cur = (
+                        int(msk.sum()),
+                        int(av[msk].min()),
+                        int(av[msk].max()),
+                        int(bv[msk].min()),
+                        int(bv[msk].max()),
+                    )
+                    if st is None:
+                        acc[int(fid)] = list(cur)
+                    else:
+                        st[0] += cur[0]
+                        st[1] = min(st[1], cur[1])
+                        st[2] = max(st[2], cur[2])
+                        st[3] = min(st[3], cur[3])
+                        st[4] = max(st[4], cur[4])
+            if acc:
+                yield pd.DataFrame(
+                    [
+                        (name, fid, c, amin, amax, bmin, bmax)
+                        for fid, (c, amin, amax, bmin, bmax) in acc.items()
+                    ],
+                    columns=[
+                        "layout", "file_id", "cnt",
+                        "amin", "amax", "bmin", "bmax",
+                    ],
+                )
+
+        cols = list(dict.fromkeys([bucket_col, *sort_cols, "a", "b"]))
+        return (
+            keyed.select(*cols)
+            .repartition(ZORDER_BUCKETS, bucket_col)
+            .sortWithinPartitions(*sort_cols)
+            .mapInPandas(
+                _number_and_zone,
+                schema="layout string, file_id long, cnt long, "
+                "amin long, amax long, bmin long, bmax long",
+            )
+        )
+
+    partials = _arm(["a", "o_orderkey"], "lb", "linear").unionAll(
+        _arm(["zval", "o_orderkey"], "zb", "zorder")
     )
-    agg = (
-        assigned.groupBy("layout", F.col("file_id").cast("int").alias("file_id"))
+    return (
+        partials.groupBy("layout", F.col("file_id").cast("int").alias("file_id"))
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.min("a").cast("long").alias("a_min"),
-            F.max("a").cast("long").alias("a_max"),
-            F.min("b").cast("long").alias("b_min"),
-            F.max("b").cast("long").alias("b_max"),
-            F.round((F.max("a") - F.min("a") + 1) / F.lit(float(m)), 4).alias(
-                "cov_a"
-            ),
-            F.round((F.max("b") - F.min("b") + 1) / F.lit(float(m)), 4).alias(
-                "cov_b"
-            ),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.min("amin").cast("long").alias("a_min"),
+            F.max("amax").cast("long").alias("a_max"),
+            F.min("bmin").cast("long").alias("b_min"),
+            F.max("bmax").cast("long").alias("b_max"),
+            F.round(
+                (F.max("amax") - F.min("amin") + 1) / F.lit(float(m)), 4
+            ).alias("cov_a"),
+            F.round(
+                (F.max("bmax") - F.min("bmin") + 1) / F.lit(float(m)), 4
+            ).alias("cov_b"),
         )
         .orderBy("layout", "file_id")
     )
-    return agg, numbered
 
 
 # --------------------------------------------------------------------------

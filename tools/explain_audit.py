@@ -289,16 +289,15 @@ def _aux_python_stream_source(spark, sf_dir):
 # operators (pin the per-round shape) and eagerly-executed streaming
 # queries (pin the un-started source plan)
 def _aux_zorder_zone_map(spark, sf_dir):
-    """The distributed plan d35_zorder_interleave executes before its
-    bounded zone-map readout: two content-keyed range-exchange numbering
-    arms unioned under one persist, broadcast-offset file assignment,
-    partial+final zone aggregate — no SinglePartition anywhere (also
-    pinned in tests/test_plans.py). Leaves the relation persisted; this
-    process exits right after the audit."""
+    """The distributed plan d35_zorder_interleave executes after its
+    KB-sized bucket-count job: two deterministic-bucket hash-exchange
+    numbering arms (mapInPandas kernels that pre-aggregate zone stats
+    per file inside the partition) unioned into one file-count-bounded
+    final aggregate — no persist, no broadcast join, no SinglePartition
+    anywhere (also pinned in tests/test_plans.py)."""
     from conceptnetwork_spark.operators.pipeline import _zorder_zone_map
 
-    agg, _numbered = _zorder_zone_map(spark, sf_dir)
-    return agg
+    return _zorder_zone_map(spark, sf_dir)
 
 
 AUX_PLANS = {
