@@ -735,3 +735,156 @@ def d29_shard_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_a", "shard_b")
     )
+
+
+# --------------------------------------------------------------------------
+# D29h — suffix/exact-substring dedup (round 11): arbitrary-offset verbatim
+# overlap, the ExactSubstr family (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — public). d31_block_dedup catches
+# 12-word-ALIGNED repeats and d31_sentence_dedup whole sentences; this
+# operator reports every cross-doc verbatim overlap of >= ES_L tokens at
+# ANY offset, with its exact maximal length.
+# --------------------------------------------------------------------------
+ES_L = 20  # minimum overlap length in tokens (Lee et al. use 50; the
+# synthetic docs average ~54 tokens, so 20 keeps the fixture informative)
+ES_DFMAX = 50  # anchor-gram occurrence cap: a gram this frequent is
+# boilerplate whose pair fanout (df^2) would dominate the join; the cap is
+# applied IDENTICALLY in the oracle, so it is declared semantics, not an
+# approximation (the d31_containment precedent)
+
+_ES_TOKS = (
+    "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+)
+
+
+@register(
+    "d29_exact_substr",
+    # reduction: two docs share a verbatim run of >= M >= L tokens iff they
+    # share M-L+1 CONSECUTIVE sliding L-grams on one alignment diagonal
+    # (diag = pos_a - pos_b), so max_overlap = longest diagonal run + L - 1
+    # — exact longest-common-substring >= L, via gaps-and-islands
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_ES_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[i:(i + {ES_L} - 1)], ' ') AS gram
+      FROM w, LATERAL unnest(generate_series(1, len(toks) - {ES_L} + 1))
+           AS t(i)
+      WHERE len(toks) >= {ES_L}
+    ), keep AS (
+      SELECT gram FROM g GROUP BY gram
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= {ES_DFMAX}
+    ), occ AS (
+      SELECT g.* FROM g JOIN keep USING (gram)
+    ), anchors AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.pos AS pa, x.pos - y.pos AS diag
+      FROM occ x JOIN occ y USING (gram)
+      WHERE x.doc_id < y.doc_id
+    ), runs AS (
+      SELECT doc_a, doc_b, diag,
+             pa - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island,
+             pa
+      FROM anchors
+    ), spans AS (
+      SELECT doc_a, doc_b, COUNT(*) AS run_len
+      FROM runs GROUP BY doc_a, doc_b, diag, island
+    )
+    SELECT doc_a, doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(run_len) AS BIGINT) AS n_anchors,
+           CAST(MAX(run_len) + {ES_L} - 1 AS BIGINT) AS max_overlap_tokens
+    FROM spans GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b
+    """,
+)
+def d29_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (ExactSubstr, Lee et al. 2022): every pair of
+    documents sharing a verbatim token run of >= ES_L tokens at ARBITRARY
+    offsets, with the exact maximal overlap length. Sliding L-grams (stride
+    1) anchor the overlap — any >= L-token shared substring shares at least
+    one full L-gram — and consecutive anchors on one alignment diagonal
+    (pos_a - pos_b) chain into maximal runs, so max run + L - 1 is the true
+    longest common substring, not an estimate. Output per dup pair: number
+    of maximal shared spans, anchor count, and max overlap in tokens — the
+    audit a training-data curation run acts on (Lee et al. drop one side of
+    each span).
+
+    Scale shape (100 TB): grams travel as xxhash64 longs, never text (the
+    d31_containment trick — 8-byte keys; collision odds 2^-64 per pair are
+    below corpus noise, and the oracle's string-keyed run certifies the
+    hash-keyed plan at test SFs). The occurrence relation shuffles ONCE on
+    the gram key; the df-cap prefilter (2 <= df <= ES_DFMAX) both bounds
+    the self-join fanout to df^2 <= 2500 per gram AND prunes ~95% of grams
+    (singletons) before the join, with ReuseExchange serving both join
+    sides from the same exchange. The diagonal-run window partitions by
+    (doc_a, doc_b, diag) — key cardinality ~= anchor count, no hot key by
+    construction (a pathological all-same-token doc is killed by the df
+    cap). Suffix arrays (the single-node Lee et al. implementation) are
+    deliberately NOT used: the gram-anchor reduction expresses the same
+    exact semantics as two shuffles of bounded width, which is the shape
+    that survives 1000 executors. Reference parity: the reference
+    (conceptnetwork, Beam+TF) has no dedup at all — this is part of the
+    declared LLM-dataprep extension surface."""
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).documents
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+    )
+    g = (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= ES_L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - ES_L + 1)
+            ).alias("pos"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), ES_L))
+            ).alias("gh"),
+        )
+    )
+    keep = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= ES_DFMAX))
+        .select("gh")
+    )
+    occ = g.join(keep, "gh")
+    x = occ.select(
+        "gh", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa")
+    )
+    y = occ.select(
+        "gh", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    anchors = (
+        x.join(y, "gh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = anchors.select(
+        "doc_a", "doc_b", "diag",
+        (F.col("pa") - F.row_number().over(w)).alias("island"),
+    )
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        spans.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("run_len").cast("long").alias("n_anchors"),
+            (F.max("run_len") + ES_L - 1).cast("long").alias(
+                "max_overlap_tokens"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -211,3 +211,57 @@ def test_lsh_clusters_capture_exact_duplicates(spark):
     }
     for members in dup_groups:
         assert len({lsh[d] for d in members}) == 1, members
+
+
+def test_exact_substr_unaligned_overlap(spark, tmp_path):
+    """The reason d29_exact_substr exists: a verbatim run that is NOT
+    12-word-block-aligned (d31_block_dedup's blind spot) must still be
+    found, at its exact maximal length. Plant a 25-token run shared
+    between two docs at offsets 3 and 9 (different diagonals than any
+    aligned scheme), plus a decoy pair sharing only 19 tokens (< ES_L)
+    that must NOT appear."""
+    L = dedup.ES_L  # 20
+    run = [f"run{i}" for i in range(25)]
+    decoy = [f"dk{i}" for i in range(19)]
+    docs = [
+        (1, " ".join([f"a{i}" for i in range(3)] + run + ["atail"])),
+        (2, " ".join([f"b{i}" for i in range(9)] + run + ["btail", "b2"])),
+        (3, " ".join([f"c{i}" for i in range(5)] + decoy)),
+        (4, " ".join(decoy + [f"d{i}" for i in range(7)])),
+    ]
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(out)
+    res = dedup.d29_exact_substr(spark, str(tmp_path)).collect()
+    assert len(res) == 1
+    r = res[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["max_overlap_tokens"] == 25
+    # a 25-token run yields 25 - L + 1 = 6 consecutive anchors, one span
+    assert r["n_spans"] == 1 and r["n_anchors"] == 25 - L + 1
+
+
+def test_exact_substr_multi_span_and_self_repeat(spark, tmp_path):
+    """Two DISJOINT shared runs on different diagonals are two spans; a
+    within-doc repeat (same doc twice) must never pair with itself."""
+    L = dedup.ES_L
+    run1 = [f"x{i}" for i in range(L)]        # exactly L -> 1 anchor
+    run2 = [f"y{i}" for i in range(L + 4)]    # L+4 -> 5 anchors
+    docs = [
+        (10, " ".join(run1 + ["gap1", "gap2"] + run2)),
+        (20, " ".join(["pre"] + run2 + ["mid"] + run1)),
+        # doc 30 contains run1 TWICE (self-repeat): pairs only against
+        # docs 10/20, never (30, 30)
+        (30, " ".join(run1 + ["z"] + run1)),
+    ]
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(out)
+    rows = {(r["doc_a"], r["doc_b"]): r
+            for r in dedup.d29_exact_substr(spark, str(tmp_path)).collect()}
+    assert set(rows) == {(10, 20), (10, 30), (20, 30)}
+    r = rows[(10, 20)]
+    assert r["n_spans"] == 2
+    assert r["max_overlap_tokens"] == L + 4
+    # self-repeat doc: run1 appears twice in doc 30, so (10, 30) carries
+    # two single-anchor spans (one per copy), max overlap exactly L
+    r = rows[(10, 30)]
+    assert r["max_overlap_tokens"] == L and r["n_spans"] == 2

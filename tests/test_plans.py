@@ -1296,16 +1296,15 @@ def test_d35_zorder_no_cartesian(spark):
     nested-loop join, and — the point of the distributed two-pass
     row-number — NOTHING may funnel through a single-partition exchange
     (no single-reducer NTILE, no driver-side window over the data).
-    The registered query materializes the file-count-bounded zone map and
-    releases its persist before returning, so the pin inspects the
-    distributed plan it executes via the _zorder_zone_map split."""
+    The builder runs a KB-sized bucket-count job eagerly and returns the
+    LAZY number+assign+aggregate plan, which the pin inspects via the
+    _zorder_zone_map split (no persist anywhere — the buckets are
+    deterministic fixed-width slices, so pass 2 recomputes them
+    bit-identically)."""
     from conceptnetwork_spark.operators.pipeline import _zorder_zone_map
 
-    agg, numbered = _zorder_zone_map(spark, SF_ORACLE)
-    try:
-        plan = agg._jdf.queryExecution().executedPlan().toString()
-    finally:
-        numbered.unpersist()
+    agg = _zorder_zone_map(spark, SF_ORACLE)
+    plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
@@ -1471,3 +1470,24 @@ def test_d34_soft_dedup_weights_block_dedup_skeleton(spark):
     assert plan.count("Window") == 1
     assert "CartesianProduct" not in plan
     assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_d29_exact_substr_anchor_join_no_allpairs(spark):
+    """ExactSubstr must anchor on the gram-hash key — never an all-pairs
+    document comparison: no cartesian/nested-loop join, no
+    single-partition funnel, and every join keyed on the gram hash `gh`
+    (at tiny SF AQE may broadcast the df-capped side; at scale both
+    sides shuffle on gh — either way the join is KEYED). The gram
+    relation must also reach the join pre-filtered by the df cap (the
+    singleton prune is what bounds fanout at 100 TB)."""
+    plan = _plan(spark, "d29_exact_substr")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan  # gram hashing stays JVM-side
+    assert "xxhash64" in plan  # grams travel as 8-byte hashes, not text
+    import re
+    joins = re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+                       r".{0,120}", plan)
+    assert joins, "expected keyed joins in the plan"
+    assert all("gh" in j for j in joins), joins
