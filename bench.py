@@ -270,6 +270,8 @@ HEADLINE = [
     "d14_winsorize",
     "d27_audience_overlap",
     "d34_soft_dedup_weights",
+    # round-11 additions
+    "d29_exact_substr",
 ]
 
 
@@ -418,12 +420,30 @@ def _emit(metric: str, total: float, timings: dict[str, float], extra: dict) -> 
                                "BENCHDETAIL.json"), "w") as f:
             json.dump(detail, f)
             f.write("\n")
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
-    summary = {"metric": metric, "value": total, "unit": "sec",
-               "queries": slowest, "n_queries": len(timings),
-               "queries_note": "20 slowest; full detail on previous line",
-               **extra}
-    print(json.dumps(summary))
+    # The FINAL stdout line must parse even when the driver keeps only the
+    # last ~2000 bytes (BENCH_r10.json: the flagged_over_1.3x dict grew past
+    # the tail window, the line's HEAD was cut, parsed=null). Hard-cap every
+    # unbounded dict and, if the line still exceeds the budget, shrink the
+    # slowest-queries list until it fits.
+    LINE_BUDGET = 1800
+    extra = dict(extra)
+    hn = extra.get("host_normalized")
+    if isinstance(hn, dict) and isinstance(hn.get("flagged_over_1.3x"), dict):
+        flags = hn["flagged_over_1.3x"]
+        worst = dict(sorted(flags.items(), key=lambda kv: -kv[1])[:8])
+        extra["host_normalized"] = {**hn, "flagged_over_1.3x": worst,
+                                    "n_flagged": len(flags)}
+    for n_slowest in (20, 10, 5, 0):
+        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:n_slowest])
+        summary = {"metric": metric, "value": total, "unit": "sec",
+                   "queries": slowest, "n_queries": len(timings),
+                   "queries_note": f"{n_slowest} slowest; full detail on "
+                                   "previous line and BENCHDETAIL.json",
+                   **extra}
+        line = json.dumps(summary)
+        if len(line) <= LINE_BUDGET:
+            break
+    print(line)
 
 
 def main() -> None:
