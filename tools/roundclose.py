@@ -127,6 +127,40 @@ def main() -> None:
     print(f"certified ledger: {'OK' if code == 0 else 'FAIL'} "
           f"({report['certified_ledger']})")
 
+    # 1c. re-cert cadence guard (VERDICT r10 ask #7, ADVISORY — never
+    # fails the close): any certified query whose last driver-green is
+    # >=6 rounds old and which is NOT queued in the current window has
+    # drifted too long without a re-check; surface it here so staleness
+    # stops depending on judge archaeology.
+    import glob as _glob
+    import json as _json
+
+    from conceptnetwork_spark.registry import CERT_FIRST
+
+    last_green: dict[str, int] = {}
+    for p in sorted(_glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        rnum = int(re.search(r"_r(\d+)\.json$", p).group(1))
+        try:
+            for q, rec in _json.load(open(p)).items():
+                if isinstance(rec, dict) and rec.get("hash_match"):
+                    last_green[q] = max(last_green.get(q, 0), rnum)
+        except (OSError, ValueError):
+            continue
+    stale = sorted(
+        q for q, r in last_green.items()
+        if rnd - r >= 6 and q not in CERT_FIRST
+    )
+    report["stale_certs"] = {
+        "threshold_rounds": 6,
+        "stale_outside_window": stale,
+    }
+    if stale:
+        print(f"stale certs (ADVISORY): {len(stale)} queries last green "
+              f">=6 rounds ago and not in the current window: "
+              f"{stale[:10]}{'...' if len(stale) > 10 else ''}")
+    else:
+        print("stale certs: none outside the current window")
+
     # 2. cross-SF parity at the scale factors pytest does NOT use
     report["parity"] = {}
     if not skip_parity:

@@ -37,6 +37,18 @@ it: partial aggregation and distinct-first designs absorb the hot key
 map-side; AQE splits skewed join partitions; per-key WINDOWS are the
 honest worst case (a window over one key cannot be split — the hot task
 is the straggler bound, and the gate is completion without failure).
+
+The spill gate is DISK-SPILL-ONLY by design (matching the 100-TB failure
+signal: a disk spill means an operator outgrew its memory budget).
+memoryBytesSpilled is RECORDED per query (`mem_spill`, and the
+`mem_spilled` summary) but not gated: at constrained local heaps the
+sort-based shuffle writer's record buffering and operator pressure at
+extreme tiers (1000x on 24 GB) report as memory spill while the same
+plan is spill-free at cluster-sized memory — gating it would fail runs
+whose 100-TB posture is sound. Listener-lag anomalies (quiesce loop
+exhausting, stage eviction, shrinking totals) are surfaced in
+`listener_warnings` — treat per-query attribution as unreliable when
+that list is non-empty.
 """
 
 from __future__ import annotations
@@ -82,7 +94,12 @@ BLOWUP_KEYS = {
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part", "embeddings"]
 
 
-HOT_USER = KEY_OFF * 1024 + 7  # outside every shifted user_id domain
+def hot_user(factor: int) -> int:
+    """A user_id outside every shifted domain AT THIS FACTOR: copies shift
+    by copy*KEY_OFF with copy < factor and every original user_id < KEY_OFF,
+    so KEY_OFF*factor is strictly above all of them (the old fixed
+    KEY_OFF*1024+7 collided with copy 1024's domain past factor 1024)."""
+    return KEY_OFF * factor + 7
 
 
 def build_scaled_dir(
@@ -126,7 +143,7 @@ def build_scaled_dir(
                         F.pmod(F.xxhash64("event_id", "_copy"), F.lit(100))
                         < skew_pct
                     ),
-                    F.lit(HOT_USER).cast("long"),
+                    F.lit(hot_user(factor)).cast("long"),
                 ).otherwise(F.col("user_id")),
             )
         df.drop("_copy").write.mode("overwrite").parquet(
@@ -146,51 +163,61 @@ def build_scaled_dir(
     return out
 
 
-def _stage_totals(
-    ui_url: str, app_id: str, quiesce: bool = False
-) -> dict[str, int]:
-    """Sum shuffle/spill bytes over all stages. With ``quiesce``, poll
-    until two consecutive reads agree (the status listener lags job
-    completion — without this, a heavy stage's bytes land in the NEXT
-    query's delta window)."""
-    if quiesce:
-        prev = _stage_totals(ui_url, app_id)
-        for _ in range(20):
-            time.sleep(0.5)
-            cur = _stage_totals(ui_url, app_id)
-            if cur == prev:
-                return cur
-            prev = cur
-        return prev
+def _stage_totals(ui_url: str, app_id: str) -> dict[str, int]:
+    """Sum shuffle/spill bytes over all RETAINED stages, plus the stage
+    count (the eviction tell shuffle_audit.py uses: once n_stages hits
+    spark.ui.retainedStages, older stages fall out of the window and
+    deltas under-count)."""
     url = f"{ui_url}/api/v1/applications/{app_id}/stages"
     data = json.loads(urllib.request.urlopen(url, timeout=10).read())
-    out = {"shuffle_write": 0, "mem_spill": 0, "disk_spill": 0}
+    out = {"shuffle_write": 0, "mem_spill": 0, "disk_spill": 0, "n_stages": 0}
     for s in data:
         out["shuffle_write"] += s.get("shuffleWriteBytes", 0)
         out["mem_spill"] += s.get("memoryBytesSpilled", 0)
         out["disk_spill"] += s.get("diskBytesSpilled", 0)
+        out["n_stages"] += 1
     return out
 
 
+def _quiesced_totals(
+    ui_url: str, app_id: str, warnings: list[str], ctx: str
+) -> dict[str, int]:
+    """Poll until two consecutive reads agree (the status listener lags
+    job completion — without this, a heavy stage's bytes land in the NEXT
+    query's delta window). If the loop exhausts without stabilizing, the
+    returned totals may still be moving: record a listener warning so the
+    per-query attribution is flagged unreliable instead of silently
+    corrupted (ADVICE r10)."""
+    prev = _stage_totals(ui_url, app_id)
+    for _ in range(20):
+        time.sleep(0.5)
+        cur = _stage_totals(ui_url, app_id)
+        if cur == prev:
+            return cur
+        prev = cur
+    warnings.append(f"quiesce-exhausted:{ctx}")
+    print(
+        f"# WARN quiesce loop exhausted after {ctx}: stage totals still "
+        "changing after 10 s — per-query deltas may be misattributed",
+        file=sys.stderr,
+    )
+    return prev
+
+
 def main() -> None:
+    import argparse
+
     os.environ["SPARK_GRAFT_UI"] = "1"
-    argv = sys.argv[1:]
-    factor = FACTOR
-    names = list(TOP10)
-    skew_pct = 0
-    if "--factor" in argv:
-        factor = int(argv[argv.index("--factor") + 1])
-    if "--queries" in argv:
-        names = argv[argv.index("--queries") + 1].split(",")
-    if "--skew" in argv:
-        skew_pct = int(argv[argv.index("--skew") + 1])
-    pos = [
-        a
-        for i, a in enumerate(argv)
-        if not a.startswith("--")
-        and (i == 0 or argv[i - 1] not in ("--factor", "--queries", "--skew"))
-    ]
-    src_sf = pos[0] if pos else "/root/testdata/sf0.1"
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("--factor", type=int, default=FACTOR)
+    ap.add_argument(
+        "--queries", default=None, help="comma-separated subset of TOP10"
+    )
+    ap.add_argument("--skew", type=int, default=0, dest="skew_pct")
+    args = ap.parse_args()
+    factor, skew_pct, src_sf = args.factor, args.skew_pct, args.sf_dir
+    names = args.queries.split(",") if args.queries else list(TOP10)
     cap_bytes = SHUFFLE_CAP_BYTES * factor // FACTOR
 
     from conceptnetwork_spark import registry
@@ -221,10 +248,16 @@ def main() -> None:
         # zero-spill gate keeps meaning OPERATOR memory pressure (agg
         # hash tables, join sorts), not shuffle-writer mechanics. This is
         # a core conf (JVM-launch only), hence the submit-args route.
-        os.environ["PYSPARK_SUBMIT_ARGS"] = (
-            f"--conf spark.shuffle.sort.bypassMergeThreshold={shuffle_parts}"
-            " pyspark-shell"
-        )
+        # MERGE into any caller-provided submit args instead of clobbering
+        # them (ADVICE r10): prepend the --conf before the trailing
+        # pyspark-shell token the launcher requires.
+        existing = os.environ.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
+        conf = f"--conf spark.shuffle.sort.bypassMergeThreshold={shuffle_parts}"
+        if "pyspark-shell" in existing:
+            merged = existing.replace("pyspark-shell", f"{conf} pyspark-shell")
+        else:
+            merged = f"{existing} {conf} pyspark-shell"
+        os.environ["PYSPARK_SUBMIT_ARGS"] = merged
     spark = get_spark(app_name="scale-stress", shuffle_partitions=shuffle_parts)
     spark.sparkContext.setLogLevel("ERROR")
     ui_url = spark.sparkContext.uiWebUrl
@@ -234,10 +267,12 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
 
     sf_dir = build_scaled_dir(spark, src_sf, factor, skew_pct)
+    retained = int(spark.conf.get("spark.ui.retainedStages", "1000"))
     qs = registry.queries()
     per: dict[str, dict] = {}
     failures: list[str] = []
-    before = _stage_totals(ui_url, app_id, quiesce=True)
+    listener_warnings: list[str] = []
+    before = _quiesced_totals(ui_url, app_id, listener_warnings, "warmup")
     for name in names:
         t0 = time.perf_counter()
         try:
@@ -249,11 +284,28 @@ def main() -> None:
         except Exception as ex:
             failures.append(name)
             print(f"# FAIL {name}: {str(ex)[:200]}", file=sys.stderr)
-            before = _stage_totals(ui_url, app_id, quiesce=True)
+            before = _quiesced_totals(ui_url, app_id, listener_warnings, name)
             continue
-        after = _stage_totals(ui_url, app_id, quiesce=True)
+        after = _quiesced_totals(ui_url, app_id, listener_warnings, name)
+        # totals are monotone UNLESS the UI evicted stages out of its
+        # retained window — a shrinking counter means the deltas
+        # under-count; flag it instead of letting max(0, ...) hide it
+        # (the shuffle_audit.py eviction tells, ported per ADVICE r10)
+        if any(after[k] < before[k] for k in after):
+            listener_warnings.append(f"shrinking-totals:{name}")
+            print(f"# WARN stage eviction near {name}: totals shrank — "
+                  "deltas under-count", file=sys.stderr)
+        if after["n_stages"] >= retained:
+            listener_warnings.append(f"retained-stages-cap:{name}")
+            print(f"# WARN {after['n_stages']} stages at the "
+                  f"retainedStages cap ({retained}) after {name}",
+                  file=sys.stderr)
         per[name] = {
-            **{k: max(0, after[k] - before[k]) for k in after},
+            **{
+                k: max(0, after[k] - before[k])
+                for k in after
+                if k != "n_stages"
+            },
             "sec": round(time.perf_counter() - t0, 2),
         }
         before = after
@@ -264,6 +316,7 @@ def main() -> None:
         if m["shuffle_write"] > cap_bytes
     }
     spilled = {n: m["disk_spill"] for n, m in per.items() if m["disk_spill"]}
+    mem_spilled = {n: m["mem_spill"] for n, m in per.items() if m["mem_spill"]}
     record = {
         "metric": f"scale_stress_{factor}x"
         + (f"_skew{skew_pct}" if skew_pct else ""),
@@ -274,6 +327,9 @@ def main() -> None:
         "failures": failures,
         "over_cap": over,
         "disk_spilled": spilled,
+        "mem_spilled": mem_spilled,
+        "spill_gate": "disk-only (mem_spill recorded, not gated; see docstring)",
+        "listener_warnings": listener_warnings,
         "per_query": per,
     }
     print(json.dumps(record))
