@@ -272,6 +272,7 @@ HEADLINE = [
     "d34_soft_dedup_weights",
     # round-11 additions
     "d29_exact_substr",
+    "d29_substr_span_drop",
 ]
 
 

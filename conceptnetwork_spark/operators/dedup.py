@@ -756,14 +756,11 @@ _ES_TOKS = (
     "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
 )
 
-
-@register(
-    "d29_exact_substr",
-    # reduction: two docs share a verbatim run of >= M >= L tokens iff they
-    # share M-L+1 CONSECUTIVE sliding L-grams on one alignment diagonal
-    # (diag = pos_a - pos_b), so max_overlap = longest diagonal run + L - 1
-    # — exact longest-common-substring >= L, via gaps-and-islands
-    oracle=f"""
+# shared oracle CTE prefix: documents -> sliding L-grams -> df-capped
+# occurrences -> cross-doc anchors -> diagonal islands (gaps-and-islands);
+# d29_exact_substr aggregates runs per pair, d29_substr_span_drop projects
+# the covered token intervals of the LATER doc
+_ES_RUNS_SQL = f"""
     WITH w AS (
       SELECT doc_id, {_ES_TOKS} AS toks FROM documents
     ), g AS (
@@ -788,45 +785,14 @@ _ES_TOKS = (
                PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island,
              pa
       FROM anchors
-    ), spans AS (
-      SELECT doc_a, doc_b, COUNT(*) AS run_len
-      FROM runs GROUP BY doc_a, doc_b, diag, island
-    )
-    SELECT doc_a, doc_b,
-           CAST(COUNT(*) AS BIGINT) AS n_spans,
-           CAST(SUM(run_len) AS BIGINT) AS n_anchors,
-           CAST(MAX(run_len) + {ES_L} - 1 AS BIGINT) AS max_overlap_tokens
-    FROM spans GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b
-    """,
-)
-def d29_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring dedup (ExactSubstr, Lee et al. 2022): every pair of
-    documents sharing a verbatim token run of >= ES_L tokens at ARBITRARY
-    offsets, with the exact maximal overlap length. Sliding L-grams (stride
-    1) anchor the overlap — any >= L-token shared substring shares at least
-    one full L-gram — and consecutive anchors on one alignment diagonal
-    (pos_a - pos_b) chain into maximal runs, so max run + L - 1 is the true
-    longest common substring, not an estimate. Output per dup pair: number
-    of maximal shared spans, anchor count, and max overlap in tokens — the
-    audit a training-data curation run acts on (Lee et al. drop one side of
-    each span).
+    )"""
 
-    Scale shape (100 TB): grams travel as xxhash64 longs, never text (the
-    d31_containment trick — 8-byte keys; collision odds 2^-64 per pair are
-    below corpus noise, and the oracle's string-keyed run certifies the
-    hash-keyed plan at test SFs). The occurrence relation shuffles ONCE on
-    the gram key; the df-cap prefilter (2 <= df <= ES_DFMAX) both bounds
-    the self-join fanout to df^2 <= 2500 per gram AND prunes ~95% of grams
-    (singletons) before the join, with ReuseExchange serving both join
-    sides from the same exchange. The diagonal-run window partitions by
-    (doc_a, doc_b, diag) — key cardinality ~= anchor count, no hot key by
-    construction (a pathological all-same-token doc is killed by the df
-    cap). Suffix arrays (the single-node Lee et al. implementation) are
-    deliberately NOT used: the gram-anchor reduction expresses the same
-    exact semantics as two shuffles of bounded width, which is the shape
-    that survives 1000 executors. Reference parity: the reference
-    (conceptnetwork, Beam+TF) has no dedup at all — this is part of the
-    declared LLM-dataprep extension surface."""
+
+def _es_diag_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared ExactSubstr core: (doc_a, doc_b, diag, island, pa) rows,
+    one per cross-doc anchor gram, island-numbered so consecutive anchors
+    on one alignment diagonal group into maximal verbatim runs. See
+    d29_exact_substr for the reduction argument and scale shape."""
     from pyspark.sql import Window
 
     d = Catalog(spark, sf_dir).documents
@@ -867,13 +833,63 @@ def d29_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = (
         x.join(y, "gh")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+        .select(
+            "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+        )
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    runs = anchors.select(
-        "doc_a", "doc_b", "diag",
+    return anchors.select(
+        "doc_a", "doc_b", "diag", "pa",
         (F.col("pa") - F.row_number().over(w)).alias("island"),
     )
+
+
+@register(
+    "d29_exact_substr",
+    # reduction: two docs share a verbatim run of >= M >= L tokens iff they
+    # share M-L+1 CONSECUTIVE sliding L-grams on one alignment diagonal
+    # (diag = pos_a - pos_b), so max_overlap = longest diagonal run + L - 1
+    # — exact longest-common-substring >= L, via gaps-and-islands
+    oracle=f"""{_ES_RUNS_SQL}, spans AS (
+      SELECT doc_a, doc_b, COUNT(*) AS run_len
+      FROM runs GROUP BY doc_a, doc_b, diag, island
+    )
+    SELECT doc_a, doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(run_len) AS BIGINT) AS n_anchors,
+           CAST(MAX(run_len) + {ES_L} - 1 AS BIGINT) AS max_overlap_tokens
+    FROM spans GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b
+    """,
+)
+def d29_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (ExactSubstr, Lee et al. 2022): every pair of
+    documents sharing a verbatim token run of >= ES_L tokens at ARBITRARY
+    offsets, with the exact maximal overlap length. Sliding L-grams (stride
+    1) anchor the overlap — any >= L-token shared substring shares at least
+    one full L-gram — and consecutive anchors on one alignment diagonal
+    (pos_a - pos_b) chain into maximal runs, so max run + L - 1 is the true
+    longest common substring, not an estimate. Output per dup pair: number
+    of maximal shared spans, anchor count, and max overlap in tokens — the
+    audit a training-data curation run acts on (Lee et al. drop one side of
+    each span).
+
+    Scale shape (100 TB): grams travel as xxhash64 longs, never text (the
+    d31_containment trick — 8-byte keys; collision odds 2^-64 per pair are
+    below corpus noise, and the oracle's string-keyed run certifies the
+    hash-keyed plan at test SFs). The occurrence relation shuffles ONCE on
+    the gram key; the df-cap prefilter (2 <= df <= ES_DFMAX) both bounds
+    the self-join fanout to df^2 <= 2500 per gram AND prunes ~95% of grams
+    (singletons) before the join, with ReuseExchange serving both join
+    sides from the same exchange. The diagonal-run window partitions by
+    (doc_a, doc_b, diag) — key cardinality ~= anchor count, no hot key by
+    construction (a pathological all-same-token doc is killed by the df
+    cap). Suffix arrays (the single-node Lee et al. implementation) are
+    deliberately NOT used: the gram-anchor reduction expresses the same
+    exact semantics as two shuffles of bounded width, which is the shape
+    that survives 1000 executors. Reference parity: the reference
+    (conceptnetwork, Beam+TF) has no dedup at all — this is part of the
+    declared LLM-dataprep extension surface."""
+    runs = _es_diag_runs(spark, sf_dir)
     spans = runs.groupBy("doc_a", "doc_b", "diag", "island").agg(
         F.count(F.lit(1)).alias("run_len")
     )
@@ -887,4 +903,112 @@ def d29_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "d29_substr_span_drop",
+    # the curation ACTION for d29_exact_substr's findings (Lee et al. 2022
+    # drop one side of every duplicated span): the LATER doc (larger
+    # doc_id) loses the tokens covered by any shared >= L run; coverage is
+    # the union of per-span intervals (interval-merge islands, so nested /
+    # overlapping spans never double-count)
+    oracle=f"""{_ES_RUNS_SQL}, ivl AS (
+      SELECT doc_b AS doc_id,
+             MIN(pa) - diag AS s,
+             MAX(pa) - diag + {ES_L} - 1 AS e
+      FROM runs GROUP BY doc_a, doc_b, diag, island
+    ), ord AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM ivl
+    ), isl AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+      FROM ord
+    ), cov AS (
+      SELECT doc_id, MAX(e) - MIN(s) + 1 AS covered
+      FROM isl GROUP BY doc_id, grp
+    ), dropped AS (
+      SELECT doc_id, SUM(covered) AS n_dropped FROM cov GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(w.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(len(w.toks) - COALESCE(d.n_dropped, 0) AS BIGINT) AS n_kept
+    FROM w LEFT JOIN dropped d USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def d29_substr_span_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (the action Lee et al. 2022 take on what
+    d29_exact_substr finds): for every cross-doc verbatim run of >= ES_L
+    tokens, the LATER document (larger doc_id — earliest-wins, the same
+    rule d29_exact_dedup and d31_block_dedup use) drops the covered
+    tokens. Per-doc audit: tokens before, dropped, kept — the corpus-size
+    accounting a curation run reports before rewriting the corpus.
+    Covered positions are the UNION of span intervals: per-doc
+    interval-merge (the d27_interval_merge gaps-and-islands skeleton) so
+    overlapping spans from different partners never double-count.
+
+    Scale shape (100 TB): everything through the diagonal runs is shared
+    with d29_exact_substr (hash-keyed anchor join, df-capped fanout); the
+    interval union adds one window partitioned by doc_id over SPAN rows
+    (bounded by anchor count, not corpus size) and the final audit is a
+    LEFT join of the documents scan against the per-doc drop counts — a
+    key-partitioned join whose right side is duplicate-doc-bounded. No
+    all-pairs, no SinglePartition."""
+    from pyspark.sql import Window
+
+    runs = _es_diag_runs(spark, sf_dir)
+    ivl = runs.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        (F.min("pa") - F.col("diag")).alias("s"),
+        (F.max("pa") - F.col("diag") + ES_L - 1).alias("e"),
+    ).select(F.col("doc_b").alias("doc_id"), "s", "e")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = ivl.withColumn("prev_max", F.max("e").over(w_prev)).withColumn(
+        "grp",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    dropped = (
+        isl.groupBy("doc_id", "grp")
+        .agg((F.max("e") - F.min("s") + 1).alias("covered"))
+        .groupBy("doc_id")
+        .agg(F.sum("covered").alias("n_dropped"))
+    )
+    d = Catalog(spark, sf_dir).documents
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+    )
+    docs = d.select("doc_id", F.size(toks).alias("n_tokens"))
+    return (
+        docs.join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias(
+                "n_dropped"
+            ),
+            (
+                F.col("n_tokens") - F.coalesce(F.col("n_dropped"), F.lit(0))
+            ).cast("long").alias("n_kept"),
+        )
+        .orderBy("doc_id")
     )

@@ -265,3 +265,28 @@ def test_exact_substr_multi_span_and_self_repeat(spark, tmp_path):
     # two single-anchor spans (one per copy), max overlap exactly L
     r = rows[(10, 30)]
     assert r["max_overlap_tokens"] == L and r["n_spans"] == 2
+
+
+def test_substr_span_drop_interval_union(spark, tmp_path):
+    """Span removal must charge the LATER doc only, and overlapping spans
+    from DIFFERENT partners must merge before counting (no double
+    charge). Doc 3 shares tokens 1..25 with doc 1 and tokens 6..30 with
+    doc 2 -> union 1..30, so n_dropped = 30, not 50."""
+    L = dedup.ES_L
+    base = [f"t{i}" for i in range(30)]  # doc 3's first 30 tokens
+    docs = [
+        (1, " ".join(base[:25] + ["one_a", "one_b"])),
+        (2, " ".join(["two_pre"] + base[5:30] + ["two_tail"])),
+        (3, " ".join(base + [f"u{i}" for i in range(10)])),
+    ]
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(out)
+    rows = {r["doc_id"]: r
+            for r in dedup.d29_substr_span_drop(spark, str(tmp_path)).collect()}
+    # doc 1 is the earliest in both its pairs -> keeps everything
+    assert rows[1]["n_dropped"] == 0 and rows[1]["n_tokens"] == 27
+    # doc 2 vs doc 1: shared run base[5:25] = 20 tokens at offset 2
+    assert rows[2]["n_dropped"] == 20
+    # doc 3: union of [1,25] (vs doc 1) and [6,30] (vs doc 2) = 30
+    assert rows[3]["n_dropped"] == 30
+    assert rows[3]["n_kept"] == rows[3]["n_tokens"] - 30

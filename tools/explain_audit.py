@@ -227,6 +227,9 @@ AUDIT = [
     "d14_winsorize",
     "d27_audience_overlap",
     "d34_soft_dedup_weights",
+    # round-11 additions
+    "d29_exact_substr",
+    "d29_substr_span_drop",
 ]
 
 
