@@ -273,6 +273,9 @@ HEADLINE = [
     # round-11 additions
     "d29_exact_substr",
     "d29_substr_span_drop",
+    "d09_gini",
+    "d14_rolling_corr",
+    "d31_pmi_collocations",
 ]
 
 

@@ -7376,3 +7376,188 @@ def d27_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --------------------------------------------------------------------------
+# D09 (cont., round 11) — Gini concentration of customer revenue via
+# DISTRIBUTED rank partials (no global single-partition window)
+# --------------------------------------------------------------------------
+@register(
+    "d09_gini",
+    # classic rank form: G = 2*sum(i * x_i) / (n * sum x) - (n+1)/n over
+    # x sorted ascending. Revenue is rounded to CENTS before ranking so
+    # the sort key (rev, custkey) is engine-independent.
+    oracle="""
+    WITH cr AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS rev
+      FROM orders GROUP BY o_custkey
+    ), r AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rk
+      FROM cr
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(rev), 2) AS total_revenue,
+           ROUND(2.0 * SUM(rk * rev) / (COUNT(*) * SUM(rev))
+                 - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
+    FROM r
+    """,
+)
+def d09_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the inequality /
+    concentration audit (how top-heavy is the order book). Uses the exact
+    rank formulation G = 2*sum(rank*x)/(n*sum x) - (n+1)/n with revenue
+    rounded to cents and custkey as tiebreak, so the global order is a
+    deterministic total order in both engines.
+
+    Scale shape (100 TB): the global rank is NEVER materialized through a
+    single-partition window. The customer-revenue relation range-exchanges
+    on the sort key (Spark's scalable sort machinery), each sorted range
+    computes THREE scalars in one map-only pandas pass — its row count,
+    sum(x), and sum(local_rank * x) — and the closed-form shift
+    sum((off_p + lrn) * x) = off_p * sum_x_p + sum(lrn * x)_p combines a
+    PARTITION-COUNT-bounded readout on the driver (the
+    d34_curriculum_order offsets trick, collapsed further because only
+    the aggregate is needed, not per-row ranks). One shuffle for the
+    revenue agg, one range exchange, one KB-sized collect."""
+    parts = _gini_rank_partials(spark, sf_dir).collect()
+    rows = sorted((r for r in parts if r["n"] > 0), key=lambda r: r["pid"])
+    n_tot = sum(r["n"] for r in rows)
+    sx_tot = sum(r["sx"] for r in rows)
+    srx = 0.0
+    off = 0
+    for r in rows:
+        srx += off * r["sx"] + r["slx"]
+        off += r["n"]
+    gini = 2.0 * srx / (n_tot * sx_tot) - (n_tot + 1.0) / n_tot
+    return spark.createDataFrame(
+        [(n_tot, round(sx_tot, 2), round(gini, 4))],
+        "n_customers long, total_revenue double, gini double",
+    )
+
+
+def _gini_rank_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d09_gini's distributed plan: customer-revenue agg -> range exchange
+    on the (rev, custkey) sort key -> map-only pandas pass emitting THREE
+    scalars per sorted range (count, sum x, sum local_rank*x). Split out
+    so the plan audit can pin the shape the registered query executes
+    before its KB-sized readout."""
+    import pandas as pd
+
+    o = Catalog(spark, sf_dir).orders
+    cr = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+
+    def _partials(it):
+        import numpy as np
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        sx = 0.0
+        slx = 0.0
+        for pdf in it:
+            m = len(pdf)
+            if m == 0:
+                continue
+            x = pdf["rev"].to_numpy()
+            lrn = (n + 1) + np.arange(m, dtype="int64")
+            sx += float(x.sum())
+            slx += float((lrn * x).sum())
+            n += m
+        yield pd.DataFrame({"pid": [pid], "n": [n], "sx": [sx], "slx": [slx]})
+
+    return (
+        cr.repartitionByRange(32, "rev", "o_custkey")
+        .sortWithinPartitions("rev", "o_custkey")
+        .mapInPandas(_partials, schema="pid int, n long, sx double, slx double")
+    )
+
+
+# --------------------------------------------------------------------------
+# D14 (cont., round 11) — rolling Pearson correlation (co-movement window)
+# --------------------------------------------------------------------------
+ROLL_CORR_W = 20
+
+
+@register(
+    "d14_rolling_corr",
+    # the pos >= W filter sits OUTSIDE the windowed select: SQL's WHERE
+    # runs before window functions, so filtering inline would shrink the
+    # frames themselves. Same guarded avg-moment formula as the Spark
+    # side (NULL on zero variance; DuckDB's corr would yield NaN there).
+    oracle=f"""
+    WITH s AS (
+      SELECT l_suppkey, l_quantity AS x, l_extendedprice AS y,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS pos
+      FROM lineitem WHERE l_suppkey <= 50
+    ), m AS (
+      SELECT l_suppkey, pos,
+             AVG(x) OVER w AS mx, AVG(y) OVER w AS my,
+             AVG(x * y) OVER w AS mxy,
+             AVG(x * x) OVER w AS mxx, AVG(y * y) OVER w AS myy
+      FROM s
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY pos
+        ROWS BETWEEN {ROLL_CORR_W - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_suppkey, pos,
+           ROUND(CASE WHEN (mxx - mx * mx) > 0 AND (myy - my * my) > 0
+                 THEN (mxy - mx * my)
+                      / sqrt((mxx - mx * mx) * (myy - my * my))
+                 END, 4) AS corr{ROLL_CORR_W}
+    FROM m
+    WHERE pos >= {ROLL_CORR_W}
+    ORDER BY l_suppkey, pos
+    """,
+)
+def d14_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {W}-row Pearson correlation between quantity and extended
+    price per supplier, in ship order — the co-movement window an anomaly
+    monitor slides over a feed (a price/volume decoupling shows as the
+    correlation collapsing). Rows before the window fills are excluded;
+    zero-variance windows yield NULL in both engines (Spark's NaN is
+    normalized to NULL).
+
+    Scale shape: ONE hash exchange on l_suppkey serves both the position
+    row_number and the frame aggregate (same partition key, Catalyst
+    plans a single Window chain); corr over a frame is an O(1)-per-slide
+    running aggregate JVM-side. Key cardinality = suppliers, uniform in
+    TPC-H — no hot key; the suppkey<=50 predicate is pushed to the scan."""
+    li = Catalog(spark, sf_dir).lineitem.where(F.col("l_suppkey") <= 50)
+    w_pos = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    s = li.select(
+        "l_suppkey", "l_quantity", "l_extendedprice",
+        F.row_number().over(w_pos).alias("pos"),
+    )
+    w_fr = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("pos")
+        .rowsBetween(-(ROLL_CORR_W - 1), 0)
+    )
+    # moment form instead of F.corr: under ANSI mode the built-in corr
+    # raises DIVIDE_BY_ZERO on a zero-variance window; the guarded ratio
+    # is algebraically identical (the n-1 factors cancel) and yields NULL
+    # where DuckDB's corr yields NULL
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    mx = F.avg(x).over(w_fr)
+    my = F.avg(y).over(w_fr)
+    mxy = F.avg(x * y).over(w_fr)
+    mxx = F.avg(x * x).over(w_fr)
+    myy = F.avg(y * y).over(w_fr)
+    vx = mxx - mx * mx
+    vy = myy - my * my
+    c = F.when(
+        (vx > 0) & (vy > 0), (mxy - mx * my) / F.sqrt(vx * vy)
+    ).otherwise(F.lit(None))
+    return (
+        s.select(
+            "l_suppkey", "pos",
+            F.round(c, 4).alias(f"corr{ROLL_CORR_W}"),
+        )
+        .where(F.col("pos") >= ROLL_CORR_W)
+        .orderBy("l_suppkey", "pos")
+    )

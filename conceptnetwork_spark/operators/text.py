@@ -2192,3 +2192,122 @@ def d31_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# D31 (cont., round 11) — PMI collocations (corpus-level bigram association)
+# --------------------------------------------------------------------------
+PMI_MIN_COUNT = 5  # bigrams rarer than this have unstable PMI
+PMI_TOPK = 20
+
+
+@register(
+    "d31_pmi_collocations",
+    # pmi = ln( (c12 / NB) / ((c1/NT) * (c2/NT)) ) with NT total tokens,
+    # NB total bigrams; ROUND before ranking so the top-k cut is
+    # engine-independent (w1, w2 tiebreak)
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ') AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, i AS pos, toks[i] AS word
+      FROM w, LATERAL unnest(generate_series(1, len(toks))) AS t(i)
+    ), uni AS (
+      SELECT word, COUNT(*) AS c FROM tok GROUP BY word
+    ), nt AS (SELECT SUM(c) AS n_tok FROM uni),
+    big AS (
+      SELECT a.word AS w1, b.word AS w2, COUNT(*) AS c12
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.word, b.word
+      HAVING COUNT(*) >= {PMI_MIN_COUNT}
+    ), nb AS (SELECT SUM(c12) AS n_big FROM (
+      SELECT a.word, COUNT(*) AS c12
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.word) ),
+    scored AS (
+      SELECT w1, w2, c12,
+             ROUND(ln((c12 * 1.0 / n_big)
+                      / ((u1.c * 1.0 / n_tok) * (u2.c * 1.0 / n_tok))), 4)
+               AS pmi
+      FROM big, nt, nb
+      JOIN uni u1 ON u1.word = big.w1
+      JOIN uni u2 ON u2.word = big.w2
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS n_pair, pmi FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rk
+      FROM scored
+    ) WHERE rk <= {PMI_TOPK}
+    ORDER BY pmi DESC, w1, w2
+    """,
+)
+def d31_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top pointwise-mutual-information bigram collocations — the classic
+    corpus-association mining pass (Church & Hanks 1990): word pairs that
+    co-occur adjacently far more than their unigram frequencies predict
+    (named entities, fixed phrases). PMI is rounded BEFORE the top-k rank
+    with a (w1, w2) tiebreak so the cut is engine-independent; bigrams
+    below PMI_MIN_COUNT are dropped (rare-pair PMI is noise — the
+    standard guard).
+
+    Scale shape (100 TB): bigrams are built MAP-SIDE by zipping the token
+    array with its own tail (transform over indices — no positional
+    self-join; the oracle's join is the SQL spelling of the same zip);
+    unigram and bigram counts are two partial+final hash aggs keyed on
+    words (Zipf skew absorbed map-side by the partial agg); the PMI join
+    attaches two unigram counts to the AGGREGATED bigram relation —
+    vocabulary-sized, not corpus-sized — and the top-k is a TakeOrdered
+    over scored vocabulary pairs. Corpus text shuffles zero times."""
+    d = Catalog(spark, sf_dir).documents
+    toks = _toks(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks"))
+    tok = base.select(F.explode("toks").alias("word"))
+    uni = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    pairs = base.select(
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i).alias("w1"),
+                        F.element_at(F.col("toks"), i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    big_all = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    nt = uni.agg(F.sum("c").alias("n_tok"))
+    nb = big_all.agg(F.sum("c12").alias("n_big"))
+    big = big_all.where(F.col("c12") >= PMI_MIN_COUNT)
+    scored = (
+        big.join(uni.select(F.col("word").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("word").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1", "w2", "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") / F.col("n_big"))
+                    / ((F.col("c1") / F.col("n_tok"))
+                       * (F.col("c2") / F.col("n_tok")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    # TakeOrdered top-k (orderBy+limit), NOT a global row_number window —
+    # the window form would single-partition the scored relation; the
+    # deterministic (pmi desc, w1, w2) order makes both cuts identical
+    return (
+        scored.select(
+            "w1", "w2", F.col("c12").cast("long").alias("n_pair"), "pmi"
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOPK)
+    )

@@ -1491,3 +1491,29 @@ def test_d29_exact_substr_anchor_join_no_allpairs(spark):
                        r".{0,120}", plan)
     assert joins, "expected keyed joins in the plan"
     assert all("gh" in j for j in joins), joins
+
+
+def test_d09_gini_distributed_rank_partials(spark):
+    """Gini's global rank must come from range-exchange partials, never a
+    single-partition window: the partials plan carries a range exchange
+    and a MapInPandas, and nothing funnels through SinglePartition."""
+    from conceptnetwork_spark.operators.relational import _gini_rank_partials
+
+    plan = _gini_rank_partials(spark, SF_ORACLE)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "rangepartitioning" in plan
+    assert "MapInPandas" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
+
+
+def test_d31_pmi_takeordered_topk(spark):
+    """The PMI top-k must be a TakeOrdered over the scored vocabulary
+    relation — no global row_number window, no single-partition funnel;
+    the corpus text itself must never join (only aggregated counts do).
+    (The plan's only SinglePartition exchanges are the two one-row total
+    aggregates n_tok/n_big — partial-agg outputs, not data.)"""
+    plan = _plan(spark, "d31_pmi_collocations")
+    assert "TakeOrderedAndProject" in plan
+    assert "row_number" not in plan.lower()
+    assert "CartesianProduct" not in plan

@@ -230,6 +230,9 @@ AUDIT = [
     # round-11 additions
     "d29_exact_substr",
     "d29_substr_span_drop",
+    "d09_gini",
+    "d14_rolling_corr",
+    "d31_pmi_collocations",
 ]
 
 
@@ -303,7 +306,19 @@ def _aux_zorder_zone_map(spark, sf_dir):
     return _zorder_zone_map(spark, sf_dir)
 
 
+def _aux_gini_rank_partials(spark, sf_dir):
+    """The distributed plan d09_gini executes before its KB-sized readout:
+    revenue hash-agg -> range exchange on (rev, custkey) -> map-only
+    pandas partials (count, sum x, sum rank*x per sorted range). The
+    registered query returns a one-row local relation, so the audit pins
+    this split instead."""
+    from conceptnetwork_spark.operators.relational import _gini_rank_partials
+
+    return _gini_rank_partials(spark, sf_dir)
+
+
 AUX_PLANS = {
+    "d09_gini@rank-partials-plan": _aux_gini_rank_partials,
     "d35_zorder_interleave@zone-map-plan": _aux_zorder_zone_map,
     "d34_bpe_train@per-round-pair-count-shape": _aux_bpe_train_round,
     "d01_python_stream_source@unstarted-stream-plan": _aux_python_stream_source,
