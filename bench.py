@@ -276,6 +276,7 @@ HEADLINE = [
     "d09_gini",
     "d14_rolling_corr",
     "d31_pmi_collocations",
+    "d30_centroid_assign",
 ]
 
 

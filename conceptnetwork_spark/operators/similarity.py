@@ -1769,3 +1769,114 @@ def d30_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --------------------------------------------------------------------------
+# D30 (cont., round 11) — nearest-centroid assignment audit (the
+# cluster-quality / label-coherence readout over an embedding table)
+# --------------------------------------------------------------------------
+@register(
+    "d30_centroid_assign",
+    # centroids are the per-label coordinate means ROUNDED to 4 decimals
+    # in both engines before any distance, and squared L2 is rounded to 4
+    # before the argmin (label tiebreak) — every compared quantity is
+    # deterministic across engines
+    oracle="""
+    WITH cm AS (
+      SELECT label, i, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS c
+      FROM embeddings, LATERAL unnest(generate_series(1, len(embedding)))
+           AS t(i)
+      GROUP BY label, i
+    ), cent AS (
+      SELECT label AS clabel, list(c ORDER BY i) AS cvec FROM cm
+      GROUP BY label
+    ), scored AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             list_sum(list_transform(
+               list_zip(e.embedding, c.cvec),
+               x -> (CAST(x[1] AS DOUBLE) - x[2])
+                    * (CAST(x[1] AS DOUBLE) - x[2]))) AS draw
+      FROM embeddings e, cent c
+    ), best AS (
+      SELECT vec_id, label, clabel, draw,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY ROUND(draw, 4), clabel) AS rn
+      FROM scored
+    )
+    SELECT CAST(label AS INTEGER) AS true_label,
+           CAST(clabel AS INTEGER) AS assigned_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(draw), 4) AS avg_sqdist
+    FROM best WHERE rn = 1
+    GROUP BY label, clabel ORDER BY true_label, assigned_label
+    """,
+)
+def d30_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment audit: each embedding is assigned to
+    the closest per-label mean centroid (squared L2, rounded before the
+    argmin with a label tiebreak), and the (true label, assigned label)
+    confusion counts + mean distance measure how separable the labeled
+    clusters actually are — the one-pass diagnostic run before trusting
+    labels for stratified sampling or as kmeans seeds (d33_kmeans is the
+    iterative sibling; this is its closed-form quality readout).
+
+    Scale shape (100 TB): centroids are a LABEL-COUNT x DIM relation —
+    KB-sized — built by one posexplode + partial+final avg keyed on
+    (label, dim) (near-uniform, no hot key), then BROADCAST against the
+    embedding scan; the per-vector argmin is a window keyed on vec_id
+    (max cardinality, perfectly parallel) over label-count rows each.
+    The embedding table shuffles once (the window exchange); at a larger
+    label count the same plan holds until the centroid table outgrows a
+    broadcast, where the fallback is the IVF route (d30_ivf_ann)."""
+    e = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "vec"
+        ),
+    )
+    cm = (
+        e.select(
+            "label", F.posexplode("vec").alias("i", "v")
+        )
+        .groupBy("label", "i")
+        .agg(F.round(F.avg("v"), 4).alias("c"))
+    )
+    cent = cm.groupBy(F.col("label").alias("clabel")).agg(
+        F.array_sort(
+            F.collect_list(F.struct("i", "c"))
+        ).alias("sc")
+    ).select(
+        "clabel", F.transform(F.col("sc"), lambda s: s["c"]).alias("cvec")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.aggregate(
+            F.zip_with(
+                F.col("vec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("draw"),
+    )
+    # rank on the ROUNDED distance (engine-independent argmin with label
+    # tiebreak) but average the RAW one: averaging already-rounded values
+    # lands exactly on .00005 half-ulp boundaries, where the two engines'
+    # rounding modes disagree
+    w = Window.partitionBy("vec_id").orderBy(F.round("draw", 4), "clabel")
+    best = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return (
+        best.groupBy(
+            F.col("label").cast("int").alias("true_label"),
+            F.col("clabel").cast("int").alias("assigned_label"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.avg("draw"), 4).alias("avg_sqdist"),
+        )
+        .orderBy("true_label", "assigned_label")
+    )

@@ -233,6 +233,7 @@ AUDIT = [
     "d09_gini",
     "d14_rolling_corr",
     "d31_pmi_collocations",
+    "d30_centroid_assign",
 ]
 
 
