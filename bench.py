@@ -277,6 +277,8 @@ HEADLINE = [
     "d14_rolling_corr",
     "d31_pmi_collocations",
     "d30_centroid_assign",
+    "d27_user_lifecycle",
+    "d14_drawdown",
 ]
 
 

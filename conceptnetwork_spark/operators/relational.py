@@ -7561,3 +7561,193 @@ def d14_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pos") >= ROLL_CORR_W)
         .orderBy("l_suppkey", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# D27 (cont., round 11) — growth accounting: new / retained / resurrected /
+# churned users per week
+# --------------------------------------------------------------------------
+@register(
+    "d27_user_lifecycle",
+    # weekly growth accounting over DISTINCT user-weeks: new = first-ever
+    # week, retained = active the immediately preceding week, resurrected
+    # = active before but not last week; churned is attributed to the
+    # week AFTER the last consecutive activity (next activity gap > 7
+    # days or none). Weeks are Monday-truncated DATEs in both engines.
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ), seq AS (
+      SELECT user_id, wk,
+             LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+      FROM uw
+    ), act AS (
+      SELECT wk,
+             SUM(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END) AS n_new,
+             SUM(CASE WHEN prev_wk = wk - 7 THEN 1 ELSE 0 END) AS n_retained,
+             SUM(CASE WHEN prev_wk IS NOT NULL AND prev_wk < wk - 7
+                 THEN 1 ELSE 0 END) AS n_resurrected
+      FROM seq GROUP BY wk
+    ), churn AS (
+      SELECT wk + 7 AS wk, COUNT(*) AS n_churned
+      FROM seq WHERE next_wk IS NULL OR next_wk > wk + 7
+      GROUP BY wk + 7
+    )
+    SELECT strftime(COALESCE(a.wk, c.wk), '%Y-%m-%d') AS week,
+           CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+           CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+           CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
+    FROM act a FULL OUTER JOIN churn c ON a.wk = c.wk
+    ORDER BY week
+    """,
+)
+def d27_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the new/retained/resurrected/churned
+    ledger every consumer-product dashboard runs): classify each active
+    user-week by its predecessor gap, and attribute churn to the week
+    after the last consecutive activity. The identity `actives(t) =
+    new + retained + resurrected` and `churned(t+1) >= 0` makes this the
+    standard audit for retention work (d27_retention_cohorts gives the
+    cohort view; this is the flow view).
+
+    Scale shape (100 TB): the DISTINCT user-week relation collapses the
+    event stream once (partial+final distinct on (user, week) — the only
+    corpus-sized shuffle); the lag/lead window partitions by user_id
+    (max-cardinality key, no skew: a user has at most #weeks rows); the
+    weekly ledger is a #weeks-sized agg pair + full outer join. Events
+    shuffle exactly once."""
+    e = Catalog(spark, sf_dir).events
+    uw = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    seq = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    act = seq.groupBy("wk").agg(
+        F.sum(F.when(F.col("prev_wk").isNull(), 1).otherwise(0)).alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_wk") == F.date_add("wk", -7), 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_wk").isNotNull()
+                & (F.col("prev_wk") < F.date_add("wk", -7)),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    churn = (
+        seq.where(
+            F.col("next_wk").isNull()
+            | (F.col("next_wk") > F.date_add("wk", 7))
+        )
+        .groupBy(F.date_add("wk", 7).alias("wk"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        act.join(churn, "wk", "full_outer")
+        .select(
+            F.date_format("wk", "yyyy-MM-dd").alias("week"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).cast("long").alias(
+                "n_resurrected"
+            ),
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+        .orderBy("week")
+    )
+
+
+# --------------------------------------------------------------------------
+# D14 (cont., round 11) — maximum drawdown over the cumulative series
+# --------------------------------------------------------------------------
+@register(
+    "d14_drawdown",
+    # per-type equity curve: daily sums (rounded to pin the inputs) ->
+    # running cumulative -> running peak -> drawdown = peak - cum; the
+    # sequential accumulation order is the day order in both engines
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             ROUND(SUM(value), 4) AS v
+      FROM events GROUP BY event_type, day
+    ), curve AS (
+      SELECT event_type, day,
+             SUM(v) OVER (PARTITION BY event_type ORDER BY day) AS cum
+      FROM daily
+    ), dd AS (
+      SELECT event_type, day, cum,
+             MAX(cum) OVER (PARTITION BY event_type ORDER BY day) AS peak
+      FROM curve
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(MAX(peak), 4) AS max_peak,
+           ROUND(MAX(peak - cum), 4) AS max_drawdown,
+           ROUND(MAX(CASE WHEN peak > 0 THEN (peak - cum) / peak
+                     ELSE 0 END), 4) AS max_drawdown_frac
+    FROM dd GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d14_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each event type's cumulative value curve — the
+    running-peak-to-trough metric every risk/monitoring stack computes
+    (here over the daily value series: how far below its high-water mark
+    has the accumulated series fallen, absolute and fractional). Daily
+    sums are rounded BEFORE the cumulative pass so the curve is pinned;
+    the cumulative and running-max windows walk days in order, identical
+    sequential arithmetic in both engines.
+
+    Scale shape (100 TB): the event stream collapses to (type, day) in
+    ONE partial+final agg — the only corpus-sized shuffle; both windows
+    and the final agg run over the #types x #days relation on the same
+    event_type partitioning (one tiny exchange serves all three). The
+    per-type window is the honest sequential dependency: a running max
+    cannot split one key, but the key's row count is bounded by the
+    calendar, not the corpus."""
+    e = Catalog(spark, sf_dir).events
+    daily = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = daily.select(
+        "event_type", "day", F.sum("v").over(w_cum).alias("cum")
+    )
+    dd = curve.select(
+        "event_type", "cum", F.max("cum").over(w_cum.orderBy("day")).alias("peak")
+    )
+    return (
+        dd.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.max("peak"), 4).alias("max_peak"),
+            F.round(F.max(F.col("peak") - F.col("cum")), 4).alias(
+                "max_drawdown"
+            ),
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("peak") > 0,
+                        (F.col("peak") - F.col("cum")) / F.col("peak"),
+                    ).otherwise(F.lit(0.0))
+                ),
+                4,
+            ).alias("max_drawdown_frac"),
+        )
+        .orderBy("event_type")
+    )

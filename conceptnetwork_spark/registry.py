@@ -96,6 +96,8 @@ CERT_FIRST: tuple[str, ...] = (
     "d14_rolling_corr",
     "d31_pmi_collocations",
     "d30_centroid_assign",
+    "d27_user_lifecycle",
+    "d14_drawdown",
     # stalest re-certifications (last driver-green: r3)
     "d05_left_outer_join",
     "d07_range_join",
@@ -139,10 +141,11 @@ CERT_FIRST: tuple[str, ...] = (
     "d14_ewma",
     "d27_batch_sessionize",
     "d34_sequence_pack",
-    "d31_repetition",
-    # next-stalest (last driver-green: r4) — fill to 50
-    "d01_orc_source",
 )
+# displaced to the r12 rotation head: d31_repetition, d01_orc_source,
+# d01_partitioned_read, d01_csv_corrupt, d01_python_datasource,
+# d02_domain_mix, d09_group_mode, d10_observed_scan (r3/r4-era greens
+# squeezed out by the eight round-11 additions)
 # With this window green, no oracle certification is older than r4
 # except the r4 tail that rotates in next round (cumulative ledger:
 # CERTIFIED.md, regenerated by tools/roundclose.py from

@@ -234,6 +234,8 @@ AUDIT = [
     "d14_rolling_corr",
     "d31_pmi_collocations",
     "d30_centroid_assign",
+    "d27_user_lifecycle",
+    "d14_drawdown",
 ]
 
 
