@@ -279,6 +279,7 @@ HEADLINE = [
     "d30_centroid_assign",
     "d27_user_lifecycle",
     "d14_drawdown",
+    "d31_heaps_law",
 ]
 
 

@@ -2311,3 +2311,155 @@ def d31_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(PMI_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# D31 (cont., round 11) — Heaps'-law vocabulary growth fit per source
+# --------------------------------------------------------------------------
+HEAPS_CKPTS = 100  # corpus-prefix checkpoints the growth curve is fit on
+
+
+@register(
+    "d31_heaps_law",
+    # cumulative vocabulary at CHECKPOINT granularity: each word
+    # contributes one "new" event at its FIRST doc (per source), each doc
+    # contributes its token count; both collapse to per-bucket hash aggs
+    # and the cumulative/OLS run over <= HEAPS_CKPTS rows per source.
+    # ln V = ln K + beta * ln T fit by closed-form least squares.
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ') AS toks
+      FROM documents
+    ), mx AS (SELECT MAX(doc_id) AS mxd FROM w),
+    tok AS (
+      SELECT source, doc_id, unnest(toks) AS word FROM w
+    ), firsts AS (
+      SELECT source, word, MIN(doc_id) AS fdoc FROM tok GROUP BY source, word
+    ), newb AS (
+      SELECT source, (fdoc * {HEAPS_CKPTS}) // (mxd + 1) AS b,
+             COUNT(*) AS nv
+      FROM firsts, mx GROUP BY source, b
+    ), tokb AS (
+      SELECT source, (doc_id * {HEAPS_CKPTS}) // (mxd + 1) AS b,
+             COUNT(*) AS nt
+      FROM tok, mx GROUP BY source, b
+    ), ck AS (
+      SELECT source, b,
+             SUM(COALESCE(nt, 0)) OVER (PARTITION BY source ORDER BY b)
+               AS cum_t,
+             SUM(COALESCE(nv, 0)) OVER (PARTITION BY source ORDER BY b)
+               AS cum_v
+      FROM tokb LEFT JOIN newb USING (source, b)
+    ), pts AS (
+      SELECT source, ln(CAST(cum_t AS DOUBLE)) AS x,
+             ln(CAST(cum_v AS DOUBLE)) AS y
+      FROM ck WHERE cum_t > 0 AND cum_v > 0
+    ), m AS (
+      SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts GROUP BY source
+    ), tot AS (
+      SELECT source, COUNT(*) AS total_tokens,
+             COUNT(DISTINCT word) AS vocab
+      FROM tok GROUP BY source
+    )
+    SELECT m.source,
+           CAST(tot.total_tokens AS BIGINT) AS total_tokens,
+           CAST(tot.vocab AS BIGINT) AS vocab,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+             AS heaps_beta,
+           ROUND(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n), 4) AS heaps_k
+    FROM m JOIN tot ON m.source = tot.source
+    ORDER BY m.source
+    """,
+)
+def d31_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth per source: V(T) ~ K * T^beta,
+    estimated by closed-form log-log least squares over corpus-prefix
+    checkpoints — the sublinearity audit that says whether a source keeps
+    contributing new vocabulary as it grows (beta near 1 = unsaturated /
+    high-entropy; small beta = repetitive) and sizes tokenizer vocab
+    budgets. Companion to d31_zipf_fit (rank-frequency) — Heaps and Zipf
+    are the two classic corpus growth laws.
+
+    Scale shape (100 TB): the naive form (running distinct over the doc
+    sequence) would drag a corpus-sized series through one partition per
+    source. Instead BOTH curves collapse to checkpoint granularity
+    FIRST: a word's vocabulary contribution is one event at its FIRST
+    doc (min-doc_id hash agg — the d14_running_distinct rewrite), token
+    mass is a per-bucket count, so the cumulative windows and the OLS
+    see <= HEAPS_CKPTS rows per source. Two corpus-sized hash
+    aggregates, zero corpus-sized windows."""
+    d = Catalog(spark, sf_dir).documents
+    toks = _toks(F.col("text"))
+    base = d.select("doc_id", "source", toks.alias("toks"))
+    mxd = base.agg(F.max("doc_id").alias("mxd"))
+    tok = base.select(
+        "source", "doc_id", F.explode("toks").alias("word")
+    )
+    firsts = tok.groupBy("source", "word").agg(F.min("doc_id").alias("fdoc"))
+    newb = (
+        firsts.crossJoin(F.broadcast(mxd))
+        .groupBy(
+            "source",
+            F.expr(f"(fdoc * {HEAPS_CKPTS}) div (mxd + 1)").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    tokb = (
+        tok.crossJoin(F.broadcast(mxd))
+        .groupBy(
+            "source",
+            F.expr(f"(doc_id * {HEAPS_CKPTS}) div (mxd + 1)").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ck = (
+        tokb.join(newb, ["source", "b"], "left")
+        .select(
+            "source",
+            "b",
+            F.sum(F.coalesce("nt", F.lit(0))).over(w_cum).alias("cum_t"),
+            F.sum(F.coalesce("nv", F.lit(0))).over(w_cum).alias("cum_v"),
+        )
+    )
+    pts = ck.where((F.col("cum_t") > 0) & (F.col("cum_v") > 0)).select(
+        "source",
+        F.log(F.col("cum_t").cast("double")).alias("x"),
+        F.log(F.col("cum_v").cast("double")).alias("y"),
+    )
+    m = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    tot = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("total_tokens"),
+        F.countDistinct("word").cast("long").alias("vocab"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        m.join(tot, "source")
+        .select(
+            "source",
+            "total_tokens",
+            "vocab",
+            F.round(beta, 4).alias("heaps_beta"),
+            F.round(
+                F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 4
+            ).alias("heaps_k"),
+        )
+        .orderBy("source")
+    )

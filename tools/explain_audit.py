@@ -236,6 +236,7 @@ AUDIT = [
     "d30_centroid_assign",
     "d27_user_lifecycle",
     "d14_drawdown",
+    "d31_heaps_law",
 ]
 
 
