@@ -280,6 +280,7 @@ HEADLINE = [
     "d27_user_lifecycle",
     "d14_drawdown",
     "d31_heaps_law",
+    "d30_mrr_eval",
 ]
 
 

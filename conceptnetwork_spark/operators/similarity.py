@@ -1880,3 +1880,111 @@ def d30_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label", "assigned_label")
     )
+
+
+# --------------------------------------------------------------------------
+# D30 (cont., round 11) — MRR eval (third leg of the retrieval-eval
+# harness beside recall@10 and NDCG@10)
+# --------------------------------------------------------------------------
+@register(
+    "d30_mrr_eval",
+    # relevant item per query = the exact-cosine TOP-1; the metric is the
+    # reciprocal of its rank in the Hamming retriever's top-10 (0 when
+    # missed) — the first-hit quality number recall@k cannot see
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ), rel AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 ROUND(
+                 list_sum(list_transform(list_zip(q.qvec, e.embedding),
+                          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(q.qvec,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+                 DESC, e.vec_id) AS rank
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid
+      ) WHERE rank = 1
+    ), hm AS (
+      SELECT qid, vec_id, rank FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 list_sum(list_transform(list_zip(e.embedding, q.qvec),
+                   s -> CASE WHEN (CAST(s[1] AS DOUBLE) > 0)
+                              <> (CAST(s[2] AS DOUBLE) > 0)
+                        THEN 1 ELSE 0 END)), e.vec_id) AS rank
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid
+      ) WHERE rank <= 10
+    ), per AS (
+      SELECT rel.qid,
+             COALESCE(MAX(hm.rank), 0) AS rank_found,
+             COALESCE(MAX(1.0 / hm.rank), 0.0) AS rr
+      FROM rel LEFT JOIN hm
+        ON rel.qid = hm.qid AND rel.vec_id = hm.vec_id
+      GROUP BY rel.qid
+    )
+    SELECT CAST(qid AS VARCHAR) AS query,
+           CAST(rank_found AS BIGINT) AS rank_found,
+           ROUND(rr, 4) AS rr
+    FROM per
+    UNION ALL
+    SELECT 'MRR', CAST(SUM(CASE WHEN rank_found > 0 THEN 1 ELSE 0 END)
+                       AS BIGINT),
+           ROUND(AVG(rr), 4)
+    FROM per
+    ORDER BY query
+    """,
+)
+def d30_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the Hamming retriever against the exact
+    cosine TOP-1 — the third leg of the in-engine retrieval-eval harness
+    (d30_recall_eval measures set overlap, d30_ndcg_eval graded order;
+    MRR scores WHERE the single best answer lands, the metric for
+    known-item search). Per query: the exact top-1's rank in the Hamming
+    top-10 (0 = missed) and its reciprocal; plus the MRR summary row
+    (rank_found column carries the hit count there).
+
+    Scale shape (100 TB): identical to its two siblings — both arms
+    share the broadcast query bag and one corpus pass each; the eval
+    join touches |Q| x k leaderboard rows. The cosine rank is rounded
+    before ordering (knn precedent) so the relevant set is
+    engine-independent."""
+    exact = d30_knn_exact(spark, sf_dir)
+    rel = exact.where(F.col("rank") == 1).select(
+        "qid", F.col("vec_id").alias("rvec")
+    )
+    ham = d30_hamming_topk(spark, sf_dir).select(
+        F.col("qid").alias("hqid"),
+        F.col("vec_id").alias("hvec"),
+        F.col("rank").alias("hrank"),
+    )
+    per = (
+        rel.join(
+            ham,
+            (F.col("qid") == F.col("hqid")) & (F.col("rvec") == F.col("hvec")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.coalesce(F.max("hrank"), F.lit(0)).alias("rank_found"),
+            F.coalesce(F.max(F.lit(1.0) / F.col("hrank")), F.lit(0.0)).alias(
+                "rr"
+            ),
+        )
+    )
+    rows = per.select(
+        F.col("qid").cast("string").alias("query"),
+        F.col("rank_found").cast("long").alias("rank_found"),
+        F.round("rr", 4).alias("rr"),
+    )
+    mean = per.agg(
+        F.lit("MRR").alias("query"),
+        F.sum(F.when(F.col("rank_found") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("rank_found"),
+        F.round(F.avg("rr"), 4).alias("rr"),
+    )
+    return rows.unionAll(mean).orderBy("query")

@@ -237,6 +237,7 @@ AUDIT = [
     "d27_user_lifecycle",
     "d14_drawdown",
     "d31_heaps_law",
+    "d30_mrr_eval",
 ]
 
 
