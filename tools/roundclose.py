@@ -135,6 +135,8 @@ def main() -> None:
     import glob as _glob
     import json as _json
 
+    if ROOT not in sys.path:
+        sys.path.insert(0, ROOT)
     from conceptnetwork_spark.registry import CERT_FIRST
 
     last_green: dict[str, int] = {}
