@@ -281,6 +281,8 @@ HEADLINE = [
     "d14_drawdown",
     "d31_heaps_law",
     "d30_mrr_eval",
+    "d29_lpa_communities",
+    "d09_topk_share",
 ]
 
 

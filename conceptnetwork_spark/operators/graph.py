@@ -26,7 +26,7 @@ built on the D29 dedup family (SURVEY §2.2 D29).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from conceptnetwork_spark.catalog import Catalog
@@ -395,3 +395,115 @@ def d29_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+# --------------------------------------------------------------------------
+# Label propagation communities (round 11) — 2 unrolled LPA iterations
+# --------------------------------------------------------------------------
+LPA_MIN_QTY = 45  # same bulk-order co-supplier graph as d29_triangle_count
+
+
+@register(
+    "d29_lpa_communities",
+    # deterministic LPA: each node adopts the MODE of its neighbors'
+    # labels, ties broken by the SMALLEST label — two unrolled rounds so
+    # the result is a closed-form oracle query, not an engine fixpoint
+    oracle=f"""
+    WITH bulk AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem WHERE l_quantity >= {LPA_MIN_QTY}
+    ), und AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM bulk a JOIN bulk b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS lbl FROM und
+    ), v1 AS (
+      SELECT u.src AS node, l.lbl, COUNT(*) AS c
+      FROM und u JOIN l0 l ON l.node = u.dst
+      GROUP BY u.src, l.lbl
+    ), l1 AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                 ORDER BY c DESC, lbl) AS rn
+        FROM v1
+      ) WHERE rn = 1
+    ), v2 AS (
+      SELECT u.src AS node, l.lbl, COUNT(*) AS c
+      FROM und u JOIN l1 l ON l.node = u.dst
+      GROUP BY u.src, l.lbl
+    ), l2 AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                 ORDER BY c DESC, lbl) AS rn
+        FROM v2
+      ) WHERE rn = 1
+    )
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM l2 GROUP BY lbl ORDER BY community
+    """,
+)
+def d29_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection over the bulk-order
+    co-supplier graph, exactly two unrolled iterations with the
+    deterministic rule (mode of neighbor labels, smallest label on a tie)
+    so the result is closed-form oracle-checkable — the same
+    unroll-for-certification pattern as d29_pagerank_2iter, with
+    connected_components supplying the run-to-convergence machinery
+    (alternating-star + lineage cuts) when a production caller iterates
+    this step.
+
+    Scale shape per iteration: ONE shuffle joining the symmetric edge
+    list against the (node, label) state on the neighbor key, one
+    partial+final count on (node, label), and a node-keyed argmax window
+    (max-cardinality key). Label state is (long, long) pairs; edges
+    never widen. The readout aggregates communities, not nodes."""
+    li = Catalog(spark, sf_dir).lineitem
+    bulk = (
+        li.where(F.col("l_quantity") >= LPA_MIN_QTY)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = bulk.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src")
+    )
+    b = bulk.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst")
+    )
+    und = (
+        a.join(b, "k")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), "lbl")
+    for _ in range(2):
+        votes = (
+            und.join(
+                labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return (
+        labels.groupBy(F.col("lbl").cast("long").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("node").cast("long").alias("min_node"),
+            F.max("node").cast("long").alias("max_node"),
+        )
+        .orderBy("community")
+    )

@@ -7751,3 +7751,83 @@ def d14_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+# --------------------------------------------------------------------------
+# D09 (cont., round 11) — per-group top-k revenue concentration
+# --------------------------------------------------------------------------
+TOPK_SHARE_K = 3
+
+
+@register(
+    "d09_topk_share",
+    # revenue rounded to cents before ranking (engine-independent order,
+    # custkey tiebreak); share = top-3 customer revenue / nation revenue
+    oracle=f"""
+    WITH cr AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             ROUND(SUM(o.o_totalprice), 2) AS rev
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ), rk AS (
+      SELECT c_nationkey, rev,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+               ORDER BY rev DESC, o_custkey) AS rn
+      FROM cr
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(rev), 2) AS nation_revenue,
+           ROUND(SUM(CASE WHEN rn <= {TOPK_SHARE_K} THEN rev ELSE 0 END), 2)
+             AS topk_revenue,
+           ROUND(SUM(CASE WHEN rn <= {TOPK_SHARE_K} THEN rev ELSE 0 END)
+                 / SUM(rev), 4) AS topk_share
+    FROM rk JOIN nation n ON n.n_nationkey = rk.c_nationkey
+    GROUP BY n.n_name ORDER BY nation
+    """,
+)
+def d09_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customer revenue concentration per nation — the
+    whale-dependence audit (what fraction of each market's revenue walks
+    if its three biggest customers leave). The per-GROUP complement of
+    the global concentration metrics (d09_gini, d09_hhi,
+    d09_pareto_abc): rank inside each nation, so the window is
+    partitioned and parallel by construction.
+
+    Scale shape (100 TB): one shuffle aggregates orders to (nation,
+    customer) — broadcast customer->nation attachment rides the orders
+    scan; the rank window partitions on nationkey over the AGGREGATED
+    customer relation; the nation dim broadcasts. Revenue is rounded to
+    cents before ranking so the cut is engine-independent."""
+    t = Catalog(spark, sf_dir)
+    cr = (
+        t.orders.join(
+            F.broadcast(
+                t.customer.select("c_custkey", "c_nationkey")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("rev").desc(), "o_custkey"
+    )
+    rk = cr.withColumn("rn", F.row_number().over(w))
+    topk = F.sum(
+        F.when(F.col("rn") <= TOPK_SHARE_K, F.col("rev")).otherwise(0.0)
+    )
+    return (
+        rk.join(
+            F.broadcast(
+                t.nation.select("n_nationkey", "n_name")
+            ),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("rev"), 2).alias("nation_revenue"),
+            F.round(topk, 2).alias("topk_revenue"),
+            F.round(topk / F.sum("rev"), 4).alias("topk_share"),
+        )
+        .orderBy("nation")
+    )
