@@ -283,6 +283,7 @@ HEADLINE = [
     "d30_mrr_eval",
     "d29_lpa_communities",
     "d09_topk_share",
+    "d14_kalman_1d",
 ]
 
 

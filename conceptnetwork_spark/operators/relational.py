@@ -7831,3 +7831,102 @@ def d09_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# D14 (cont., round 11) — 1-D Kalman filter (online state estimation)
+# --------------------------------------------------------------------------
+KALMAN_Q = 0.1  # process noise (random-walk drift variance per step)
+KALMAN_R = 1.0  # observation noise variance
+KALMAN_P0 = 1.0  # initial state variance
+
+
+@register(
+    "d14_kalman_1d",
+    # the recursive CTE steps the identical scalar Kalman recurrence:
+    # k = (p+Q)/(p+Q+R); x' = x + k*(y-x); p' = (1-k)*(p+Q), initialized
+    # x_1 = y_1, p_1 = P0. The gain expression is inlined in both state
+    # rows — same double ops in the same order as the pandas loop, so
+    # the trajectory is bit-identical (the d14_holt_linear pattern).
+    oracle=f"""
+    WITH RECURSIVE s AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, MIN(value) AS y,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS DATE)) AS t
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), kf AS (
+      SELECT user_id, t, y AS x, CAST({KALMAN_P0} AS DOUBLE) AS p
+      FROM s WHERE t = 1
+      UNION ALL
+      SELECT s.user_id, s.t,
+             kf.x + ((kf.p + {KALMAN_Q}) / (kf.p + {KALMAN_Q} + {KALMAN_R}))
+                    * (s.y - kf.x),
+             (1 - (kf.p + {KALMAN_Q}) / (kf.p + {KALMAN_Q} + {KALMAN_R}))
+               * (kf.p + {KALMAN_Q})
+      FROM kf JOIN s ON s.user_id = kf.user_id AND s.t = kf.t + 1
+    ), last AS (
+      SELECT user_id, t, x, p,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t DESC) AS rn
+      FROM kf
+    )
+    SELECT user_id, CAST(t AS BIGINT) AS n_days,
+           ROUND(x, 4) AS estimate,
+           ROUND(p, 4) AS variance,
+           ROUND((p + {KALMAN_Q}) / (p + {KALMAN_Q} + {KALMAN_R}), 4)
+             AS next_gain
+    FROM last WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def d14_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Kalman filter (random-walk state, noisy observations) per
+    user over the daily opening-value series: the canonical ONLINE state
+    estimator — each day's estimate blends the prediction with the new
+    observation by the variance-optimal gain, and the posterior variance
+    converges to the Riccati fixed point regardless of start. Returns
+    each series' final estimate, posterior variance, and the gain the
+    NEXT observation would get — what a monitoring stack persists
+    between runs. Sibling of d14_holt_linear (fixed-coefficient
+    smoothing); the Kalman gain is the adaptive version.
+
+    Scale shape (100 TB): identical to Holt — the recurrence is
+    sequential per series (each step feeds the next through two coupled
+    states, not window-expressible), so it ships as ``applyInPandas``
+    per user after a map-side daily pre-aggregate: parallelism = number
+    of series, per-series state is two doubles, the grouped map sees
+    days, not events."""
+    import pandas as pd
+
+    e = Catalog(spark, sf_dir).events
+    daily = (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.min("value").alias("y"))
+    )
+
+    def kalman(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day")
+        ys = pdf["y"].tolist()
+        x, p = ys[0], KALMAN_P0
+        for y in ys[1:]:
+            pq = p + KALMAN_Q
+            k = pq / (pq + KALMAN_R)
+            x = x + k * (y - x)
+            p = (1 - k) * pq
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_days": [len(ys)],
+                "estimate": [round(x, 4)],
+                "variance": [round(p, 4)],
+                "next_gain": [
+                    round((p + KALMAN_Q) / (p + KALMAN_Q + KALMAN_R), 4)
+                ],
+            }
+        )
+
+    out = daily.groupBy("user_id").applyInPandas(
+        kalman,
+        schema="user_id LONG, n_days LONG, estimate DOUBLE, "
+        "variance DOUBLE, next_gain DOUBLE",
+    )
+    return out.orderBy("user_id")

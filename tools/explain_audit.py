@@ -240,6 +240,7 @@ AUDIT = [
     "d30_mrr_eval",
     "d29_lpa_communities",
     "d09_topk_share",
+    "d14_kalman_1d",
 ]
 
 
