@@ -284,6 +284,7 @@ HEADLINE = [
     "d29_lpa_communities",
     "d09_topk_share",
     "d14_kalman_1d",
+    "d02_ab_assignment",
 ]
 
 

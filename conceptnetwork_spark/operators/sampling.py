@@ -780,3 +780,100 @@ def d02_negative_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# D2 extension (round 11) — deterministic A/B assignment with the
+# sample-ratio-mismatch (SRM) guardrail
+# --------------------------------------------------------------------------
+@register(
+    "d02_ab_assignment",
+    # the same engine-portable md5 bucket as d02_hash_sample assigns each
+    # user PERMANENTLY to an arm; the SRM chi-square (1 dof, expected
+    # 50/50) is the first guardrail any experimentation platform checks
+    # before reading the metric
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN {_bucket_sql('user_id')} < 50 THEN 'A' ELSE 'B' END
+               AS arm,
+             COUNT(*) AS n_events,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id, arm
+    ), per AS (
+      SELECT arm,
+             COUNT(*) AS n_users,
+             SUM(n_events) AS n_events,
+             SUM(converted) AS conv_users
+      FROM u GROUP BY arm
+    ), tot AS (
+      SELECT SUM(n_users) AS n FROM per
+    )
+    SELECT arm,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(conv_users AS BIGINT) AS conv_users,
+           ROUND(conv_users * 1.0 / n_users, 4) AS conv_rate,
+           ROUND((n_users - tot.n / 2.0) * (n_users - tot.n / 2.0)
+                 / (tot.n / 2.0) * 2, 4) AS srm_chi2
+    FROM per, tot ORDER BY arm
+    """,
+)
+def d02_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 50/50 A/B assignment by md5 bucket of user_id — the
+    permanent, engine-portable arm assignment an experimentation platform
+    derives (no seeded RNG: the same user lands in the same arm on every
+    engine, run, and partitioning) — with the per-arm readout (users,
+    events, converters, conversion rate) and the SRM chi-square (1 dof
+    against the expected 50/50 split), the guardrail that must pass
+    before anyone reads the metric: a skewed assignment means the
+    bucketing itself is biased and the experiment is void.
+
+    Scale shape (100 TB): bucket arithmetic is codegen'd on the scan;
+    ONE partial+final agg to (user, arm) collapses the event stream
+    (conversion is a MAX flag, absorbed map-side), then a 2-row arm agg
+    and a broadcast total. Note the chi-square here is symmetric, so
+    both arm rows carry the same srm_chi2 — by construction, not by
+    accident."""
+    e = Catalog(spark, sf_dir).events
+    u = (
+        e.groupBy(
+            "user_id",
+            F.when(hash_bucket(F.col("user_id")) < 50, "A")
+            .otherwise("B")
+            .alias("arm"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    per = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("converted").alias("conv_users"),
+    )
+    tot = per.agg(F.sum("n_users").alias("n"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "arm",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("conv_users").cast("long").alias("conv_users"),
+            F.round(F.col("conv_users") / F.col("n_users"), 4).alias(
+                "conv_rate"
+            ),
+            F.round(
+                (F.col("n_users") - F.col("n") / 2.0)
+                * (F.col("n_users") - F.col("n") / 2.0)
+                / (F.col("n") / 2.0)
+                * 2,
+                4,
+            ).alias("srm_chi2"),
+        )
+        .orderBy("arm")
+    )

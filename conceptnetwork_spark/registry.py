@@ -103,6 +103,7 @@ CERT_FIRST: tuple[str, ...] = (
     "d29_lpa_communities",
     "d09_topk_share",
     "d14_kalman_1d",
+    "d02_ab_assignment",
     # stalest re-certifications (last driver-green: r3)
     "d05_left_outer_join",
     "d07_range_join",
@@ -140,9 +141,8 @@ CERT_FIRST: tuple[str, ...] = (
     "d31_corpus_filter",
     "d35_scd2_history",
     "d35_temporal_join",
-    "d32_image_decode",
 )
-# displaced to the r12 rotation head: d31_bm25, d13_ntile, d14_ewma, d27_batch_sessionize, d34_sequence_pack, d31_repetition, d01_orc_source,
+# displaced to the r12 rotation head: d32_image_decode, d31_bm25, d13_ntile, d14_ewma, d27_batch_sessionize, d34_sequence_pack, d31_repetition, d01_orc_source,
 # d01_partitioned_read, d01_csv_corrupt, d01_python_datasource,
 # d02_domain_mix, d09_group_mode, d10_observed_scan (r3/r4-era greens
 # squeezed out by the eight round-11 additions)
