@@ -283,7 +283,10 @@ HEADLINE = [
     "d30_mrr_eval",
     "d29_lpa_communities",
     "d09_topk_share",
-    "d14_kalman_1d",
+    # d14_kalman_1d is swept, not headlined — same policy as its sibling
+    # d14_holt_linear: the per-series grouped-map loop is inherent
+    # sequential-scan cost (~3.5 s at sf0.1), and a timed min-of-3 would
+    # triple-pay it without measuring any plan change
     "d02_ab_assignment",
 ]
 
