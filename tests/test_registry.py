@@ -30,3 +30,38 @@ def test_oracle_less_queries_sort_after_all_oracle_backed():
 def test_oracles_resolve_to_nonempty_sql():
     for name, sql in registry.oracles().items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_bench_summary_line_is_tail_capture_proof(capsys):
+    """The driver keeps only the last ~2000 bytes of bench stdout and
+    parses the LAST line (BENCH_r10.json went parsed:null when the
+    flagged_over_1.3x dict outgrew the window). _emit must keep the
+    final line under budget no matter how many queries or flags exist."""
+    import json as _json
+
+    import bench
+
+    timings = {f"d99_query_{i:03d}": 1.0 + i / 1000 for i in range(400)}
+    flags = {f"d99_query_{i:03d}": 9.9 for i in range(300)}
+    bench._emit(
+        metric="full_sweep_one_shot_wall_clock",  # avoids BENCHDETAIL write
+        total=123.4,
+        timings=timings,
+        extra={
+            "sf": 0.1,
+            "calibration_sec": 0.5,
+            "calibration_kind": bench.CALIBRATION_KIND,
+            "host_normalized": {
+                "vs": "x", "host_speed_ratio": 1.0,
+                "flagged_over_1.3x": flags,
+            },
+        },
+    )
+    last = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(last) <= 1800
+    rec = _json.loads(last)
+    assert rec["metric"] == "full_sweep_one_shot_wall_clock"
+    assert rec["value"] == 123.4
+    assert rec["n_queries"] == 400
+    hn = rec["host_normalized"]
+    assert hn["n_flagged"] == 300 and len(hn["flagged_over_1.3x"]) <= 8
