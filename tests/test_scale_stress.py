@@ -100,3 +100,23 @@ def test_tws_state_scales_with_keys_not_events(spark):
         if p.get("batchId") == max(x.get("batchId", -1) for x in sink2)
     ]
     assert last2[0]["numRowsTotal"] == n_keys - matured
+
+
+def test_hot_user_outside_every_shifted_domain():
+    """ADVICE r10: the skew fixture's hot user id must sit outside every
+    copy's shifted user_id domain AT ANY factor (the old fixed
+    KEY_OFF*1024+7 collided with copy 1024's domain past factor 1024).
+    Shifted ids live in [copy*KEY_OFF, copy*KEY_OFF + max_uid] with
+    copy < factor and max_uid < KEY_OFF."""
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from scale_stress import KEY_OFF, hot_user
+
+    for factor in (1, 10, 100, 1024, 2048, 10_000):
+        hu = hot_user(factor)
+        # strictly above the largest possible shifted id at this factor
+        assert hu >= KEY_OFF * factor, (factor, hu)
+        # and never congruent-with-domain: it is not inside any EXISTING
+        # copy band (copies run 0..factor-1)
+        for copy in {0, 1, factor - 1} & set(range(factor)):
+            lo, hi = copy * KEY_OFF, copy * KEY_OFF + (KEY_OFF - 1)
+            assert not (lo <= hu <= hi), (factor, copy, hu)
