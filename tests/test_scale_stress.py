@@ -120,3 +120,38 @@ def test_hot_user_outside_every_shifted_domain():
         for copy in {0, 1, factor - 1} & set(range(factor)):
             lo, hi = copy * KEY_OFF, copy * KEY_OFF + (KEY_OFF - 1)
             assert not (lo <= hu <= hi), (factor, copy, hu)
+
+
+def test_quiesced_totals_flags_exhausted_listener(monkeypatch):
+    """ADVICE r10: when the stage-metrics listener never stabilizes within
+    the poll budget, _quiesced_totals must return the last reading AND
+    append a warning instead of silently handing back moving totals."""
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    import scale_stress as ss
+
+    readings = iter(range(1000))
+
+    def fake_totals(ui, app):
+        n = next(readings)  # strictly changing -> never two equal reads
+        return {"shuffle_write": n, "mem_spill": 0, "disk_spill": 0,
+                "n_stages": n}
+
+    monkeypatch.setattr(ss, "_stage_totals", fake_totals)
+    monkeypatch.setattr(ss.time, "sleep", lambda s: None)
+    warnings: list[str] = []
+    out = ss._quiesced_totals("ui", "app", warnings, "after-q7")
+    assert warnings == ["quiesce-exhausted:after-q7"]
+    assert out["shuffle_write"] == 20  # the 21st (last) reading
+
+    # and a stabilizing listener returns clean with no warning
+    stable = iter([5, 7, 7])
+
+    def fake_stable(ui, app):
+        n = next(stable)
+        return {"shuffle_write": n, "mem_spill": 0, "disk_spill": 0,
+                "n_stages": 1}
+
+    monkeypatch.setattr(ss, "_stage_totals", fake_stable)
+    warnings2: list[str] = []
+    out2 = ss._quiesced_totals("ui", "app", warnings2, "after-q8")
+    assert warnings2 == [] and out2["shuffle_write"] == 7
