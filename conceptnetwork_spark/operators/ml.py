@@ -407,9 +407,11 @@ def d33_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     )
     SELECT c_custkey,
-           ROUND((c_acctbal - m1) / s1, 4) AS z1,
-           ROUND((c_nationkey - m2) / s2, 4) AS z2,
-           ROUND((length(c_mktsegment) - m3) / s3, 4) AS z3
+           -- + 0.0 normalizes IEEE -0.0 (a just-below-mean value rounds
+           -- to -0.0 in DuckDB, +0.0 in Spark — driver hash divergence)
+           ROUND((c_acctbal - m1) / s1, 4) + 0.0 AS z1,
+           ROUND((c_nationkey - m2) / s2, 4) + 0.0 AS z2,
+           ROUND((length(c_mktsegment) - m3) / s3, 4) + 0.0 AS z3
     FROM customer, s ORDER BY c_custkey
     """,
 )
@@ -440,11 +442,12 @@ def d33_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = model.transform(df).select(
         "c_custkey", vector_to_array("z").alias("za")
     )
+    # + 0.0 mirrors the oracle's IEEE negative-zero normalization
     return out.select(
         "c_custkey",
-        F.round(F.col("za")[0], 4).alias("z1"),
-        F.round(F.col("za")[1], 4).alias("z2"),
-        F.round(F.col("za")[2], 4).alias("z3"),
+        (F.round(F.col("za")[0], 4) + F.lit(0.0)).alias("z1"),
+        (F.round(F.col("za")[1], 4) + F.lit(0.0)).alias("z2"),
+        (F.round(F.col("za")[2], 4) + F.lit(0.0)).alias("z3"),
     ).orderBy("c_custkey")
 
 

@@ -7503,10 +7503,13 @@ ROLL_CORR_W = 20
         ROWS BETWEEN {ROLL_CORR_W - 1} PRECEDING AND CURRENT ROW)
     )
     SELECT l_suppkey, pos,
+           -- + 0.0 normalizes IEEE negative zero: DuckDB ROUND keeps the
+           -- sign of a tiny negative correlation (-0.0) where Spark's
+           -- BigDecimal round cannot represent it; -0.0 + 0.0 = +0.0
            ROUND(CASE WHEN (mxx - mx * mx) > 0 AND (myy - my * my) > 0
                  THEN (mxy - mx * my)
                       / sqrt((mxx - mx * mx) * (myy - my * my))
-                 END, 4) AS corr{ROLL_CORR_W}
+                 END, 4) + 0.0 AS corr{ROLL_CORR_W}
     FROM m
     WHERE pos >= {ROLL_CORR_W}
     ORDER BY l_suppkey, pos
@@ -7556,7 +7559,9 @@ def d14_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s.select(
             "l_suppkey", "pos",
-            F.round(c, 4).alias(f"corr{ROLL_CORR_W}"),
+            # + 0.0 mirrors the oracle's negative-zero normalization (the
+            # r11 driver red: "-0.0" != "0.0" under the stringified hash)
+            (F.round(c, 4) + F.lit(0.0)).alias(f"corr{ROLL_CORR_W}"),
         )
         .where(F.col("pos") >= ROLL_CORR_W)
         .orderBy("l_suppkey", "pos")

@@ -164,21 +164,24 @@ def d19_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d20_array_funcs",
     oracle="""
+    -- + 0.0 after every ROUND of a possibly-negative double normalizes
+    -- IEEE -0.0 (DuckDB ROUND keeps the sign, Spark's BigDecimal round
+    -- cannot; the driver's stringified hash sees "-0.0" != "0.0")
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT)                                  AS dim,
-           ROUND(CAST(embedding[1] AS DOUBLE), 4)                          AS e0,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0                    AS e0,
            ROUND(list_sum(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE))), 4)                              AS vec_sum,
+                 x -> CAST(x AS DOUBLE))), 4) + 0.0                        AS vec_sum,
            ROUND(sqrt(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)         AS l2_norm,
            CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)         AS n_pos,
-           ROUND(CAST(list_min(embedding) AS DOUBLE), 4)                   AS e_min,
-           ROUND(CAST(list_max(embedding) AS DOUBLE), 4)                   AS e_max,
-           ROUND(CAST(list_sort(embedding)[2] AS DOUBLE), 4)               AS second_min,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 4) + 0.0             AS e_min,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0             AS e_max,
+           ROUND(CAST(list_sort(embedding)[2] AS DOUBLE), 4) + 0.0         AS second_min,
            CAST(len(list_distinct(embedding)) AS BIGINT)                   AS n_distinct,
            list_contains(embedding, embedding[1])                          AS has_first,
            ROUND(list_sum(list_transform(embedding[1:3],
-                 x -> CAST(x AS DOUBLE))), 4)                              AS head3_sum
+                 x -> CAST(x AS DOUBLE))), 4) + 0.0                        AS head3_sum
     FROM embeddings ORDER BY vec_id
     """,
 )
@@ -189,27 +192,32 @@ def d20_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     head3 = F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double"))
+    # + 0.0 on every possibly-negative rounded double mirrors the
+    # oracle's IEEE negative-zero normalization (r11 rolling_corr class)
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e0"),
-        F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4).alias("vec_sum"),
+        (F.round(F.element_at("embedding", 1).cast("double"), 4) + F.lit(0.0))
+        .alias("e0"),
+        (F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4)
+         + F.lit(0.0)).alias("vec_sum"),
         F.round(
             F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x)), 4
         ).alias("l2_norm"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
-        F.round(F.array_min("embedding").cast("double"), 4).alias("e_min"),
-        F.round(F.array_max("embedding").cast("double"), 4).alias("e_max"),
-        F.round(
+        (F.round(F.array_min("embedding").cast("double"), 4) + F.lit(0.0))
+        .alias("e_min"),
+        (F.round(F.array_max("embedding").cast("double"), 4) + F.lit(0.0))
+        .alias("e_max"),
+        (F.round(
             F.element_at(F.sort_array("embedding"), 2).cast("double"), 4
-        ).alias("second_min"),
+        ) + F.lit(0.0)).alias("second_min"),
         F.size(F.array_distinct("embedding")).cast("long").alias("n_distinct"),
         F.array_contains("embedding", F.element_at("embedding", 1)).alias(
             "has_first"
         ),
-        F.round(F.aggregate(head3, F.lit(0.0), lambda a, x: a + x), 4).alias(
-            "head3_sum"
-        ),
+        (F.round(F.aggregate(head3, F.lit(0.0), lambda a, x: a + x), 4)
+         + F.lit(0.0)).alias("head3_sum"),
     ).orderBy("vec_id")
 
 

@@ -2368,10 +2368,18 @@ HEAPS_CKPTS = 100  # corpus-prefix checkpoints the growth curve is fit on
     SELECT m.source,
            CAST(tot.total_tokens AS BIGINT) AS total_tokens,
            CAST(tot.vocab AS BIGINT) AS vocab,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
-             AS heaps_beta,
-           ROUND(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
-                     / n), 4) AS heaps_k
+           -- denominator guard: a source with a single distinct log-log
+           -- checkpoint makes n*sxx - sx*sx exactly 0 — ANSI Spark would
+           -- raise DIVIDE_BY_ZERO where DuckDB yields NULL, so both
+           -- engines guard explicitly; + 0.0 normalizes IEEE -0.0 (a
+           -- tiny negative slope rounds to -0.0 in DuckDB, +0.0 in Spark)
+           CASE WHEN (n * sxx - sx * sx) > 0 THEN
+             ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0
+           END AS heaps_beta,
+           CASE WHEN (n * sxx - sx * sx) > 0 THEN
+             ROUND(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                       / n), 4) + 0.0
+           END AS heaps_k
     FROM m JOIN tot ON m.source = tot.source
     ORDER BY m.source
     """,
@@ -2447,18 +2455,26 @@ def d31_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("total_tokens"),
         F.countDistinct("word").cast("long").alias("vocab"),
     )
-    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    # guarded like the oracle: denom = 0 (single distinct checkpoint)
+    # yields NULL instead of an ANSI DIVIDE_BY_ZERO; + 0.0 normalizes
+    # IEEE negative zero to match the driver's stringified hash
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
     return (
         m.join(tot, "source")
         .select(
             "source",
             "total_tokens",
             "vocab",
-            F.round(beta, 4).alias("heaps_beta"),
-            F.round(
-                F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 4
+            F.when(denom > 0, F.round(beta, 4) + F.lit(0.0)).alias(
+                "heaps_beta"
+            ),
+            F.when(
+                denom > 0,
+                F.round(
+                    F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 4
+                )
+                + F.lit(0.0),
             ).alias("heaps_k"),
         )
         .orderBy("source")

@@ -24,10 +24,20 @@ def _norm_cell(v):
     if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return ("f", "NaN")
-        # cells are pre-rounded by the queries; normalize -0.0 and fp dust
-        return ("f", round(float(v) + 0.0, 6))
+        # cells are pre-rounded by the queries; absorb fp dust, but stay
+        # SIGN-OF-ZERO STRICT: the driver's stringified hash distinguishes
+        # "-0.0" from "0.0" (the r11 d14_rolling_corr red) — a query that
+        # can emit a tiny-negative rounded value must normalize with + 0.0
+        # in BOTH engines, not rely on the comparator hiding it
+        f = round(float(v), 6)
+        if f == 0.0 and math.copysign(1.0, f) < 0:
+            return ("f", "-0.0")
+        return ("f", f)
     if isinstance(v, Decimal):
-        return ("f", round(float(v) + 0.0, 6))
+        f = round(float(v), 6)
+        if f == 0.0 and math.copysign(1.0, f) < 0:
+            return ("f", "-0.0")
+        return ("f", f)
     return v
 
 
