@@ -2874,6 +2874,7 @@ def _zorder_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     offs: dict[str, dict[int, int]] = {"linear": {}, "zorder": {}}
+    cnts: dict[str, dict[int, int]] = {"linear": {}, "zorder": {}}
     n_tot = {}
     for layout in ("linear", "zorder"):
         run = 0
@@ -2882,6 +2883,7 @@ def _zorder_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             key=lambda r: r["bkt"],
         ):
             offs[layout][int(r["bkt"])] = run
+            cnts[layout][int(r["bkt"])] = int(r["cnt"])
             run += r["cnt"]
         n_tot[layout] = run
     if n_tot["linear"] != n_tot["zorder"]:
@@ -2897,6 +2899,7 @@ def _zorder_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _arm(sort_cols: list, bucket_col: str, name: str) -> DataFrame:
         arm_offs = offs[name]
+        arm_cnts = cnts[name]
 
         def _number_and_zone(it):
             # bucket runs are contiguous under the partition sort (bucket
@@ -2916,7 +2919,13 @@ def _zorder_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                     end = pos
                     while end < len(bvals) and bvals[end] == bk:
                         end += 1
-                    start_rank = arm_offs.get(bk, 0) + base.get(bk, 0) + 1
+                    if bk not in arm_offs:
+                        raise RuntimeError(
+                            f"zorder pass-2 saw bucket {bk} ({name}) that "
+                            "pass-1 never counted — source changed between "
+                            "the counting and numbering jobs"
+                        )
+                    start_rank = arm_offs[bk] + base.get(bk, 0) + 1
                     ranks[pos:end] = np.arange(
                         start_rank, start_rank + (end - pos), dtype=np.int64
                     )
@@ -2947,6 +2956,24 @@ def _zorder_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                         st[2] = max(st[2], cur[2])
                         st[3] = min(st[3], cur[3])
                         st[4] = max(st[4], cur[4])
+            # ADVICE r11: the rank offsets come from an eager pass-1 job
+            # but this plan re-scans the source lazily — correctness rests
+            # on the parquet inputs being byte-identical across both jobs.
+            # Each bucket hash-routes to exactly one partition, so this
+            # task must see EXACTLY the pass-1 count for every bucket it
+            # owns; a regenerated input would otherwise silently misassign
+            # global ranks without tripping the row-conservation check.
+            bad = {
+                bk: (n, arm_cnts.get(bk))
+                for bk, n in base.items()
+                if n != arm_cnts.get(bk)
+            }
+            if bad:
+                raise RuntimeError(
+                    f"zorder pass-2 bucket counts diverge from pass-1 "
+                    f"({name}): {dict(list(bad.items())[:5])} — source "
+                    "changed between the counting and numbering jobs"
+                )
             if acc:
                 yield pd.DataFrame(
                     [
