@@ -288,6 +288,10 @@ HEADLINE = [
     # sequential-scan cost (~3.5 s at sf0.1), and a timed min-of-3 would
     # triple-pay it without measuring any plan change
     "d02_ab_assignment",
+    # round-12 additions
+    "d29_ppr_2iter",
+    "d33_prefixspan_journeys",
+    "d11_quantile_sketch_merge",
 ]
 
 
@@ -459,6 +463,18 @@ def _emit(metric: str, total: float, timings: dict[str, float], extra: dict) -> 
         line = json.dumps(summary)
         if len(line) <= LINE_BUDGET:
             break
+    if len(line) > LINE_BUDGET:
+        # terminal guarantee (ADVICE r11): another unbounded extra field can
+        # keep the line over budget even at n_slowest=0 — drop everything
+        # but the invariants rather than ever printing an unparseable-tail
+        # line (the failure mode behind BENCH_r10's parsed:null)
+        line = json.dumps({
+            "metric": metric, "value": total, "unit": "sec",
+            "n_queries": len(timings),
+            "queries_note": "summary fields dropped (over line budget); "
+                            "full detail on previous line and "
+                            "BENCHDETAIL.json",
+        })
     print(line)
 
 

@@ -65,3 +65,26 @@ def test_bench_summary_line_is_tail_capture_proof(capsys):
     assert rec["n_queries"] == 400
     hn = rec["host_normalized"]
     assert hn["n_flagged"] == 300 and len(hn["flagged_over_1.3x"]) <= 8
+
+
+def test_bench_summary_line_budget_is_terminal(capsys):
+    """ADVICE r11: an unbounded field _emit doesn't know about must not
+    reintroduce an over-budget final line at n_slowest=0 — the terminal
+    fallback drops everything but metric/value/n_queries."""
+    import json as _json
+
+    import bench
+
+    pathological = {"rogue_field": "x" * 5000}  # > LINE_BUDGET by itself
+    bench._emit(
+        metric="full_sweep_one_shot_wall_clock",
+        total=9.9,
+        timings={"d01_q": 1.0},
+        extra=pathological,
+    )
+    last = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(last) <= 1800
+    rec = _json.loads(last)
+    assert rec["metric"] == "full_sweep_one_shot_wall_clock"
+    assert rec["value"] == 9.9 and rec["n_queries"] == 1
+    assert "rogue_field" not in rec
