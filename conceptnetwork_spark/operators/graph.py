@@ -315,6 +315,142 @@ def d29_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Personalized PageRank (round 12): teleport mass restricted to a seed set
+# — the graph-authority query behind "related to THESE documents/users"
+# retrieval, completing the authority family next to the global
+# d29_pagerank_2iter
+# --------------------------------------------------------------------------
+PPR_NATION = 7  # seed set: customers of one nation
+
+
+@register(
+    "d29_ppr_2iter",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey + 1000000 AS src, l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey < 3000
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    seeds AS (
+      SELECT c.c_custkey + 1000000 AS node
+      FROM customer c
+      JOIN nodes ON nodes.node = c.c_custkey + 1000000
+      WHERE c.c_nationkey = {PPR_NATION}
+    ),
+    ns AS (SELECT COUNT(*) AS n_seeds FROM seeds),
+    tele AS (
+      SELECT nodes.node,
+             CASE WHEN seeds.node IS NOT NULL
+                  THEN 1.0 / ns.n_seeds ELSE 0.0 END AS t
+      FROM nodes CROSS JOIN ns
+      LEFT JOIN seeds ON seeds.node = nodes.node
+    ),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    pr0 AS (SELECT node, t AS pr FROM tele),
+    pr1 AS (
+      SELECT tele.node,
+             (1 - {PR_DAMP}) * tele.t
+             + {PR_DAMP} * COALESCE(SUM(pr0.pr / outdeg.deg), 0) AS pr
+      FROM tele
+      LEFT JOIN edges ON edges.dst = tele.node
+      LEFT JOIN outdeg ON outdeg.src = edges.src
+      LEFT JOIN pr0 ON pr0.node = edges.src
+      GROUP BY tele.node, tele.t
+    ),
+    pr2 AS (
+      SELECT tele.node,
+             (1 - {PR_DAMP}) * tele.t
+             + {PR_DAMP} * COALESCE(SUM(pr1.pr / outdeg.deg), 0) AS pr
+      FROM tele
+      LEFT JOIN edges ON edges.dst = tele.node
+      LEFT JOIN outdeg ON outdeg.src = edges.src
+      LEFT JOIN pr1 ON pr1.node = edges.src
+      GROUP BY tele.node, tele.t
+    )
+    SELECT node, ROUND(pr, 4) AS ppr
+    FROM pr2 WHERE pr > 0 ORDER BY node
+    """,
+)
+def d29_ppr_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the customer->supplier purchase graph:
+    teleport mass restricted to ONE nation's customers (the seed set), two
+    unrolled power iterations (damping 0.85) so the fixpoint is a
+    closed-form oracle-checkable query — the "authority relative to THESE
+    entities" primitive behind seed-expanded retrieval, related-item
+    ranking, and trust propagation (production iterates this step with
+    localCheckpoint lineage cuts, exactly like connected_components).
+    Nodes unreachable from the seeds in two hops carry exactly zero mass
+    and are excluded (pr > 0 in both engines), so the output is the
+    2-hop personalized neighborhood, not the full node set.
+
+    Scale shape per iteration (identical to d29_pagerank_2iter): one
+    shuffle keyed on src joining rank state to edges and out-degrees,
+    one groupBy dst; rank state is (node, double) pairs only, the
+    teleport vector is |seeds|-sized and travels as a LEFT-JOIN flag,
+    never a dense vector. Reference anchor: no graph surface in the
+    reference (SURVEY §2.1) — mandated LLM-pipeline extension (§2.2
+    D29)."""
+    t = Catalog(spark, sf_dir)
+    edges = (
+        t.orders.where(F.col("o_orderkey") < 3000)
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") + 1000000).alias("src"),
+            F.col("l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = t.customer.where(F.col("c_nationkey") == PPR_NATION).select(
+        (F.col("c_custkey") + 1000000).alias("node")
+    ).join(nodes, "node")
+    ns = seeds.agg(F.count(F.lit(1)).alias("n_seeds"))
+    tele = (
+        nodes.join(seeds.withColumn("is_seed", F.lit(1)), "node", "left")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "node",
+            F.when(
+                F.col("is_seed").isNotNull(), 1.0 / F.col("n_seeds")
+            ).otherwise(F.lit(0.0)).alias("t"),
+        )
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    ranks = tele.select("node", F.col("t").alias("pr"))
+    for _ in range(2):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("pr") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = tele.join(contrib, "node", "left").select(
+            "node",
+            (
+                (1 - PR_DAMP) * F.col("t")
+                + PR_DAMP * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return (
+        ranks.where(F.col("pr") > 0)
+        .select("node", F.round("pr", 4).alias("ppr"))
+        .orderBy("node")
+    )
+
+
+# --------------------------------------------------------------------------
 # Triangle counting (graph clustering signal) over a co-occurrence graph
 # --------------------------------------------------------------------------
 TRI_MIN_QTY = 45

@@ -618,6 +618,98 @@ def d33_fpgrowth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# D33 extension (round 12) — sequential-pattern mining (PrefixSpan)
+# --------------------------------------------------------------------------
+JOURNEY_LEN = 5  # each user's first-N events form the mined journey
+
+
+@register(
+    "d33_prefixspan_journeys",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, pos FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS pos
+        FROM events
+      ) WHERE pos <= {JOURNEY_LEN}
+    ), n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM seq),
+    p1 AS (
+      SELECT event_type AS pattern, COUNT(DISTINCT user_id) AS freq
+      FROM seq GROUP BY 1
+    ), p2 AS (
+      SELECT a.event_type || '->' || b.event_type AS pattern,
+             COUNT(DISTINCT a.user_id) AS freq
+      FROM seq a JOIN seq b ON a.user_id = b.user_id AND a.pos < b.pos
+      GROUP BY 1
+    )
+    SELECT pattern, CAST(freq AS BIGINT) AS freq
+    FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+    WHERE freq >= CEIL(0.2 * (SELECT n_users FROM n))
+    ORDER BY pattern
+    """,
+)
+def d33_prefixspan_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent sequential patterns over early user journeys via MLlib
+    PrefixSpan (Pei et al. 2001, the distributed projected-database
+    formulation): sequence = each user's first {JOURNEY_LEN} events in
+    (ts, event_id) order, one single-item itemset per event; mine all
+    frequent sequential patterns, keep patterns of <= 2 items with
+    support >= 20% of users — the funnel-shape discovery that runs
+    BEFORE a funnel query (d27) can be written, since it finds which
+    orderings are frequent at all.
+
+    PrefixSpan support counts are EXACT (one count per sequence
+    containing the pattern as an order-preserving subsequence), so the
+    result hash-matches a SQL formulation: length-1 patterns are plain
+    distinct-user counts, length-2 patterns a position-ordered self-join
+    (pos_a < pos_b) with COUNT(DISTINCT user). PrefixSpan runs with
+    minSupport=0.1, strictly below the 0.2 output filter applied
+    identically in both engines, so MLlib's internal threshold rounding
+    can never decide membership (the d33_fpgrowth_pairs discipline).
+
+    Scale shape (100 TB): sequence assembly is one user_id hash agg over
+    a (user, type, ts) projection — the first-{JOURNEY_LEN} cap bounds
+    every sequence to {JOURNEY_LEN} items, so the mined database is
+    users x {JOURNEY_LEN} no matter the event volume; PrefixSpan then
+    shards pattern prefixes across executors (projected databases), each
+    a bounded local mine. The oracle's self-join is likewise
+    position-capped: at most {JOURNEY_LEN}^2 pairs per user."""
+    import math
+
+    from pyspark.ml.fpm import PrefixSpan
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= JOURNEY_LEN)
+    )
+    n_users = seq.select("user_id").distinct().count()
+    sequences = seq.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "event_type"))),
+            lambda s: F.array(s["event_type"]),
+        ).alias("sequence")
+    )
+    ps = PrefixSpan(
+        minSupport=0.1, maxPatternLength=2, sequenceCol="sequence"
+    )
+    pats = ps.findFrequentSequentialPatterns(sequences)
+    threshold = math.ceil(0.2 * n_users)
+    return (
+        pats.select(F.flatten("sequence").alias("items"), "freq")
+        .where((F.size("items") <= 2) & (F.col("freq") >= threshold))
+        .select(
+            F.array_join("items", "->").alias("pattern"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+        .orderBy("pattern")
+    )
+
+
 @register("d33_pca_spectrum", oracle=None)  # eigen-spectrum: numpy-
 # equivalence pytest (tests/test_text_ml.py) instead of a SQL oracle
 def d33_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:

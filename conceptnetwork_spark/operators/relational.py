@@ -5012,6 +5012,158 @@ def d11_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# D11 extension (round 12) — mergeable RANK/quantile sketch with an EXACT
+# oracle: the one sketch family (rank sketches — KLL/t-digest territory)
+# D11 did not yet certify. KLL and t-digest are randomized / order-
+# dependent, so the certifiable stand-in is the KMV-style quantile sketch:
+# keep the K rows with the smallest portable hash — a deterministic uniform
+# sample — and read quantiles off the sample. The merge property is the
+# KMV one (K smallest of a union == K smallest of the per-part K-smallest),
+# so per-shard sketches roll up exactly, and BOTH arms (merged shards vs
+# direct recompute) land in one certified result.
+# --------------------------------------------------------------------------
+QSK_K = 64
+QSK_SHARDS = 4
+_QSK_KEY_SQL = (
+    "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "d11_quantile_sketch_merge",
+    oracle=f"""
+    WITH src AS (
+      SELECT event_type, event_id, value,
+             {_QSK_KEY_SQL} AS h,
+             event_id % {QSK_SHARDS} AS shard
+      FROM events
+    ), shard_sk AS (
+      SELECT event_type, event_id, value, h FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, shard
+                    ORDER BY h, event_id) AS rk
+        FROM src
+      ) WHERE rk <= {QSK_K}
+    ), merged AS (
+      SELECT 'merged' AS source, event_type, event_id, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY h, event_id) AS rk
+        FROM shard_sk
+      ) WHERE rk <= {QSK_K}
+    ), direct AS (
+      SELECT 'direct' AS source, event_type, event_id, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY h, event_id) AS rk
+        FROM src
+      ) WHERE rk <= {QSK_K}
+    ), ranked AS (
+      SELECT source, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY source, event_type
+               ORDER BY value, event_id) AS vrk,
+             COUNT(*) OVER (PARTITION BY source, event_type) AS n
+      FROM (SELECT * FROM merged UNION ALL SELECT * FROM direct)
+    )
+    SELECT source, event_type, CAST(MAX(n) AS BIGINT) AS n_sample,
+           ROUND(MAX(CASE WHEN vrk = CAST(CEIL(0.5 * n) AS BIGINT)
+                     THEN value END), 4) AS p50,
+           ROUND(MAX(CASE WHEN vrk = CAST(CEIL(0.9 * n) AS BIGINT)
+                     THEN value END), 4) AS p90,
+           ROUND(MAX(CASE WHEN vrk = CAST(CEIL(0.99 * n) AS BIGINT)
+                     THEN value END), 4) AS p99
+    FROM ranked
+    GROUP BY source, event_type
+    ORDER BY source, event_type
+    """,
+)
+def d11_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch certified merge-vs-recompute: per
+    (event_type, shard) keep the K=64 rows with the smallest portable
+    60-bit md5 hash — a deterministic uniform value sample (the KMV
+    sample carrying its row's VALUE instead of estimating NDV) — then (a)
+    MERGE the shard sketches by re-taking the K smallest of their union,
+    and (b) recompute the K-smallest sample directly over the group. The
+    KMV property (top-K of a union == top-K of per-part top-Ks) makes the
+    two samples identical, so p50/p90/p99 read off each sample at rank
+    ceil(q*n) agree row-for-row — both arms land in one result and the
+    driver hash certifies the merge law itself, which is the property
+    that lets per-ingest-batch rank sketches roll up on a cluster without
+    rescanning history (the d35_stats_merge associativity, extended from
+    NDV to rank statistics; randomized KLL / order-dependent t-digest
+    cannot be cross-engine-certified, the deterministic hash sample can).
+
+    Scale shape (100 TB): each rank<=K window plans as WindowGroupLimit —
+    every map task forwards at most K rows per (group, shard), so the
+    exchange carries sketch-sized state (K x 24 bytes per group), never
+    data; the merge arm touches shards x K rows per group; quantile
+    readout sorts K-row samples. The 'direct' arm exists to certify the
+    law (its WindowGroupLimit partial bound makes even the recompute
+    forward only K rows per map task); production keeps only the merged
+    path."""
+    e = Catalog(spark, sf_dir).events
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    src = e.select(
+        "event_type", "event_id", "value",
+        h.alias("h"),
+        (F.col("event_id") % QSK_SHARDS).alias("shard"),
+    )
+    w_shard = Window.partitionBy("event_type", "shard").orderBy(
+        "h", "event_id"
+    )
+    w_grp = Window.partitionBy("event_type").orderBy("h", "event_id")
+    shard_sk = (
+        src.withColumn("rk", F.row_number().over(w_shard))
+        .where(F.col("rk") <= QSK_K)
+        .drop("rk", "shard")
+    )
+    merged = (
+        shard_sk.withColumn("rk", F.row_number().over(w_grp))
+        .where(F.col("rk") <= QSK_K)
+        .select(
+            F.lit("merged").alias("source"), "event_type", "event_id", "value"
+        )
+    )
+    direct = (
+        src.withColumn("rk", F.row_number().over(w_grp))
+        .where(F.col("rk") <= QSK_K)
+        .select(
+            F.lit("direct").alias("source"), "event_type", "event_id", "value"
+        )
+    )
+    w_val = Window.partitionBy("source", "event_type").orderBy(
+        "value", "event_id"
+    )
+    w_n = Window.partitionBy("source", "event_type")
+    ranked = merged.unionAll(direct).select(
+        "source", "event_type", "value",
+        F.row_number().over(w_val).alias("vrk"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+
+    def _q(q: float):
+        return F.round(
+            F.max(
+                F.when(
+                    F.col("vrk") == F.ceil(F.lit(q) * F.col("n")),
+                    F.col("value"),
+                )
+            ),
+            4,
+        )
+
+    return (
+        ranked.groupBy("source", "event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_sample"),
+            _q(0.5).alias("p50"),
+            _q(0.9).alias("p90"),
+            _q(0.99).alias("p99"),
+        )
+        .orderBy("source", "event_type")
+    )
+
+
 @register(
     "d11_theta_setops",
     # Theta-sketch set algebra on the KMV sample: theta = the Kth smallest

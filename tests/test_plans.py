@@ -1517,3 +1517,58 @@ def test_d31_pmi_takeordered_topk(spark):
     assert "TakeOrderedAndProject" in plan
     assert "row_number" not in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_d11_quantile_sketch_windowgrouplimit(spark):
+    """Every rank<=K filter in the sketch must plan as WindowGroupLimit
+    (map tasks forward at most K rows per group — sketch-sized state on
+    the wire, never data) and nothing may funnel through SinglePartition:
+    the merge law is certified WITHOUT a global sort anywhere."""
+    plan = _plan(spark, "d11_quantile_sketch_merge")
+    assert "WindowGroupLimit" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d29_ppr_teleport_broadcast(spark):
+    """Personalized PageRank's per-iteration shape: rank state joins edges
+    via hash joins (the seed/teleport relations broadcast — they are
+    |seeds|-sized), no cartesian anywhere; the only one-row aggregate is
+    the n_seeds scalar (a partial-agg output, not data)."""
+    plan = _plan(spark, "d29_ppr_2iter")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d33_prefixspan_sequence_assembly_single_exchange(spark):
+    """The journey assembly (row_number cap + collect_list) must reuse ONE
+    user_id hash exchange for both the window and the groupBy — the
+    sequence database leaves the exchange bounded at JOURNEY_LEN items
+    per user. (The PrefixSpan mine itself runs eagerly inside MLlib; the
+    assembly plan is the part we own.)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from conceptnetwork_spark.catalog import Catalog
+    from conceptnetwork_spark.operators.ml import JOURNEY_LEN
+
+    ev = Catalog(spark, SF_ORACLE).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= JOURNEY_LEN)
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "event_type"))),
+                lambda s: F.array(s["event_type"]),
+            ).alias("sequence")
+        )
+    )
+    plan = seq._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    # the rank cap prunes before the aggregate: WindowGroupLimit bounds
+    # what each map task forwards
+    assert "WindowGroupLimit" in plan

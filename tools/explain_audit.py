@@ -242,6 +242,10 @@ AUDIT = [
     "d09_topk_share",
     "d14_kalman_1d",
     "d02_ab_assignment",
+    # round-12 additions
+    "d29_ppr_2iter",
+    "d33_prefixspan_journeys",
+    "d11_quantile_sketch_merge",
 ]
 
 
