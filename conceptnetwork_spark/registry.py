@@ -77,79 +77,81 @@ _LOADED = False
 # and _load_all() pins every oracle-less query to the registry TAIL so no
 # driver window can ever sample one into an oracle comparison.
 #
-# ROUND-11 window: the all-time ledger closed in r10 (349/349
-# driver-certified at least once — CERTIFIED.md), so from r11 on the
-# window is a pure RE-CERTIFICATION rotation in staleness order
-# (verdict r10 ask #3): new round-11 queries lead (same-round
-# certification, r9 ask #8), then the stalest greens — the 43 queries
-# whose last driver hash-match is r3 (eight rounds of drift exposure,
-# the longest in the ledger), then the oldest r4-era rows to fill 50.
-# All 50 are rehearsed in driver order by tools/window_rehearsal.py
-# AFTER the final code edit of the round (the r8 lesson: any
-# post-rehearsal edit to a registered query re-runs that query's
-# oracle + plan tests before commit).
+# ROUND-12 window: the three round-12 operators lead, followed by
+# d14_rolling_corr — r11's ONLY red (a DuckDB -0.0 vs Spark +0.0
+# stringified-hash edge, now normalized with + 0.0 in both engines) and
+# therefore the one never-certified oracle query — then the stalest
+# greens in staleness order (verdict r11 ask #4, draining
+# ROUNDCLOSE_r11's 104-entry stale_certs list stalest-first: the seven
+# remaining r3-era certs, then r4-era rows to fill 50). All 50 are
+# rehearsed in driver order by tools/window_rehearsal.py AFTER the
+# final code edit of the round (the r8 lesson: any post-rehearsal edit
+# to a registered query re-runs that query's oracle + plan tests
+# before commit).
 CERT_FIRST: tuple[str, ...] = (
-    # round-11 additions — certified the round they land
-    "d29_exact_substr",
-    "d29_substr_span_drop",
-    "d09_gini",
+    # round-12 additions + the never-certified r11 fix — certified
+    # the round they land / re-land (r9 ask #8)
+    "d29_ppr_2iter",
+    "d33_prefixspan_journeys",
+    "d11_quantile_sketch_merge",
     "d14_rolling_corr",
-    "d31_pmi_collocations",
-    "d30_centroid_assign",
-    "d27_user_lifecycle",
-    "d14_drawdown",
-    "d31_heaps_law",
-    "d30_mrr_eval",
-    "d29_lpa_communities",
-    "d09_topk_share",
-    "d14_kalman_1d",
-    "d02_ab_assignment",
-    # stalest re-certifications (last driver-green: r3)
-    "d05_left_outer_join",
-    "d07_range_join",
-    "d08_asof_join",
-    "d12_rollup",
-    "d15_topk",
-    "d16_union_all",
-    "d17_string_funcs",
-    "d18_date_funcs",
-    "d19_math_funcs",
-    "d23_mean_center",
-    "d28_keyed_dedup",
-    "d29_exact_dedup",
-    "d29_dup_clusters",
-    "d30_knn_exact",
-    "d33_ols_mse",
-    "d04_q2_min_acctbal_supplier",
-    "d06_q20_heavy_suppliers",
-    "d09_q6_forecast_revenue",
-    "d09_q9_product_profit",
-    "d09_q11_important_parts",
-    "d09_q14_promo",
-    "d09_q15_top_supplier",
-    "d09_q21_waiting",
-    "d10_column_profile",
-    "d20_embedding_centroid",
-    "d21_variant",
-    "d22_scalar_udf",
-    "d24_mapinpandas_parse",
-    "d24_explode_outer",
-    "d25_parquet_sink",
-    "d26_sliding_window",
-    "d31_quantile_filter",
-    "d31_corpus_stats",
-    "d31_corpus_filter",
-    "d35_scd2_history",
-    "d35_temporal_join",
+    # stalest re-certifications, staleness order (last green r3, then
+    # the oldest r4-era rows — ROUNDCLOSE_r11 stale_certs head)
+    "d13_ntile",
+    "d14_ewma",
+    "d27_batch_sessionize",
+    "d31_bm25",
+    "d31_repetition",
+    "d32_image_decode",
+    "d34_sequence_pack",
+    "d01_csv_corrupt",
+    "d01_orc_source",
+    "d01_partitioned_read",
+    "d01_python_datasource",
+    "d02_domain_mix",
+    "d02_weighted_sample",
+    "d05_null_safe_join",
+    "d07_interval_join",
+    "d09_group_mode",
+    "d10_observed_scan",
+    "d10_skew_report",
+    "d13_percent_rank",
+    "d14_rolling_median",
+    "d14_running_distinct",
+    "d14_zscore_outliers",
+    "d16_except_all",
+    "d16_intersect_all",
+    "d17_levenshtein",
+    "d22_iter_udf",
+    "d23_cogrouped_map",
+    "d24_mapinarrow",
+    "d24_posexplode",
+    "d24_python_udtf",
+    "d25_stream_outer_join",
+    "d25_stream_upsert",
+    "d26_append_finalize",
+    "d27_dynamic_gap_session",
+    "d27_funnel",
+    "d27_retention",
+    "d28_dedup_within_watermark",
+    "d29_decontaminate",
+    "d29_pagerank_2iter",
+    "d29_triangle_count",
+    "d30_mips_topk",
+    "d31_chunk_text",
+    "d31_ngram_profile",
+    "d31_pii_redact",
+    "d31_unigram_logprob",
+    "d31_vocab_topk",
 )
-# displaced to the r12 rotation head: d32_image_decode, d31_bm25, d13_ntile, d14_ewma, d27_batch_sessionize, d34_sequence_pack, d31_repetition, d01_orc_source,
-# d01_partitioned_read, d01_csv_corrupt, d01_python_datasource,
-# d02_domain_mix, d09_group_mode, d10_observed_scan (r3/r4-era greens
-# squeezed out by the eight round-11 additions)
-# With this window green, no oracle certification is older than r4
-# except the r4 tail that rotates in next round (cumulative ledger:
-# CERTIFIED.md, regenerated by tools/roundclose.py from
-# CORRECTNESS_r01..r11).
+# Queued for the r13 rotation head (next-stalest r4-era greens):
+# d32_audio_decode, d32_jpeg_meta, d34_dataprep_summary,
+# d34_global_shuffle, d34_shard_manifest, d35_compact_files,
+# d35_mv_merge, d35_partition_stats, d35_snapshot_at, d35_snapshot_diff,
+# d35_zorder_key, d01_binary_source, d01_dynamic_pruning, ...
+# With this window green, the r3-era certs are fully drained and the
+# stale backlog shrinks by ~46 (cumulative ledger: CERTIFIED.md,
+# regenerated by tools/roundclose.py from CORRECTNESS_r01..r12).
 # The 27 oracle-less queries (approx sketches, seeded LSH/IVF/PQ ANN,
 # streaming-only semantics, d30_mmr_rerank, d30_ivf_pq, d34_bpe_train,
 # d33_pca_spectrum, ...) are pytest-pinned instead (tolerance / recall /
