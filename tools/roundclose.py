@@ -34,7 +34,14 @@ import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PARITY_SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
+# sf0.01 is the DRIVER's judging scale factor (VERDICT r11 ask #2: the
+# d14_rolling_corr -0.0 edge only manifested at sf0.01, which the builder
+# gates never ran) — all three SFs now gate every close
+PARITY_SFS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
 
 
 def _run(cmd: list[str], timeout: int = 3600) -> tuple[int, str]:
@@ -162,6 +169,42 @@ def main() -> None:
               f"{stale[:10]}{'...' if len(stale) > 10 else ''}")
     else:
         print("stale certs: none outside the current window")
+
+    # 1d. scale-tier listener hygiene (VERDICT r11 ask #6): the 10x/100x/
+    # 1000x shuffle/spill numbers back the 100-TB claims, so a tier whose
+    # listener totals never stabilized (quiesce-exhausted) must FAIL the
+    # close, not hide in a warnings list. Reads the newest SCALETIERS
+    # artifact at or before this round; carried tiers without the field
+    # (pre-r11 instrumentation) are listed as uninstrumented, not failed.
+    tier_files = sorted(
+        p for p in _glob.glob(os.path.join(ROOT, "SCALETIERS_r*.json"))
+        if int(re.search(r"_r(\d+)\.json$", p).group(1)) <= rnd
+    )
+    if tier_files:
+        try:
+            tiers = _json.load(open(tier_files[-1])).get("tiers", {})
+        except (OSError, ValueError):
+            tiers = {}
+        quiesce_bad = {
+            name: [w for w in (t.get("listener_warnings") or [])
+                   if w.startswith("quiesce-exhausted")]
+            for name, t in tiers.items()
+            if isinstance(t, dict)
+        }
+        quiesce_bad = {k: v for k, v in quiesce_bad.items() if v}
+        uninstrumented = [
+            name for name, t in tiers.items()
+            if isinstance(t, dict) and t.get("listener_warnings") is None
+        ]
+        report["scaletiers_listener"] = {
+            "source": os.path.basename(tier_files[-1]),
+            "quiesce_exhausted": quiesce_bad,
+            "uninstrumented_carried": uninstrumented,
+            "ok": not quiesce_bad,
+        }
+        ok &= not quiesce_bad
+        print(f"scaletiers listener: {'OK' if not quiesce_bad else 'FAIL'} "
+              f"({report['scaletiers_listener']})")
 
     # 2. cross-SF parity at the scale factors pytest does NOT use
     report["parity"] = {}
