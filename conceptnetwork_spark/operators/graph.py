@@ -643,3 +643,127 @@ def d29_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+# --------------------------------------------------------------------------
+# K-core peeling (round 12) — degeneracy structure of the co-supplier graph
+# --------------------------------------------------------------------------
+KCORE_MIN_QTY = 49  # sparser cut than triangle/LPA's 45 so peeling bites
+KCORE_K = 4
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    """Three unrolled peel rounds as chained CTEs: degrees over the
+    surviving edge set, drop nodes below K, induce the subgraph, repeat.
+    Emits one summary row per round so the certified result is non-empty
+    at every SF even when the cascade peels the graph to nothing."""
+    sql = f"""
+    WITH bulk AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem WHERE l_quantity >= {KCORE_MIN_QTY}
+    ), e0 AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM bulk a JOIN bulk b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    )"""
+    for r in range(1, KCORE_ROUNDS + 1):
+        p = r - 1
+        sql += f""", d{r} AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM e{p} GROUP BY src
+    ), k{r} AS (
+      SELECT node FROM d{r} WHERE deg >= {KCORE_K}
+    ), e{r} AS (
+      SELECT src, dst FROM e{p}
+      WHERE src IN (SELECT node FROM k{r})
+        AND dst IN (SELECT node FROM k{r})
+    )"""
+    rows = " UNION ALL ".join(
+        f"""SELECT {r} AS round,
+          (SELECT COUNT(*) FROM d{r}) AS nodes_in,
+          (SELECT COUNT(*) FROM k{r}) AS nodes_kept,
+          (SELECT COUNT(*) / 2 FROM e{r}) AS edges_kept"""
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    return (
+        sql
+        + f"""
+    SELECT CAST(round AS INTEGER) AS round,
+           CAST(nodes_in AS BIGINT) AS nodes_in,
+           CAST(nodes_kept AS BIGINT) AS nodes_kept,
+           CAST(edges_kept AS BIGINT) AS edges_kept
+    FROM ({rows}) ORDER BY round"""
+    )
+
+
+@register("d29_kcore", oracle=_kcore_oracle)
+def d29_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core peeling over the bulk co-supplier graph: repeatedly delete
+    nodes of degree < {K} and induce the subgraph, {ROUNDS} unrolled
+    rounds — the degeneracy ladder that separates a graph's dense
+    engagement core from its sparse periphery (spam/bot rings and real
+    communities live at high core numbers; the periphery LPA glues onto
+    them peels right off). Emits the per-round cascade — nodes entering,
+    nodes surviving the degree cut, undirected edges induced — which is
+    the convergence diagnostic a production peeler monitors; a fixpoint
+    run just iterates the same round until nodes_kept stops changing.
+
+    Scale shape (100 TB): each round is ONE node-keyed degree aggregate
+    (map-side combined) plus TWO semi-joins of the edge list against the
+    survivor set — survivors are node-cardinality (broadcastable long
+    before edges are), and the edge list only ever shrinks. No
+    all-pairs, no global sort; the unrolled lineage is 3 rounds deep
+    (a fixpoint implementation checkpoints the edge set every few
+    rounds, exactly like d29_dup_clusters' alternating-star CC)."""
+    li = Catalog(spark, sf_dir).lineitem
+    bulk = (
+        li.where(F.col("l_quantity") >= KCORE_MIN_QTY)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = bulk.alias("a"), bulk.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    summaries = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = edges.groupBy("src").agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        keep = deg.where(F.col("deg") >= KCORE_K).select(
+            F.col("src").alias("node")
+        )
+        pruned = edges.join(
+            keep, edges["src"] == keep["node"], "leftsemi"
+        ).join(keep, edges["dst"] == keep["node"], "leftsemi")
+        nodes_in = deg.agg(F.count(F.lit(1)).cast("long").alias("nodes_in"))
+        nodes_kept = keep.agg(
+            F.count(F.lit(1)).cast("long").alias("nodes_kept")
+        )
+        edges_kept = pruned.agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("edges_kept")
+        )
+        summaries.append(
+            nodes_in.crossJoin(nodes_kept)
+            .crossJoin(edges_kept)
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                "nodes_in",
+                "nodes_kept",
+                "edges_kept",
+            )
+        )
+        edges = pruned
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round")

@@ -3827,3 +3827,219 @@ def d34_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D34 (cont., round 12) — domain reweighting to a target token mixture
+# (the DoReMi-style weight computation that precedes d02_temperature_mix's
+# admission step: THIS op derives the weights from token shares; that op
+# enforces doc-count rates via md5 buckets)
+# --------------------------------------------------------------------------
+@register(
+    "d34_domain_reweight",
+    # token counts are exact integers, so every share/weight below is a
+    # deterministic IEEE ratio of exact values, mirrored expression-for-
+    # expression; the tokens > 0 guard keeps ANSI division safe on a
+    # degenerate all-empty domain (NULL in both engines).
+    oracle=f"""
+    WITH t AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN}')))
+                  AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM t
+    )
+    SELECT source, n_docs, tokens,
+           ROUND(CAST(tokens AS DOUBLE) / total, 6) AS current_share,
+           ROUND(1.0 / n_src, 6) AS target_share,
+           ROUND(CASE WHEN tokens > 0 THEN
+                 (1.0 / n_src) / (CAST(tokens AS DOUBLE) / total)
+                 END, 4) AS weight,
+           CAST(ROUND(total * (1.0 / n_src), 0) AS BIGINT)
+             AS target_tokens
+    FROM t, tot ORDER BY source
+    """,
+)
+def d34_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source token share vs a uniform
+    target mixture, and the sampling weight (target/current) that a data
+    loader multiplies into each domain's selection probability to hit the
+    target — the weight-derivation half of mixture control (DoReMi-style
+    reference weights, here the uniform reference; d02_temperature_mix is
+    the enforcement half, admitting docs at a derived rate). target_tokens
+    is the per-domain token budget the weights imply, i.e. what each
+    domain contributes after reweighting at constant total.
+
+    Scale shape: one token-count map pass feeds ONE hash agg on the
+    |sources|-sized key; the totals relation is one row cross-joined
+    (broadcast) back onto the domain table. The corpus is read once and
+    never shuffled — only (source, counts) rows move."""
+    d = Catalog(spark, sf_dir).documents
+    t = (
+        d.select(
+            "source",
+            F.regexp_count("text", F.lit(TOKEN_PATTERN))
+            .cast("long")
+            .alias("tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tok").cast("long").alias("tokens"),
+        )
+    )
+    tot = t.agg(
+        F.sum("tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+    )
+    cur = F.col("tokens").cast("double") / F.col("total")
+    tgt = F.lit(1.0) / F.col("n_src")
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.round(cur, 6).alias("current_share"),
+            F.round(tgt, 6).alias("target_share"),
+            F.round(
+                F.when(F.col("tokens") > 0, tgt / cur).otherwise(F.lit(None)),
+                4,
+            ).alias("weight"),
+            F.round(F.col("total") * tgt, 0)
+            .cast("long")
+            .alias("target_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# D34 (cont., round 12) — length-bucketed batching (padding-efficiency
+# audit of the dynamic-batching step every trainer runs before collation)
+# --------------------------------------------------------------------------
+BATCH_BUCKETS = 8
+
+
+@register(
+    "d34_bucketed_batching",
+    # bucket = ((rank-1) * B) div n + 1 over the unique total order
+    # (tokens, doc_id) — the closed-form equal-count binning (NTILE
+    # without its uneven-remainder rule), pure integer arithmetic in
+    # both engines; all bucket stats are exact integers, the efficiency
+    # ratio is one guarded IEEE division per bucket row.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))
+                  AS BIGINT) AS tokens
+      FROM documents
+    ), b AS (
+      SELECT tokens,
+             CAST(((ROW_NUMBER() OVER (ORDER BY tokens, doc_id) - 1)
+                   * {BATCH_BUCKETS}) // (SELECT COUNT(*) FROM t) + 1
+                  AS INTEGER) AS bucket
+      FROM t
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+           CAST(MAX(tokens) * COUNT(*) - SUM(tokens) AS BIGINT)
+             AS pad_waste,
+           ROUND(CASE WHEN MAX(tokens) > 0 THEN
+                 CAST(SUM(tokens) AS DOUBLE) / (MAX(tokens) * COUNT(*))
+                 END, 4) AS efficiency
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def d34_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: split the corpus into
+    {BATCH_BUCKETS} equal-count length buckets (the dynamic-batching
+    binning a trainer applies so a batch pads to its OWN max length, not
+    the corpus max) and report each bucket's padding waste — max*count -
+    sum — and packing efficiency. The unbucketed baseline is bucket
+    count 1 by construction (sum/max*n over everything); the spread of
+    per-bucket efficiency is the payoff readout that decides bucket
+    count. Complements d34_sequence_pack (greedy concat packing) and
+    d34_seq_len_histogram (the raw distribution): this is the
+    pad-don't-pack strategy's cost model.
+
+    Scale shape: token counts are a map pass; the global length rank
+    comes from the DISTRIBUTED two-pass row-number (the
+    d34_curriculum_order / d09_gini machinery: range exchange on the
+    sort key, map-only local numbering, partition-count-sized offset
+    broadcast) — an NTILE window would funnel the corpus through ONE
+    partition, the exact funnel this plan exists to avoid — then one
+    hash agg on the {BATCH_BUCKETS}-sized bucket key."""
+    d = Catalog(spark, sf_dir).documents
+    t = d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(TOKEN_PATTERN))
+        .cast("long")
+        .alias("tokens"),
+    )
+
+    def _number_partition(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = 0
+        for pdf in it:
+            n = len(pdf)
+            yield pdf.assign(pid=pid, lrn=range(base + 1, base + n + 1))
+            base += n
+
+    local = (
+        t.repartitionByRange(8, "tokens", "doc_id")
+        .sortWithinPartitions("tokens", "doc_id")
+        .mapInPandas(
+            _number_partition, schema="doc_id long, tokens long, pid int, lrn long"
+        )
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+        )
+    )
+    total = t.agg(F.count(F.lit(1)).alias("n_total"))
+    b = (
+        local.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tokens",
+            (
+                F.expr(
+                    f"((off + lrn - 1) * {BATCH_BUCKETS}) div n_total"
+                ).cast("int")
+                + F.lit(1)
+            ).alias("bucket"),
+        )
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("tokens").cast("long").alias("min_tokens"),
+            F.max("tokens").cast("long").alias("max_tokens"),
+            F.sum("tokens").cast("long").alias("sum_tokens"),
+            (F.max("tokens") * F.count(F.lit(1)) - F.sum("tokens"))
+            .cast("long")
+            .alias("pad_waste"),
+            F.round(
+                F.when(
+                    F.max("tokens") > 0,
+                    F.sum("tokens").cast("double")
+                    / (F.max("tokens") * F.count(F.lit(1))),
+                ).otherwise(F.lit(None)),
+                4,
+            ).alias("efficiency"),
+        )
+        .orderBy("bucket")
+    )

@@ -8087,3 +8087,214 @@ def d14_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variance DOUBLE, next_gain DOUBLE",
     )
     return out.orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# D14 (cont., round 12) — rolling skewness / excess kurtosis (higher-moment
+# window family, completing avg/var (bollinger) -> corr -> skew/kurt)
+# --------------------------------------------------------------------------
+ROLL_SKEW_W = 25
+
+
+@register(
+    "d14_rolling_skew",
+    # x = l_quantity: INTEGER-VALUED (1..50), so x^2/x^3/x^4 and their
+    # frame sums are exact in double in BOTH engines regardless of the
+    # engines' summation order (segment tree vs running re-scan) — the
+    # raw moments m1..m4 are bit-identical, and every downstream step is
+    # a deterministic IEEE op mirrored expression-for-expression. The
+    # pos >= W filter sits outside the windowed select (WHERE runs before
+    # window functions); + 0.0 normalizes IEEE negative zero (the r11
+    # d14_rolling_corr driver red).
+    oracle=f"""
+    WITH s AS (
+      SELECT l_suppkey, l_quantity AS x,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS pos
+      FROM lineitem WHERE l_suppkey <= 50
+    ), m AS (
+      SELECT l_suppkey, pos,
+             AVG(x) OVER w AS m1, AVG(x * x) OVER w AS m2,
+             AVG(x * x * x) OVER w AS m3,
+             AVG(x * x * x * x) OVER w AS m4
+      FROM s
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY pos
+        ROWS BETWEEN {ROLL_SKEW_W - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_suppkey, pos,
+           ROUND(CASE WHEN (m2 - m1 * m1) > 0 THEN
+                 (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                 / (sqrt(m2 - m1 * m1) * (m2 - m1 * m1))
+                 END, 4) + 0.0 AS skew{ROLL_SKEW_W},
+           ROUND(CASE WHEN (m2 - m1 * m1) > 0 THEN
+                 (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2
+                     - 3 * m1 * m1 * m1 * m1)
+                 / ((m2 - m1 * m1) * (m2 - m1 * m1)) - 3.0
+                 END, 4) + 0.0 AS kurt{ROLL_SKEW_W}
+    FROM m
+    WHERE pos >= {ROLL_SKEW_W}
+    ORDER BY l_suppkey, pos
+    """,
+)
+def d14_rolling_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {W}-row skewness and excess kurtosis of order quantity per
+    supplier, in ship order — the tail-shape monitor a drift detector
+    slides over a feed (a mean/variance-stable series can still shift
+    mass into one tail, which only the third and fourth moments see;
+    d14_bollinger covers the first two, d14_rolling_corr the cross
+    moment). Central moments come from raw moments via the standard
+    expansions m3c = m3 - 3*m1*m2 + 2*m1^3 and
+    m4c = m4 - 4*m1*m3 + 6*m1^2*m2 - 3*m1^4; zero-variance windows yield
+    NULL in both engines; rows before the window fills are excluded.
+
+    Scale shape: ONE hash exchange on l_suppkey serves both the position
+    row_number and the frame aggregates (same partition key, one Window
+    chain); four raw-moment frame averages are O(1)-per-slide running
+    aggregates JVM-side. Key cardinality = suppliers (uniform in TPC-H),
+    the suppkey<=50 predicate is pushed to the scan."""
+    li = Catalog(spark, sf_dir).lineitem.where(F.col("l_suppkey") <= 50)
+    w_pos = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    s = li.select(
+        "l_suppkey", "l_quantity", F.row_number().over(w_pos).alias("pos")
+    )
+    w_fr = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("pos")
+        .rowsBetween(-(ROLL_SKEW_W - 1), 0)
+    )
+    x = F.col("l_quantity")
+    # each raw moment is aliased ONCE before the skew/kurt expressions
+    # reference it: inlining the .over() calls would plan ~24 duplicate
+    # frame aggregates (Catalyst does not dedupe repeated window exprs),
+    # this shape plans exactly 4 in one Window operator
+    m = s.select(
+        "l_suppkey",
+        "pos",
+        F.avg(x).over(w_fr).alias("m1"),
+        F.avg(x * x).over(w_fr).alias("m2"),
+        F.avg(x * x * x).over(w_fr).alias("m3"),
+        F.avg(x * x * x * x).over(w_fr).alias("m4"),
+    )
+    m1, m2, m3, m4 = F.col("m1"), F.col("m2"), F.col("m3"), F.col("m4")
+    var = m2 - m1 * m1
+    skew = F.when(
+        var > 0,
+        (m3 - F.lit(3) * m1 * m2 + F.lit(2) * m1 * m1 * m1)
+        / (F.sqrt(var) * var),
+    ).otherwise(F.lit(None))
+    kurt = F.when(
+        var > 0,
+        (
+            m4
+            - F.lit(4) * m1 * m3
+            + F.lit(6) * m1 * m1 * m2
+            - F.lit(3) * m1 * m1 * m1 * m1
+        )
+        / (var * var)
+        - F.lit(3.0),
+    ).otherwise(F.lit(None))
+    return (
+        m.select(
+            "l_suppkey",
+            "pos",
+            (F.round(skew, 4) + F.lit(0.0)).alias(f"skew{ROLL_SKEW_W}"),
+            (F.round(kurt, 4) + F.lit(0.0)).alias(f"kurt{ROLL_SKEW_W}"),
+        )
+        .where(F.col("pos") >= ROLL_SKEW_W)
+        .orderBy("l_suppkey", "pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# D27 (cont., round 12) — circadian activity profile (circular statistics:
+# when in the 24h cycle does each event type happen, and how concentrated)
+# --------------------------------------------------------------------------
+CIRC_DEC = 8  # per-row cos/sin rounding before the exact decimal sum
+
+
+@register(
+    "d27_circadian_profile",
+    # circular mean of time-of-day per event type: hour-of-day is an
+    # ANGLE (23:59 is adjacent to 00:00 — an arithmetic mean would put
+    # the peak of a midnight-centered type at noon). Per-row cos/sin are
+    # rounded to 8 decimals and summed as DECIMAL (the zipf-fit
+    # libm-divergence defense: the only libm calls sit BEFORE an exact
+    # sum, so engine libm ulps cannot compound across rows); the readout
+    # atan2/sqrt run once per 25-row group. second() is integer in both
+    # engines, so theta inputs are exact.
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(ROUND(cos(2 * pi() * (hour(ts) * 3600 + minute(ts) * 60
+                  + CAST(second(ts) AS BIGINT)) / 86400.0), 8)
+                  AS DECIMAL(12,8)) AS c8,
+             CAST(ROUND(sin(2 * pi() * (hour(ts) * 3600 + minute(ts) * 60
+                  + CAST(second(ts) AS BIGINT)) / 86400.0), 8)
+                  AS DECIMAL(12,8)) AS s8
+      FROM events
+    ), g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(c8) AS DOUBLE) / COUNT(*) AS cm,
+             CAST(SUM(s8) AS DOUBLE) / COUNT(*) AS sm
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           ROUND(CASE WHEN atan2(sm, cm) / (2 * pi()) * 24.0 < 0
+                 THEN atan2(sm, cm) / (2 * pi()) * 24.0 + 24.0
+                 ELSE atan2(sm, cm) / (2 * pi()) * 24.0 END, 2) + 0.0
+             AS peak_hour,
+           ROUND(sqrt(cm * cm + sm * sm), 4) + 0.0 AS concentration
+    FROM g ORDER BY event_type
+    """,
+)
+def d27_circadian_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circadian profile per event type: the CIRCULAR mean time-of-day
+    (peak hour) and the mean resultant length (concentration, 0 = spread
+    uniformly around the clock, 1 = all events at one instant) — the
+    when-do-users-do-this readout behind send-time optimization, bot
+    detection (bots are flat, humans are concentrated), and timezone
+    inference. Linear averages are wrong on a circle; the circular mean
+    embeds each timestamp as a unit vector and averages those.
+
+    Scale shape: one map pass embeds (cos, sin) per event — rounded to 8
+    decimals and summed as exact DECIMAL, so the aggregation is
+    order-independent and engine-exact — then ONE hash agg on the
+    |event_type|-sized key; atan2/sqrt run once per output row. No
+    window, no join, no skew exposure beyond the agg's partial combine."""
+    ev = Catalog(spark, sf_dir).events
+    sec = (
+        F.hour("ts") * F.lit(3600)
+        + F.minute("ts") * F.lit(60)
+        + F.second("ts").cast("long")
+    )
+    theta = F.lit(2) * F.expr("pi()") * sec / F.lit(86400.0)
+    b = ev.select(
+        "event_type",
+        F.round(F.cos(theta), CIRC_DEC).cast("decimal(12,8)").alias("c8"),
+        F.round(F.sin(theta), CIRC_DEC).cast("decimal(12,8)").alias("s8"),
+    )
+    g = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.sum("c8").cast("double") / F.count(F.lit(1))).alias("cm"),
+        (F.sum("s8").cast("double") / F.count(F.lit(1))).alias("sm"),
+    )
+    h = F.atan2(F.col("sm"), F.col("cm")) / (F.lit(2) * F.expr("pi()")) * F.lit(
+        24.0
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        (
+            F.round(F.when(h < 0, h + F.lit(24.0)).otherwise(h), 2)
+            + F.lit(0.0)
+        ).alias("peak_hour"),
+        (
+            F.round(
+                F.sqrt(F.col("cm") * F.col("cm") + F.col("sm") * F.col("sm")),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("concentration"),
+    ).orderBy("event_type")

@@ -1988,3 +1988,150 @@ def d30_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("rr"), 4).alias("rr"),
     )
     return rows.unionAll(mean).orderBy("query")
+
+
+# --------------------------------------------------------------------------
+# Binary quantization + Hamming shortlist + exact rerank (round 12) — the
+# 1-bit compression path modern vector stores run before full-precision
+# scoring (complements d30_quantize_int8's scalar quantization and the
+# pq/ivf codebook family: this one needs NO training pass at all)
+# --------------------------------------------------------------------------
+BQ_WORD_BITS = 32  # sign bits per packed word (2 words cover dim=64;
+#                    32 keeps every packed value far inside BIGINT)
+BQ_SHORTLIST = 50  # Hamming candidates per query fed to the exact rerank
+BQ_TOPK = 10
+
+
+def _bq_pack_sql(col: str, word: int) -> str:
+    """DuckDB: pack sign bits [word*32, word*32+31] of a FLOAT[] into one
+    BIGINT (bit i set iff component > 0 — the standard BQ threshold)."""
+    lo = word * BQ_WORD_BITS + 1
+    hi = lo + BQ_WORD_BITS - 1
+    return (
+        f"CAST(list_sum(list_transform({col}[{lo}:{hi}], "
+        f"(x, i) -> CASE WHEN x > 0 THEN (1::BIGINT << (i - 1)) "
+        f"ELSE 0::BIGINT END)) AS BIGINT)"
+    )
+
+
+def _bq_pack_col(col: str, word: int):
+    """Spark twin of _bq_pack_sql (transform's index is 0-based where
+    DuckDB's lambda index is 1-based; the shift amounts coincide)."""
+    lo = word * BQ_WORD_BITS + 1
+    return F.expr(
+        f"aggregate(transform(slice({col}, {lo}, {BQ_WORD_BITS}), "
+        f"(x, i) -> IF(x > 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"
+    )
+
+
+@register(
+    "d30_binary_quantize",
+    # both stages are exact-integer (bit packing, xor, popcount) until the
+    # final cosine, which reuses the d30_knn_exact discipline: round to 4
+    # decimals BEFORE ranking so rank order with vec_id tiebreak is
+    # engine-independent. The shortlist boundary is the deterministic
+    # total order (hamming, vec_id).
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id, embedding,
+             {_bq_pack_sql('embedding', 0)} AS w0,
+             {_bq_pack_sql('embedding', 1)} AS w1
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, embedding AS qvec, w0 AS qw0, w1 AS qw1
+      FROM p WHERE vec_id < 5
+    ), h AS (
+      SELECT q.qid, p.vec_id, p.embedding, q.qvec,
+             CAST(bit_count(xor(q.qw0, p.w0))
+                  + bit_count(xor(q.qw1, p.w1)) AS BIGINT) AS hamming
+      FROM q JOIN p ON p.vec_id <> q.qid
+    ), shortlist AS (
+      SELECT qid, vec_id, embedding, qvec, hamming,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY hamming, vec_id) AS hrank
+      FROM h
+    ), scored AS (
+      SELECT qid, vec_id, hamming,
+             ROUND(
+               list_sum(list_transform(list_zip(qvec, embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(qvec,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               4) AS sim
+      FROM shortlist WHERE hrank <= {BQ_SHORTLIST}
+    )
+    SELECT qid, rank, vec_id, hamming, sim FROM (
+      SELECT qid, vec_id, hamming, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= {BQ_TOPK}
+    ORDER BY qid, rank
+    """,
+)
+def d30_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized retrieval: pack each embedding's SIGN BITS into
+    two 32-bit words (64 dims -> 16 bytes, a 16x compression with no
+    training pass), shortlist the {SHORTLIST} nearest per query by
+    Hamming distance (two xor+popcount ops per comparison), then rerank
+    the shortlist with exact full-precision cosine — the
+    quantize/shortlist/rescore architecture production vector stores run
+    at billion scale, certified end to end because every stage before
+    the final cosine is exact integer arithmetic.
+
+    Scale shape (100 TB): the packed relation is 3 longs per vector —
+    the corpus scan that serves the Hamming stage reads 24 bytes/row
+    where the float stage would read 256+; xor/popcount stay inside
+    whole-stage codegen (Long.bitCount intrinsics). Queries broadcast;
+    the shortlist's rank<=K plans as WindowGroupLimit so each map task
+    forwards at most {SHORTLIST} candidates per query, and only
+    |queries| x {SHORTLIST} rows ever touch float vectors again. Wider
+    embeddings add packed words linearly (dim/32); in production the
+    full-precision vectors live in a separate column family fetched only
+    for the shortlist."""
+    e = Catalog(spark, sf_dir).embeddings
+    p = e.select(
+        "vec_id",
+        "embedding",
+        _bq_pack_col("embedding", 0).alias("w0"),
+        _bq_pack_col("embedding", 1).alias("w1"),
+    )
+    q = p.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    h = p.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        "embedding",
+        "qvec",
+        F.expr(
+            "CAST(bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1) AS BIGINT)"
+        ).alias("hamming"),
+    )
+    w_h = Window.partitionBy("qid").orderBy("hamming", "vec_id")
+    shortlist = (
+        h.withColumn("hrank", F.row_number().over(w_h))
+        .where(F.col("hrank") <= BQ_SHORTLIST)
+    )
+    scored = shortlist.select(
+        "qid",
+        "vec_id",
+        "hamming",
+        F.round(
+            _dot(F.col("qvec"), F.col("embedding"))
+            / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
+            4,
+        ).alias("sim"),
+    )
+    w_r = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_r))
+        .where(F.col("rank") <= BQ_TOPK)
+        .select("qid", "rank", "vec_id", "hamming", "sim")
+        .orderBy("qid", "rank")
+    )

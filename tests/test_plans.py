@@ -1572,3 +1572,70 @@ def test_d33_prefixspan_sequence_assembly_single_exchange(spark):
     # the rank cap prunes before the aggregate: WindowGroupLimit bounds
     # what each map task forwards
     assert "WindowGroupLimit" in plan
+
+
+def test_d14_rolling_skew_single_window_chain_four_moments(spark):
+    """All four raw-moment frame averages must land in ONE Window chain
+    over ONE l_suppkey hash exchange (aliasing each moment once — inlined
+    .over() references would plan ~24 duplicate frame aggregates), and
+    the suppkey predicate must reach the scan."""
+    plan = _plan(spark, "d14_rolling_skew")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("avg(") == 4
+    assert "PushedFilters" in plan and "l_suppkey" in plan
+
+
+def test_d27_circadian_one_hash_agg_no_window(spark):
+    """The circadian profile is a pure two-phase aggregate: one
+    event_type hash exchange with a map-side partial (the decimal
+    cos/sin sums combine), no window, no join of the event table."""
+    plan = _plan(spark, "d27_circadian_profile")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_d29_kcore_semi_join_peeling(spark):
+    """Each peel round filters the edge list with SEMI joins against the
+    node-sized survivor set — never a cartesian; the only one-row
+    aggregates are the per-round summary scalars."""
+    plan = _plan(spark, "d29_kcore")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d30_binary_quantize_hamming_shortlist_windowgrouplimit(spark):
+    """Both rank<=K stages (Hamming shortlist, cosine rerank) must plan
+    as WindowGroupLimit with a partial below the qid exchange — map
+    tasks forward at most SHORTLIST candidates per query, so only
+    |queries| x SHORTLIST rows ever reach the float cosine; queries ride
+    a broadcast, the corpus never reshuffles for scoring."""
+    plan = _plan(spark, "d30_binary_quantize")
+    assert plan.count("WindowGroupLimit") >= 3  # partial+final shortlist, rerank
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d34_bucketed_batching_distributed_rank(spark):
+    """The global length rank must come from the two-pass distributed
+    row-number (range exchange on the sort key + partition-count-sized
+    offset broadcast) — NTILE's corpus-wide SinglePartition window is
+    exactly what this plan exists to avoid. The only SinglePartition
+    exchanges feed the 8-row pid-offset window and the scalar total,
+    never the document rows."""
+    plan = _plan(spark, "d34_bucketed_batching")
+    assert "rangepartitioning(tokens" in plan
+    assert "ntile" not in plan.lower()
+    # document rows flow scan -> range exchange -> mapInPandas -> join;
+    # no corpus-sized window anywhere
+    assert "WindowGroupLimit" not in plan
+
+
+def test_d34_domain_reweight_broadcast_totals(spark):
+    """The totals relation (one row) must broadcast back onto the
+    |sources|-sized domain table; the corpus itself aggregates through
+    one source-keyed exchange with a map-side partial."""
+    plan = _plan(spark, "d34_domain_reweight")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -246,6 +246,12 @@ AUDIT = [
     "d29_ppr_2iter",
     "d33_prefixspan_journeys",
     "d11_quantile_sketch_merge",
+    "d14_rolling_skew",
+    "d27_circadian_profile",
+    "d29_kcore",
+    "d30_binary_quantize",
+    "d34_domain_reweight",
+    "d34_bucketed_batching",
 ]
 
 
