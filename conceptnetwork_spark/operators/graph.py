@@ -767,3 +767,115 @@ def d29_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in summaries[1:]:
         out = out.unionAll(s)
     return out.orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity (round 12) — one-scalar mixing structure readout
+# --------------------------------------------------------------------------
+ASSORT_MIN_QTY = 45  # same bulk co-supplier graph as triangle/LPA
+
+
+@register(
+    "d29_degree_assortativity",
+    # Pearson correlation of (deg(src), deg(dst)) over the DIRECTED edge
+    # list (both orientations of each undirected edge, the standard
+    # Newman formulation). Degrees and edge counts are exact integers, so
+    # every moment sum is exact in double and the closed-form correlation
+    # is a deterministic IEEE expression mirrored shape-for-shape;
+    # zero-variance degenerates yield NULL in both engines, + 0.0
+    # normalizes IEEE negative zero.
+    oracle=f"""
+    WITH bulk AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem WHERE l_quantity >= {ASSORT_MIN_QTY}
+    ), e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM bulk a JOIN bulk b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    ), d AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM e GROUP BY src
+    ), j AS (
+      SELECT ds.deg AS x, dd.deg AS y
+      FROM e JOIN d ds ON ds.node = e.src JOIN d dd ON dd.node = e.dst
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM j
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_nodes,
+           CAST(m / 2 AS BIGINT) AS n_edges,
+           ROUND(CASE WHEN (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+                       AND (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+                 THEN (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                      / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                         * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                 END, 4) + 0.0 AS assortativity
+    FROM s
+    """,
+)
+def d29_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-supplier graph: the Pearson
+    correlation of endpoint degrees across edges (Newman's r) — positive
+    means hubs link to hubs (social-network mixing), negative means
+    hub-and-spoke (infrastructure/web), and it is the one-scalar summary
+    that tells you whether LPA communities (hub-attracted) or k-core
+    peeling (hub-concentric) will carve this graph well.
+
+    Scale shape (100 TB): one node-keyed degree aggregate, two hash joins
+    decorating each edge with its endpoint degrees (the degree relation
+    is node-cardinality — broadcastable long before the edge list), then
+    ONE map-side-combinable moment aggregate to six scalars; the
+    correlation is closed-form driver arithmetic on one row. No window,
+    no all-pairs, nothing quadratic."""
+    li = Catalog(spark, sf_dir).lineitem
+    bulk = (
+        li.where(F.col("l_quantity") >= ASSORT_MIN_QTY)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = bulk.alias("a"), bulk.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    d = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ds = d.select(F.col("src").alias("node"), F.col("deg").alias("x"))
+    dd = d.select(F.col("src").alias("node"), F.col("deg").alias("y"))
+    j = (
+        e.join(F.broadcast(ds), e["src"] == ds["node"])
+        .join(F.broadcast(dd), e["dst"] == dd["node"])
+        .select("x", "y")
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    m = F.col("m").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    vx = m * F.col("sxx") - sx * F.col("sx")
+    vy = m * F.col("syy") - sy * F.col("sy")
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        (m * F.col("sxy") - sx * F.col("sy")) / (F.sqrt(vx) * F.sqrt(vy)),
+    ).otherwise(F.lit(None))
+    return nn.crossJoin(s).select(
+        "n_nodes",
+        F.expr("m div 2").cast("long").alias("n_edges"),
+        (F.round(r, 4) + F.lit(0.0)).alias("assortativity"),
+    )

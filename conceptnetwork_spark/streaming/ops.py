@@ -2373,3 +2373,152 @@ def run_session_stream_on_stage(spark: SparkSession, stage: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# --------------------------------------------------------------------------
+# D26 extension (round 12) — STREAMING drift monitor: per-day population
+# stability index of the event-type mix vs a static reference
+# --------------------------------------------------------------------------
+DRIFT_DELAY = "2 hours"
+DRIFT_CHUNKS = 3
+DRIFT_DEC = 8  # per-term rounding before the exact decimal sum
+
+
+@register(
+    "d26_stream_drift_psi",
+    # Closed-form oracle via the session-window discipline: tumbling
+    # 1-day windows finalize when day_end <= final watermark (ms-truncated
+    # max ts minus the delay); withheld days are absent in both engines.
+    # PSI terms (p-q)*ln(p/q) are each >= 0 and rounded to 8 decimals
+    # before an exact DECIMAL sum, so the one libm call per (day, type)
+    # cell never compounds. Laplace smoothing (+1 over n+T) keeps
+    # zero-count cells finite with the identical closed form both sides.
+    oracle="""
+    WITH wm AS (
+      SELECT make_timestamp(epoch_ms(max(ts)) * 1000
+                            - CAST(7200 AS BIGINT) * 1000000) AS w
+      FROM events
+    ), base AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM events GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(SUM(cb) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS t
+      FROM base
+    ), days AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS cd
+      FROM events, wm
+      WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
+      GROUP BY 1, 2
+    ), dtot AS (
+      SELECT day, CAST(SUM(cd) AS BIGINT) AS nd FROM days GROUP BY day
+    ), terms AS (
+      SELECT d.day, d.nd,
+             CAST(ROUND(
+               ((CAST(COALESCE(x.cd, 0) + 1 AS DOUBLE) / (d.nd + tot.t))
+                - (CAST(b.cb + 1 AS DOUBLE) / (tot.n + tot.t)))
+               * ln((CAST(COALESCE(x.cd, 0) + 1 AS DOUBLE) / (d.nd + tot.t))
+                    / (CAST(b.cb + 1 AS DOUBLE) / (tot.n + tot.t))), 8)
+               AS DECIMAL(12,8)) AS term
+      FROM dtot d CROSS JOIN base b CROSS JOIN tot
+      LEFT JOIN days x ON x.day = d.day AND x.event_type = b.event_type
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, nd AS n_events,
+           ROUND(CAST(SUM(term) AS DOUBLE), 4) AS psi
+    FROM terms GROUP BY day, nd ORDER BY day
+    """,
+)
+def d26_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor: per-day population stability index of the
+    event-type mix against the static reference distribution — the
+    feature-drift alarm an ML serving pipeline keeps on every categorical
+    input (PSI < 0.1 stable, > 0.25 retrain), here run as a REAL
+    multi-micro-batch stream: tumbling 1-day windows under a 2-hour
+    watermark count (day, type) cells in state, append mode finalizes a
+    day only once the watermark passes its end, and the PSI readout joins
+    the finalized cells against the batch-computed reference.
+
+    Scale shape (100 TB): streaming state is one counter row per OPEN
+    (day, type) window — bounded by the watermark horizon times the type
+    vocabulary, independent of event volume; the reference relation is
+    |types| rows broadcast onto a |days x types| grid (KB-sized). The
+    heavy path (per-event counting) is a streaming partial aggregate —
+    map-side combined before state commit, exactly like the batch twin's
+    partial agg."""
+    stage = _stage_time_chunks_cached(spark, sf_dir)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", DRIFT_DELAY)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cd"))
+    )
+    name = f"drift_stream_{uuid.uuid4().hex[:8]}"
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q, 180)
+    days = spark.table(name).select(
+        F.to_date(F.col("w.start")).alias("day"), "event_type", "cd"
+    )
+    ev = Catalog(spark, sf_dir).events
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    tot = base.agg(
+        F.sum("cb").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    )
+    dtot = days.groupBy("day").agg(F.sum("cd").cast("long").alias("nd"))
+    grid = (
+        dtot.crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(tot))
+        .join(days, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "nd",
+            (F.coalesce(F.col("cd"), F.lit(0)) + F.lit(1))
+            .cast("double")
+            .alias("pd_num"),
+            (F.col("nd") + F.col("t")).alias("pd_den"),
+            (F.col("cb") + F.lit(1)).cast("double").alias("q_num"),
+            (F.col("n") + F.col("t")).alias("q_den"),
+        )
+    )
+    p = F.col("pd_num") / F.col("pd_den")
+    qq = F.col("q_num") / F.col("q_den")
+    terms = grid.select(
+        "day",
+        "nd",
+        F.round((p - qq) * F.log(p / qq), DRIFT_DEC)
+        .cast("decimal(12,8)")
+        .alias("term"),
+    )
+    return (
+        terms.groupBy("day", "nd")
+        .agg(F.round(F.sum("term").cast("double"), 4).alias("psi"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("nd").alias("n_events"),
+            "psi",
+        )
+        .orderBy("day")
+    )
+
+
+def _stage_time_chunks_cached(spark: SparkSession, sf_dir: str) -> str:
+    """The session-window op's chunk stage, shared (same chunk count ->
+    same idempotent dir). Function-local import: stateful.py imports
+    ops.await_finished at module level (cycle)."""
+    from conceptnetwork_spark.streaming.stateful import _stage_time_chunks
+
+    return _stage_time_chunks(spark, sf_dir, DRIFT_CHUNKS)

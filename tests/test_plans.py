@@ -1639,3 +1639,14 @@ def test_d34_domain_reweight_broadcast_totals(spark):
     plan = _plan(spark, "d34_domain_reweight")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_d29_degree_assortativity_broadcast_degrees(spark):
+    """The degree relation must BROADCAST onto the edge list (it is
+    node-cardinality, orders smaller than edges) and the moment readout
+    must be a map-side-combinable aggregate — no sort-merge join, no
+    cartesian anywhere."""
+    plan = _plan(spark, "d29_degree_assortativity")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -625,3 +625,27 @@ def test_stream_session_window_watermark_tie(spark, tmp_path):
     )
     assert rows[1].n_events == 2 and rows[1].session_end == "2024-03-01 10:00:00"
     assert rows[3].n_events == 1
+
+
+def test_d26_stream_drift_psi_withholds_unfinalized_days(spark, ddb):
+    """The streamed PSI must carry the append-mode contract: days whose
+    end has NOT passed the final watermark (max ts - 2h, ms-truncated)
+    are withheld. The last event day always fails that bar (its end is
+    ~24h past any same-day watermark), so the result must not contain it
+    while the unwatermarked batch grid does."""
+    from conceptnetwork_spark import registry
+    from tests.conftest import SF_ORACLE
+
+    out = registry.queries()["d26_stream_drift_psi"](spark, SF_ORACLE).toPandas()
+    all_days = ddb.execute(
+        f"SELECT COUNT(DISTINCT date_trunc('day', ts)) "
+        f"FROM '{SF_ORACLE}/events.parquet'"
+    ).fetchone()[0]
+    assert len(out) < all_days, "no day was withheld — watermark not applied"
+    last_day = ddb.execute(
+        f"SELECT strftime(MAX(date_trunc('day', ts)), '%Y-%m-%d') "
+        f"FROM '{SF_ORACLE}/events.parquet'"
+    ).fetchone()[0]
+    assert last_day not in set(out["day"])
+    # PSI is a non-negative divergence by construction
+    assert (out["psi"] >= 0).all()

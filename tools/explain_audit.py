@@ -252,6 +252,7 @@ AUDIT = [
     "d30_binary_quantize",
     "d34_domain_reweight",
     "d34_bucketed_batching",
+    "d29_degree_assortativity",
 ]
 
 
