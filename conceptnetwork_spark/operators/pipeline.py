@@ -4043,3 +4043,187 @@ def d34_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# D35 (cont., round 12) — per-file Bloom-filter skipping index (the point-
+# lookup complement of d35_minmax_file_skip's range pruning)
+# --------------------------------------------------------------------------
+BFS_FILE_ROWS = 4096  # orderkeys per modeled data file
+BFS_M = 4096  # bits per per-file filter
+BFS_K = 3  # md5-prefix hash functions (the d11_bloom_filter recipe)
+BFS_PROBES = 20  # point-lookup custkeys 1..N
+
+
+def _bfs_pos_sql(key: str) -> list[str]:
+    return [
+        f"CAST(('0x' || substr(md5({key}), {1 + 8 * i}, 8)) AS BIGINT)"
+        f" % {BFS_M}"
+        for i in range(BFS_K)
+    ]
+
+
+@register(
+    "d35_bloom_file_skip",
+    # a candidate file must contain ALL of the probe key's DISTINCT bit
+    # positions (md5-prefix hashes, so the SAME filter materializes on
+    # any engine); truth is the actual containment join. The Bloom
+    # no-false-negative guarantee makes n_candidates >= n_true a hash-
+    # certified invariant, and skip_ratio is exact integer arithmetic
+    # over the file population.
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT o_orderkey // {BFS_FILE_ROWS} AS file_id, o_custkey
+      FROM orders
+    ), nf AS (
+      SELECT CAST(COUNT(DISTINCT file_id) AS BIGINT) AS n_files FROM keys
+    ), bits AS (
+      SELECT DISTINCT file_id, pos FROM (
+        {" UNION ALL ".join(
+            f"SELECT file_id, {p} AS pos FROM (SELECT file_id, CAST(o_custkey AS VARCHAR) AS k FROM keys) t"
+            for p in _bfs_pos_sql("k"))}
+      )
+    ), probes AS (
+      SELECT UNNEST(range(1, {BFS_PROBES + 1})) AS custkey
+    ), ppos AS (
+      SELECT DISTINCT custkey, pos FROM (
+        {" UNION ALL ".join(
+            f"SELECT custkey, {p} AS pos FROM (SELECT custkey, CAST(custkey AS VARCHAR) AS k FROM probes) t"
+            for p in _bfs_pos_sql("k"))}
+      )
+    ), pneed AS (
+      SELECT custkey, CAST(COUNT(*) AS BIGINT) AS need FROM ppos GROUP BY custkey
+    ), cand AS (
+      SELECT p.custkey, b.file_id
+      FROM ppos p JOIN bits b ON b.pos = p.pos
+      GROUP BY p.custkey, b.file_id
+      HAVING COUNT(*) = (SELECT need FROM pneed WHERE pneed.custkey = p.custkey)
+    ), truth AS (
+      SELECT pr.custkey, k.file_id
+      FROM probes pr JOIN keys k ON k.o_custkey = pr.custkey
+    )
+    SELECT pr.custkey, nf.n_files,
+           CAST(COUNT(DISTINCT c.file_id) AS BIGINT) AS n_candidates,
+           CAST(COUNT(DISTINCT t.file_id) AS BIGINT) AS n_true,
+           CAST(COUNT(DISTINCT c.file_id) - COUNT(DISTINCT t.file_id)
+                AS BIGINT) AS false_positive_files,
+           ROUND(1.0 - CAST(COUNT(DISTINCT c.file_id) AS DOUBLE)
+                 / nf.n_files, 4) AS skip_ratio
+    FROM probes pr CROSS JOIN nf
+    LEFT JOIN cand c ON c.custkey = pr.custkey
+    LEFT JOIN truth t ON t.custkey = pr.custkey
+    GROUP BY pr.custkey, nf.n_files
+    ORDER BY pr.custkey
+    """,
+)
+def d35_bloom_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom skipping index: model data files as
+    {FILE_ROWS}-orderkey buckets, build a {M}-bit/{K}-hash Bloom filter
+    over each file's customer keys, then probe {PROBES} point-lookup
+    custkeys and report per probe how many files the filter admits vs
+    how many truly contain the key — the bloom-filter column index
+    lakehouse formats attach to data files for point lookups where
+    min/max zone maps (d35_minmax_file_skip) are useless because the
+    column is unsorted and high-cardinality. False negatives are
+    impossible by construction (hash-certified: n_candidates >= n_true);
+    skip_ratio is the I/O the index saves.
+
+    Scale shape (100 TB): the index build is one (file, custkey)
+    DISTINCT + a bounded explode to <= {M} distinct positions per file —
+    an aggregate the size of the INDEX, not the data, exactly how a real
+    writer accumulates it at commit time. Probes join the tiny position
+    relation (broadcast); the truth join is probe-key-selective. Nothing
+    rescans the fact table per probe."""
+    o = Catalog(spark, sf_dir).orders
+    keys = (
+        o.select(
+            F.expr(f"o_orderkey div {BFS_FILE_ROWS}").alias("file_id"),
+            "o_custkey",
+        )
+        .distinct()
+    )
+
+    def positions(k):
+        return [
+            F.conv(F.substring(F.md5(k), 1 + 8 * i, 8), 16, 10).cast("long")
+            % BFS_M
+            for i in range(BFS_K)
+        ]
+
+    bits = (
+        keys.select(
+            "file_id",
+            F.explode(
+                F.array(*positions(F.col("o_custkey").cast("string")))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    probes = spark.range(1, BFS_PROBES + 1).select(
+        F.col("id").alias("custkey")
+    )
+    ppos = (
+        probes.select(
+            "custkey",
+            F.explode(
+                F.array(*positions(F.col("custkey").cast("string")))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    pneed = ppos.groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("need")
+    )
+    cand = (
+        ppos.join(F.broadcast(bits.hint("broadcast")), "pos")
+        .groupBy("custkey", "file_id")
+        .agg(F.count(F.lit(1)).alias("got"))
+        .join(F.broadcast(pneed), "custkey")
+        .where(F.col("got") == F.col("need"))
+        .select("custkey", "file_id")
+    )
+    truth = probes.join(
+        keys, probes["custkey"] == keys["o_custkey"]
+    ).select("custkey", "file_id")
+    nf = keys.select("file_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_files")
+    )
+    out = (
+        probes.crossJoin(F.broadcast(nf))
+        .join(
+            cand.groupBy("custkey").agg(
+                F.countDistinct("file_id").cast("long").alias("n_candidates")
+            ),
+            "custkey",
+            "left",
+        )
+        .join(
+            truth.groupBy("custkey").agg(
+                F.countDistinct("file_id").cast("long").alias("n_true")
+            ),
+            "custkey",
+            "left",
+        )
+        .select(
+            "custkey",
+            "n_files",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            (
+                F.coalesce("n_candidates", F.lit(0))
+                - F.coalesce("n_true", F.lit(0))
+            )
+            .cast("long")
+            .alias("false_positive_files"),
+            F.round(
+                F.lit(1.0)
+                - F.coalesce("n_candidates", F.lit(0)).cast("double")
+                / F.col("n_files"),
+                4,
+            ).alias("skip_ratio"),
+        )
+        .orderBy("custkey")
+    )
+    return out

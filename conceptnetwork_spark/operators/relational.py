@@ -8298,3 +8298,131 @@ def d27_circadian_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("concentration"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# D14 (cont., round 12) — SAX: symbolic aggregate approximation (the
+# classic time-series symbolization: z-normalize, piecewise-aggregate,
+# map segment means to an alphabet by N(0,1) breakpoints)
+# --------------------------------------------------------------------------
+SAX_POINTS = 64  # series length (power of two: sums divide exactly)
+SAX_SEGS = 8  # PAA segments (8 points each)
+SAX_BPS = (-0.6745, 0.0, 0.6745)  # N(0,1) quartiles -> 4-letter alphabet
+
+
+@register(
+    "d14_sax",
+    # x = l_quantity is integer-valued and both divisors are powers of
+    # two, so mean and every PAA segment mean are EXACT doubles; sd and
+    # the z-scores are deterministic IEEE expressions mirrored
+    # shape-for-shape, so the breakpoint comparisons land identically in
+    # both engines even at exact boundaries. Suppliers with fewer than
+    # {POINTS} events are excluded; zero-variance series yield NULL words.
+    oracle=f"""
+    WITH s AS (
+      SELECT l_suppkey, l_quantity AS x,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS pos,
+             COUNT(*) OVER (PARTITION BY l_suppkey) AS n
+      FROM lineitem WHERE l_suppkey <= 50
+    ), head AS (
+      SELECT l_suppkey, x, (pos - 1) // {SAX_POINTS // SAX_SEGS} AS seg
+      FROM s WHERE n >= {SAX_POINTS} AND pos <= {SAX_POINTS}
+    ), stats AS (
+      SELECT l_suppkey,
+             SUM(x) / {SAX_POINTS}.0 AS mean,
+             sqrt(SUM(x * x) / {SAX_POINTS}.0
+                  - (SUM(x) / {SAX_POINTS}.0) * (SUM(x) / {SAX_POINTS}.0))
+               AS sd
+      FROM head GROUP BY l_suppkey
+    ), paa AS (
+      SELECT l_suppkey, seg, SUM(x) / {SAX_POINTS // SAX_SEGS}.0 AS pm
+      FROM head GROUP BY l_suppkey, seg
+    ), sym AS (
+      SELECT p.l_suppkey, p.seg,
+             CASE WHEN st.sd > 0 THEN
+               CASE WHEN (p.pm - st.mean) / st.sd < {SAX_BPS[0]} THEN 'a'
+                    WHEN (p.pm - st.mean) / st.sd < {SAX_BPS[1]} THEN 'b'
+                    WHEN (p.pm - st.mean) / st.sd < {SAX_BPS[2]} THEN 'c'
+                    ELSE 'd' END
+             END AS sym,
+             st.mean, st.sd
+      FROM paa p JOIN stats st USING (l_suppkey)
+    )
+    SELECT l_suppkey,
+           string_agg(sym, '' ORDER BY seg) AS sax_word,
+           ROUND(ANY_VALUE(mean), 4) AS mean,
+           ROUND(ANY_VALUE(sd), 4) AS sd
+    FROM sym GROUP BY l_suppkey ORDER BY l_suppkey
+    """,
+)
+def d14_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of each supplier's first {POINTS}-event quantity
+    series: z-normalize, piecewise-aggregate into {SEGS} segments, map
+    each segment mean to a 4-letter alphabet at the N(0,1) quartile
+    breakpoints (Lin et al.'s classic). The words feed motif discovery,
+    cheap shape clustering, and symbolic anomaly flags — the
+    dimensionality-reduction front end before any of those, reducing 64
+    points to 8 characters with a distance lower bound.
+
+    Scale shape (100 TB): ONE l_suppkey hash exchange serves the position
+    window, the per-series stats aggregate, and the per-segment PAA
+    aggregate (same key throughout — Catalyst reuses the exchange);
+    per-series state is two scalars plus {SEGS} segment means, and the
+    word assembly collects exactly {SEGS} rows per key. Alphabet lookup
+    is a codegen'd CASE — no UDF, no collect."""
+    li = Catalog(spark, sf_dir).lineitem.where(F.col("l_suppkey") <= 50)
+    w_pos = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    w_all = Window.partitionBy("l_suppkey")
+    pts = SAX_POINTS // SAX_SEGS
+    s = li.select(
+        "l_suppkey",
+        F.col("l_quantity").alias("x"),
+        F.row_number().over(w_pos).alias("pos"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    head = s.where(
+        (F.col("n") >= SAX_POINTS) & (F.col("pos") <= SAX_POINTS)
+    ).select("l_suppkey", "x", F.expr(f"(pos - 1) div {pts}").alias("seg"))
+    stats = head.groupBy("l_suppkey").agg(
+        (F.sum("x") / F.lit(float(SAX_POINTS))).alias("mean"),
+        F.sqrt(
+            F.sum(F.col("x") * F.col("x")) / F.lit(float(SAX_POINTS))
+            - (F.sum("x") / F.lit(float(SAX_POINTS)))
+            * (F.sum("x") / F.lit(float(SAX_POINTS)))
+        ).alias("sd"),
+    )
+    paa = head.groupBy("l_suppkey", "seg").agg(
+        (F.sum("x") / F.lit(float(pts))).alias("pm")
+    )
+    z = (F.col("pm") - F.col("mean")) / F.col("sd")
+    sym = paa.join(stats, "l_suppkey").select(
+        "l_suppkey",
+        "seg",
+        F.when(
+            F.col("sd") > 0,
+            F.when(z < SAX_BPS[0], F.lit("a"))
+            .when(z < SAX_BPS[1], F.lit("b"))
+            .when(z < SAX_BPS[2], F.lit("c"))
+            .otherwise(F.lit("d")),
+        ).alias("sym"),
+        "mean",
+        "sd",
+    )
+    return (
+        sym.groupBy("l_suppkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "sym"))),
+                    lambda t: t["sym"],
+                ),
+                "",
+            ).alias("sax_word"),
+            F.round(F.first("mean"), 4).alias("mean"),
+            F.round(F.first("sd"), 4).alias("sd"),
+        )
+        .orderBy("l_suppkey")
+    )

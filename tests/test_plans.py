@@ -1650,3 +1650,29 @@ def test_d29_degree_assortativity_broadcast_degrees(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_d14_sax_suppkey_exchange_reuse_no_funnel(spark):
+    """The position window, per-series stats, and per-segment PAA must
+    all ride suppkey-keyed exchanges (two hash exchanges total — window
+    feed plus the (suppkey, seg) PAA agg), with no SinglePartition
+    funnel and no sort-merge join: the symbol lookup is a codegen'd
+    CASE, the word assembly collects exactly SAX_SEGS rows per key."""
+    plan = _plan(spark, "d14_sax")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_d35_bloom_file_skip_broadcast_index(spark):
+    """The skipping index (per-file bit positions) and the probe
+    relations are index-sized and must BROADCAST — no sort-merge join,
+    no cartesian of the fact table; the orders scan happens once for the
+    key extraction, never per probe."""
+    plan = _plan(spark, "d35_bloom_file_skip")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # three column-pruned orders scans (index keys / file count / truth),
+    # each reading <=2 columns — never the fact table per probe
+    assert plan.count("FileScan parquet") <= 3

@@ -253,6 +253,8 @@ AUDIT = [
     "d34_domain_reweight",
     "d34_bucketed_batching",
     "d29_degree_assortativity",
+    "d14_sax",
+    "d35_bloom_file_skip",
 ]
 
 
