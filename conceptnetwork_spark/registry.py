@@ -90,10 +90,22 @@ _LOADED = False
 # before commit).
 CERT_FIRST: tuple[str, ...] = (
     # round-12 additions + the never-certified r11 fix — certified
-    # the round they land / re-land (r9 ask #8)
+    # the round they land / re-land (r9 ask #8); the ten late-round-12
+    # operators displace the ten least-stale fill rows (returned to the
+    # r13 rotation queue below)
     "d29_ppr_2iter",
     "d33_prefixspan_journeys",
     "d11_quantile_sketch_merge",
+    "d14_rolling_skew",
+    "d27_circadian_profile",
+    "d29_kcore",
+    "d30_binary_quantize",
+    "d34_domain_reweight",
+    "d34_bucketed_batching",
+    "d26_stream_drift_psi",
+    "d29_degree_assortativity",
+    "d14_sax",
+    "d35_bloom_file_skip",
     "d14_rolling_corr",
     # stalest re-certifications, staleness order (last green r3, then
     # the oldest r4-era rows — ROUNDCLOSE_r11 stale_certs head)
@@ -133,18 +145,12 @@ CERT_FIRST: tuple[str, ...] = (
     "d27_dynamic_gap_session",
     "d27_funnel",
     "d27_retention",
-    "d28_dedup_within_watermark",
-    "d29_decontaminate",
-    "d29_pagerank_2iter",
-    "d29_triangle_count",
-    "d30_mips_topk",
-    "d31_chunk_text",
-    "d31_ngram_profile",
-    "d31_pii_redact",
-    "d31_unigram_logprob",
-    "d31_vocab_topk",
 )
-# Queued for the r13 rotation head (next-stalest r4-era greens):
+# Queued for the r13 rotation head (the ten r4-era greens displaced by
+# the late-round-12 operators — d28_dedup_within_watermark,
+# d29_decontaminate, d29_pagerank_2iter, d29_triangle_count,
+# d30_mips_topk, d31_chunk_text, d31_ngram_profile, d31_pii_redact,
+# d31_unigram_logprob, d31_vocab_topk — then the next-stalest):
 # d32_audio_decode, d32_jpeg_meta, d34_dataprep_summary,
 # d34_global_shuffle, d34_shard_manifest, d35_compact_files,
 # d35_mv_merge, d35_partition_stats, d35_snapshot_at, d35_snapshot_diff,
