@@ -879,3 +879,142 @@ def d29_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("m div 2").cast("long").alias("n_edges"),
         (F.round(r, 4) + F.lit(0.0)).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Link prediction (round 12): common-neighbors / Adamic-Adar / preferential
+# attachment over the customer->supplier purchase graph — the "which
+# entities are likely related" primitive behind co-purchase recommendation,
+# entity-resolution candidate generation, and graph-completion eval
+# --------------------------------------------------------------------------
+LP_TOPK = 5  # candidates kept per customer (rank on the ROUNDED score)
+
+
+@register(
+    "d29_link_prediction",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey < 1500
+    ),
+    sdeg AS (SELECT supp, COUNT(*) AS deg FROM edges GROUP BY supp),
+    cdeg AS (SELECT cust, COUNT(*) AS deg FROM edges GROUP BY cust),
+    davg AS (SELECT AVG(deg) AS avg_deg FROM sdeg),
+    mid AS (
+      -- scale-adaptive hub cap: degree = |edges|/|suppliers| varies with
+      -- SF, so a fixed cap degenerates (empty mid at sf0.01, everything
+      -- at sf0.1); 5x the mean degree excludes true hubs at ANY scale
+      SELECT supp, deg FROM sdeg, davg
+      WHERE deg >= 2 AND deg <= 5 * avg_deg
+    ),
+    pairs AS (
+      SELECT a.cust AS cust_a, b.cust AS cust_b, m.deg
+      FROM edges a
+      JOIN mid m ON a.supp = m.supp
+      JOIN edges b ON b.supp = a.supp AND a.cust < b.cust
+    ),
+    scored AS (
+      SELECT cust_a, cust_b, COUNT(*) AS cn,
+             ROUND(SUM(1.0 / LN(deg)), 4) + 0.0 AS aa
+      FROM pairs GROUP BY cust_a, cust_b HAVING COUNT(*) >= 2
+    ),
+    ranked AS (
+      SELECT cust_a, cust_b, cn, aa,
+             ROW_NUMBER() OVER (
+               PARTITION BY cust_a ORDER BY aa DESC, cn DESC, cust_b
+             ) AS rk
+      FROM scored
+    )
+    SELECT r.cust_a, r.rk, r.cust_b, r.cn, r.aa, da.deg * db.deg AS pa
+    FROM ranked r
+    JOIN cdeg da ON da.cust = r.cust_a
+    JOIN cdeg db ON db.cust = r.cust_b
+    WHERE r.rk <= 5
+    ORDER BY r.cust_a, r.rk
+    """,
+)
+def d29_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 link-prediction candidates per customer in the bounded
+    purchase graph: for every customer pair sharing >=2 mid-degree
+    suppliers, score with common-neighbor count (cn), Adamic-Adar
+    (aa = sum over shared suppliers of 1/ln(deg) — Adamic & Adar 2003,
+    the standard down-weighting of promiscuous neighbors), and
+    preferential attachment (pa = deg(a)*deg(b), full degrees); keep each
+    customer's 5 best by (aa, cn, cust_b) — the candidate-generation
+    primitive behind co-purchase recommendation, entity-resolution
+    blocking, and graph-completion eval.
+
+    Scale shape: pair generation is a self-join keyed on supplier,
+    restricted to mid-degree suppliers (2 <= deg <= 5x mean — a
+    SCALE-ADAPTIVE hub cap, since mean degree = |edges|/|suppliers| moves
+    with SF; a fixed cap was empty at sf0.01 and toothless at sf0.1), so
+    per-key fanout is bounded and no hot supplier explodes the shuffle;
+    hub suppliers carry ~0 Adamic-Adar signal (1/ln(deg)) so the cap is
+    published practice, not an approximation knob. The degree shortlist,
+    mean-degree scalar, and both customer-degree relations are broadcast
+    (KB at any SF); the rank<=5 filter plans as WindowGroupLimit so map
+    tasks forward at most 5 candidates per customer past the cust_a
+    exchange — the result is |customers|x5-bounded, never an all-pairs
+    matrix. Ranking uses the ROUNDED score (discrete sort key) with
+    (cn, cust_b) tie-breaks, so both engines order identically; ln(deg)
+    >= ln 2 by the cap (total division), and ROUND + 0.0 pins the IEEE
+    negative-zero class (r11 rolling_corr lesson). Reference anchor: no
+    graph surface in the reference (SURVEY §2.1) — mandated LLM-pipeline
+    extension (§2.2 D29)."""
+    t = Catalog(spark, sf_dir)
+    edges = (
+        t.orders.where(F.col("o_orderkey") < 1500)
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+    )
+    sdeg = edges.groupBy("supp").agg(F.count(F.lit(1)).alias("deg"))
+    cdeg = edges.groupBy("cust").agg(F.count(F.lit(1)).alias("deg"))
+    davg = sdeg.agg(F.avg("deg").alias("avg_deg"))
+    mid = (
+        sdeg.crossJoin(F.broadcast(davg))
+        .where((F.col("deg") >= 2) & (F.col("deg") <= 5 * F.col("avg_deg")))
+        .select("supp", "deg")
+    )
+    a = edges.select(F.col("cust").alias("cust_a"), "supp")
+    b = edges.select(F.col("cust").alias("cust_b"), "supp")
+    pairs = (
+        a.join(F.broadcast(mid), "supp")
+        .join(b, "supp")
+        .where(F.col("cust_a") < F.col("cust_b"))
+    )
+    scored = (
+        pairs.groupBy("cust_a", "cust_b")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            (
+                F.round(F.sum(1.0 / F.log(F.col("deg").cast("double"))), 4)
+                + F.lit(0.0)
+            ).alias("aa"),
+        )
+        .where(F.col("cn") >= 2)
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("cust_a").orderBy(
+            F.col("aa").desc(), F.col("cn").desc(), F.col("cust_b")
+        )
+    )
+    ranked = scored.withColumn("rk", rk).where(F.col("rk") <= LP_TOPK)
+    da = cdeg.select(F.col("cust").alias("cust_a"), F.col("deg").alias("deg_a"))
+    db = cdeg.select(F.col("cust").alias("cust_b"), F.col("deg").alias("deg_b"))
+    return (
+        ranked.join(F.broadcast(da), "cust_a")
+        .join(F.broadcast(db), "cust_b")
+        .select(
+            "cust_a",
+            "rk",
+            "cust_b",
+            "cn",
+            "aa",
+            (F.col("deg_a") * F.col("deg_b")).alias("pa"),
+        )
+        .orderBy("cust_a", "rk")
+    )

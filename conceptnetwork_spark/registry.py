@@ -107,6 +107,7 @@ CERT_FIRST: tuple[str, ...] = (
     "d14_sax",
     "d35_bloom_file_skip",
     "d14_rolling_corr",
+    "d29_link_prediction",
     # stalest re-certifications, staleness order (last green r3, then
     # the oldest r4-era rows — ROUNDCLOSE_r11 stale_certs head)
     "d13_ntile",
@@ -144,10 +145,10 @@ CERT_FIRST: tuple[str, ...] = (
     "d26_append_finalize",
     "d27_dynamic_gap_session",
     "d27_funnel",
-    "d27_retention",
 )
-# Queued for the r13 rotation head (the ten r4-era greens displaced by
-# the late-round-12 operators — d28_dedup_within_watermark,
+# Queued for the r13 rotation head (d27_retention — displaced by the
+# round-12 d29_link_prediction addition — then the ten r4-era greens
+# displaced by the late-round-12 operators — d28_dedup_within_watermark,
 # d29_decontaminate, d29_pagerank_2iter, d29_triangle_count,
 # d30_mips_topk, d31_chunk_text, d31_ngram_profile, d31_pii_redact,
 # d31_unigram_logprob, d31_vocab_topk — then the next-stalest):

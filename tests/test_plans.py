@@ -1676,3 +1676,26 @@ def test_d35_bloom_file_skip_broadcast_index(spark):
     # three column-pruned orders scans (index keys / file count / truth),
     # each reading <=2 columns — never the fact table per probe
     assert plan.count("FileScan parquet") <= 3
+
+
+def test_d29_link_prediction_capped_self_join(spark):
+    """Pair generation must be the supplier-keyed self-join gated by the
+    broadcast mid-degree shortlist (scale-adaptive hub cap), with both
+    customer-degree relations broadcast and the rank<=5 filter planned as
+    WindowGroupLimit (map tasks forward at most 5 candidates per customer
+    past the cust_a exchange) — never a cartesian, never an all-pairs
+    customer join; the only SinglePartition stage is the 1-row
+    mean-degree scalar feeding the broadcast cap."""
+    plan = _plan(spark, "d29_link_prediction")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the 1-row mean-degree scalar attach (a
+    # BNLJ against a single-row broadcast IS the scalar-attach plan)
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # degree shortlist + mean scalar + two customer-degree broadcasts
+    assert plan.count("BroadcastHashJoin") >= 3
+    # exactly one shuffled join: the supplier-keyed edge self-join
+    assert plan.count("SortMergeJoin") == 1
+    # top-5-per-customer pushes the limit below the exchange
+    assert plan.count("WindowGroupLimit") >= 2
+    # the lone SinglePartition exchange feeds the 1-row degree-mean scalar
+    assert plan.count("Exchange SinglePartition") == 1

@@ -255,6 +255,7 @@ AUDIT = [
     "d29_degree_assortativity",
     "d14_sax",
     "d35_bloom_file_skip",
+    "d29_link_prediction",
 ]
 
 
