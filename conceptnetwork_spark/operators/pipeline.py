@@ -4175,7 +4175,7 @@ def d35_bloom_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("need")
     )
     cand = (
-        ppos.join(F.broadcast(bits.hint("broadcast")), "pos")
+        ppos.join(F.broadcast(bits), "pos")
         .groupBy("custkey", "file_id")
         .agg(F.count(F.lit(1)).alias("got"))
         .join(F.broadcast(pneed), "custkey")

@@ -8420,9 +8420,21 @@ def d14_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda t: t["sym"],
                 ),
                 "",
-            ).alias("sax_word"),
+            ).alias("word_raw"),
+            F.first("sd").alias("sd_raw"),
             F.round(F.first("mean"), 4).alias("mean"),
             F.round(F.first("sd"), 4).alias("sd"),
+        )
+        # zero-variance series must yield a NULL word, matching the
+        # oracle's string_agg over all-NULL syms — array_join silently
+        # DROPS null elements, so without this gate Spark emits '' where
+        # DuckDB emits NULL (sd == 0 is exact here: integer quantities
+        # with power-of-two divisors make the moment arithmetic exact)
+        .select(
+            "l_suppkey",
+            F.when(F.col("sd_raw") > 0, F.col("word_raw")).alias("sax_word"),
+            "mean",
+            "sd",
         )
         .orderBy("l_suppkey")
     )

@@ -77,7 +77,8 @@ def cosine_topk(
             _dot(F.col(q_vec), F.col(c_vec))
             / (_norm(F.col(q_vec)) * _norm(F.col(c_vec))),
             4,
-        ),
+        )
+        + F.lit(0.0),
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
     return (
@@ -101,7 +102,7 @@ def cosine_topk(
                / (sqrt(list_sum(list_transform(q.qvec,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                   * sqrt(list_sum(list_transform(e.embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) + 0.0 AS sim
       FROM q JOIN embeddings e ON e.vec_id <> q.qid
     )
     SELECT qid, rank, vec_id, sim FROM (
@@ -931,7 +932,7 @@ def d30_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (sqrt(list_sum(list_transform(q.qvec,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                   * sqrt(list_sum(list_transform(e.embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) + 0.0 AS sim
       FROM q JOIN embeddings e
         ON e.vec_id <> q.qid AND e.label = q.qlabel
     )
@@ -973,7 +974,8 @@ def d30_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot(F.col("qvec"), F.col("embedding"))
             / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
             4,
-        ),
+        )
+        + F.lit(0.0),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -1056,7 +1058,7 @@ def d30_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT q.qid, e.vec_id,
              ROUND(list_sum(list_transform(list_zip(q.qvec, e.embedding),
-                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS ip
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) + 0.0 AS ip
       FROM q JOIN embeddings e ON e.vec_id <> q.qid
     )
     SELECT qid, rank, vec_id, ip FROM (
@@ -1086,7 +1088,7 @@ def d30_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     scored = e.join(F.broadcast(q), F.col("qid") != F.col("vec_id")).withColumn(
-        "ip", F.round(_dot(F.col("qvec"), F.col("embedding")), 4)
+        "ip", F.round(_dot(F.col("qvec"), F.col("embedding")), 4) + F.lit(0.0)
     )
     w = Window.partitionBy("qid").orderBy(F.desc("ip"), F.asc("vec_id"))
     return (
@@ -1121,7 +1123,7 @@ MATRYOSHKA_DIMS = 16
                / (sqrt(list_sum(list_transform(q.qvec,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                   * sqrt(list_sum(list_transform(c.cvec,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) + 0.0 AS sim
       FROM q JOIN c ON c.vec_id <> q.qid
     )
     SELECT qid, rank, vec_id, sim FROM (
@@ -1160,7 +1162,8 @@ def d30_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot(F.col("qvec"), F.col("cvec"))
             / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
             4,
-        ),
+        )
+        + F.lit(0.0),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -1428,7 +1431,7 @@ MAXSIM_T = 8  # doc tokens per label
     ), nt AS (
       SELECT label, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY label
     )
-    SELECT d.label, nt.n_tokens, ROUND(SUM(d.m), 4) AS maxsim
+    SELECT d.label, nt.n_tokens, ROUND(SUM(d.m), 4) + 0.0 AS maxsim
     FROM dots d JOIN nt USING (label)
     GROUP BY d.label, nt.n_tokens
     ORDER BY d.label
@@ -1482,7 +1485,7 @@ def d30_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt = toks.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
     return (
         dots.groupBy("label")
-        .agg(F.round(F.sum("m"), 4).alias("maxsim"))
+        .agg((F.round(F.sum("m"), 4) + F.lit(0.0)).alias("maxsim"))
         .join(F.broadcast(nt), "label")
         .select("label", "n_tokens", "maxsim")
         .orderBy("label")
@@ -2059,7 +2062,7 @@ def _bq_pack_col(col: str, word: int):
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                   * sqrt(list_sum(list_transform(embedding,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-               4) AS sim
+               4) + 0.0 AS sim
       FROM shortlist WHERE hrank <= {BQ_SHORTLIST}
     )
     SELECT qid, rank, vec_id, hamming, sim FROM (
@@ -2122,10 +2125,15 @@ def d30_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "vec_id",
         "hamming",
-        F.round(
-            _dot(F.col("qvec"), F.col("embedding"))
-            / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
-            4,
+        # + 0.0 pins the IEEE negative-zero class (a cosine in
+        # (-5e-5, 0) rounds to -0.0 in DuckDB but 0.0 in Spark)
+        (
+            F.round(
+                _dot(F.col("qvec"), F.col("embedding"))
+                / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("sim"),
     )
     w_r = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))

@@ -77,13 +77,14 @@ _LOADED = False
 # and _load_all() pins every oracle-less query to the registry TAIL so no
 # driver window can ever sample one into an oracle comparison.
 #
-# ROUND-12 window: the three round-12 operators lead, followed by
-# d14_rolling_corr — r11's ONLY red (a DuckDB -0.0 vs Spark +0.0
-# stringified-hash edge, now normalized with + 0.0 in both engines) and
-# therefore the one never-certified oracle query — then the stalest
-# greens in staleness order (verdict r11 ask #4, draining
-# ROUNDCLOSE_r11's 104-entry stale_certs list stalest-first: the seven
-# remaining r3-era certs, then r4-era rows to fill 50). All 50 are
+# ROUND-12 window: the FIFTEEN round-12 pending slots lead — the 13
+# early-round operators, d14_rolling_corr (r11's ONLY red: a DuckDB
+# -0.0 vs Spark +0.0 stringified-hash edge, now normalized with + 0.0
+# in both engines, and therefore the one never-certified oracle query),
+# and the late-round d29_link_prediction — then the stalest greens in
+# staleness order (verdict r11 ask #4, draining ROUNDCLOSE_r11's
+# 104-entry stale_certs list stalest-first: the seven remaining r3-era
+# certs, then r4-era rows to fill 50). All 50 are
 # rehearsed in driver order by tools/window_rehearsal.py AFTER the
 # final code edit of the round (the r8 lesson: any post-rehearsal edit
 # to a registered query re-runs that query's oracle + plan tests

@@ -63,3 +63,64 @@ def test_bool_is_not_int():
 
 def test_nan_matches_nan():
     assert _norm_cell(float("nan")) == _norm_cell(np.float64("nan"))
+
+
+def test_sax_zero_variance_word_is_null_both_engines(spark, ddb):
+    """Pin of the r12 review finding: array_join silently DROPS null
+    elements, so an all-null sym series yields '' in Spark while DuckDB's
+    string_agg over all-NULL returns NULL — the registered d14_sax gates
+    the word on sd > 0 so both engines emit NULL for a zero-variance
+    series. This drives the exact expression pair over an engineered
+    zero-variance group."""
+    from pyspark.sql import functions as F
+
+    sym = spark.createDataFrame(
+        [(1, 0, None, 0.0), (1, 1, None, 0.0), (2, 0, "a", 1.0), (2, 1, "b", 1.0)],
+        "k int, seg int, sym string, sd double",
+    )
+    out = (
+        sym.groupBy("k")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "sym"))),
+                    lambda t: t["sym"],
+                ),
+                "",
+            ).alias("w_raw"),
+            F.first("sd").alias("sd"),
+        )
+        .select("k", F.when(F.col("sd") > 0, F.col("w_raw")).alias("w"))
+        .orderBy("k")
+        .collect()
+    )
+    # ungated array_join WOULD have produced '' for k=1; the gate makes it NULL
+    assert out[0]["w"] is None and out[1]["w"] == "ab"
+    got = ddb.execute(
+        "SELECT k, string_agg(sym, '' ORDER BY seg) AS w FROM (VALUES "
+        "(1, 0, NULL), (1, 1, NULL), (2, 0, 'a'), (2, 1, 'b')"
+        ") t(k, seg, sym) GROUP BY k ORDER BY k"
+    ).fetchall()
+    assert got[0][1] is None and got[1][1] == "ab"
+
+
+def test_signed_rounded_outputs_keep_negzero_normalization():
+    """Regression guard for the r12 review sweep: every oracle whose
+    rounded double output can be tiny-negative (the cosine/inner-product/
+    corr family) must keep the '+ 0.0' normalization in its SQL — the
+    empirical negzero_sweep only flags values the fixture data happens to
+    produce, so the class guard lives here."""
+    from conceptnetwork_spark import registry
+
+    oracles = registry.oracles()
+    for name in (
+        "d30_knn_exact",
+        "d30_filtered_knn",
+        "d30_mips_topk",
+        "d30_matryoshka_knn",
+        "d30_maxsim",
+        "d30_binary_quantize",
+        "d14_rolling_corr",
+        "d29_link_prediction",
+    ):
+        assert "+ 0.0" in oracles[name], name

@@ -176,9 +176,13 @@ def main() -> None:
     # close, not hide in a warnings list. Reads the newest SCALETIERS
     # artifact at or before this round; carried tiers without the field
     # (pre-r11 instrumentation) are listed as uninstrumented, not failed.
+    # sort by the NUMERIC round, not the filename: lexicographic order
+    # misorders across digit-count boundaries (r99 > r100), which would
+    # silently gate on a stale artifact
     tier_files = sorted(
-        p for p in _glob.glob(os.path.join(ROOT, "SCALETIERS_r*.json"))
-        if int(re.search(r"_r(\d+)\.json$", p).group(1)) <= rnd
+        (p for p in _glob.glob(os.path.join(ROOT, "SCALETIERS_r*.json"))
+         if int(re.search(r"_r(\d+)\.json$", p).group(1)) <= rnd),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
     )
     if tier_files:
         try:
