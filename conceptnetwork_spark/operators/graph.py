@@ -394,6 +394,14 @@ def d29_ppr_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference (SURVEY §2.1) — mandated LLM-pipeline extension (§2.2
     D29)."""
     t = Catalog(spark, sf_dir)
+    # one LAZY localCheckpoint (shared-RDD lineage cut): the unrolled
+    # iterations, node set, teleport vector and out-degrees all re-consume
+    # `edges`; uncut, the initial plan duplicated the orders⋈lineitem
+    # subtree ~12x (358 operators, 100 parquet scans — see
+    # plans/r12/d29_ppr_2iter_before.txt) and paid it in planning + the
+    # stages AQE stage-reuse could not dedupe. eager=False keeps the
+    # materialization inside the first action (no extra serial job);
+    # deterministic input, so the checkpoint is replay-safe.
     edges = (
         t.orders.where(F.col("o_orderkey") < 3000)
         .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -402,6 +410,7 @@ def d29_ppr_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").alias("dst"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -514,6 +523,10 @@ def d29_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
         .distinct()
+        # five consumers (three triangle legs, node count, edge count)
+        # re-derived the scan+pair-join+distinct subtree each time; a lazy
+        # lineage cut leaves a single shared pair-generation pass
+        .localCheckpoint(eager=False)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
@@ -616,6 +629,9 @@ def d29_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
+        # consumed three times (label init + both vote rounds) — lazy cut
+        # so the pair-generation join runs once per action
+        .localCheckpoint(eager=False)
     )
     labels = und.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
@@ -733,6 +749,13 @@ def d29_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
         )
         .distinct()
+        # the docstring's own prescription ("a fixpoint implementation
+        # checkpoints the edge set every few rounds") applied to the
+        # unrolled form: each round consumes `edges` three times (degree
+        # agg, semi-join pruning, edge count) and feeds the next round —
+        # uncut, the 3-round lineage re-derived the pair join ~40x (784
+        # Exchange mentions in the formatted plan)
+        .localCheckpoint(eager=False)
     )
     summaries = []
     for r in range(1, KCORE_ROUNDS + 1):
@@ -762,7 +785,7 @@ def d29_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "edges_kept",
             )
         )
-        edges = pruned
+        edges = pruned.localCheckpoint(eager=False)
     out = summaries[0]
     for s in summaries[1:]:
         out = out.unionAll(s)
