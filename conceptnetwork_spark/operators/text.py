@@ -1570,25 +1570,34 @@ def d31_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = grams.join(
         df_counts.where(F.col("df") <= CONT_DFMAX).select("gh"), "gh"
     )
-    # recompute accounting: the pair self-join's two sides are the SAME
-    # exchange (Catalyst ReuseExchange), so `rare` is built once for the
-    # pair leg; the fanned-out shingle pass is cheap enough that the two
-    # denominator consumers recompute rather than cache (corpus-sized gram
-    # relations are NEVER cached: at 100 TB they exceed cluster memory).
-    nr = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = rare.select(F.col("doc_id").alias("doc_a"), "gh")
-    b = rare.select(F.col("doc_id").alias("doc_b"), "gh")
+    # recompute accounting: the per-doc denominator travels WITH each gram
+    # row (one doc_id-keyed window count) instead of as a separate
+    # aggregate joined back per side — that collapses four consumers of
+    # the rare-gram relation (pair side a, pair side b, na, nb) down to
+    # the two identical self-join sides, which canonicalize to ONE shared
+    # exchange (ReuseExchange), so the expensive scan+shingle+distinct
+    # pass runs once per action, not four times (before/after plans:
+    # plans/r12/d31_containment_{before,after}.txt — 16 parquet scans →
+    # 2 reused). Corpus-sized gram relations are still NEVER cached
+    # (at 100 TB they exceed cluster memory); this is pure plan sharing.
+    wd = Window.partitionBy("doc_id")
+    rn = rare.select(
+        "doc_id", "gh", F.count(F.lit(1)).over(wd).alias("n")
+    )
+    a = rn.select(
+        F.col("doc_id").alias("doc_a"), "gh", F.col("n").alias("n_a")
+    )
+    b = rn.select(
+        F.col("doc_id").alias("doc_b"), "gh", F.col("n").alias("n_b")
+    )
     pairs = (
         a.join(b, "gh")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    na = nr.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = nr.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     return (
-        pairs.join(na, "doc_a")
-        .join(nb, "doc_b")
+        pairs
         .where(
             (2 * F.col("shared") >= F.col("n_a"))
             | (2 * F.col("shared") >= F.col("n_b"))
