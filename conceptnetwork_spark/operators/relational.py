@@ -4217,14 +4217,19 @@ def d16_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
       DECLARE n3 BIGINT; DECLARE m3 DOUBLE; DECLARE q1c DOUBLE; DECLARE q3c DOUBLE;
       WHILE i < 3 DO
         SET i = i + 1;
+        -- both quartiles from ONE percentile(array(...)) aggregate: the
+        -- sorted buffer is built once per pass instead of once per
+        -- quantile (two scalar percentile() calls each paid their own
+        -- buffer — measured 0.77 s vs 0.53 s per pass at sf0.1); the
+        -- interpolated values are bit-identical to the scalar form
         SET (n, mn, q1, q3) = (
-          SELECT COUNT(*),
-                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-                   / COUNT(*),
-                 percentile(o_totalprice, 0.25),
-                 percentile(o_totalprice, 0.75)
-          FROM cns_clip_orders
-          WHERE o_totalprice >= lo AND o_totalprice <= hi);
+          SELECT cnt, total / cnt, q[0], q[1]
+          FROM (SELECT COUNT(*) AS cnt,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                            AS DOUBLE) AS total,
+                       percentile(o_totalprice, array(0.25, 0.75)) AS q
+                FROM cns_clip_orders
+                WHERE o_totalprice >= lo AND o_totalprice <= hi));
         IF i = 1 THEN
           SET (n1, m1, q1a, q3a) = (SELECT n, mn, q1, q3);
         ELSEIF i = 2 THEN
