@@ -128,19 +128,52 @@ def d33_ols_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
     MLlib's normal-equation solver; oracle recomputes the closed form with
     DuckDB regression aggregates.
 
-    Cheap by construction (round-1 bench lesson): the normal solver already
-    aggregates the sufficient statistics in its single training pass, and
-    the training summary exposes meanSquaredError computed from them — so
-    this is ONE pass over a 2-column projection, no persist, no transform,
-    no extra aggregation job. The full fit->transform->evaluate dispatch
-    surface (M5) stays covered by ``fit_transform_evaluate`` in the pytest
-    suite."""
+    Cheap by construction, round 2 (optimization round; guide §2.3/§8 —
+    decide with small rows): the normal equations of y ~ x depend only on
+    the sufficient statistics (Σw, Σwx, Σwx², Σy, Σxy), all of which
+    survive grouping by x. l_quantity takes 50 distinct values at every
+    scale factor, so the corpus collapses map-side to 50 weighted points
+    (x, ȳ_x, n_x) in one codegen'd hash aggregate, and the MLlib normal
+    solver fits those 50 rows with ``weightCol`` — algebraically the SAME
+    minimizer as the 600k-row fit (weighted normal equations expand to the
+    raw-row ones), without dragging every row through the RDD[Instance]
+    conversion that dominated the old fit (measured 2.0 s warm at sf0.1;
+    the grouped fit + residual pass run ~0.6 s). MSE is then ONE codegen'd
+    residual aggregate in exactly the oracle's form. The full
+    fit->transform->evaluate dispatch surface (M5) stays covered by
+    ``fit_transform_evaluate`` in the pytest suite; equivalence of the
+    grouped fit is pinned by tests against the raw-row solver."""
+    from pyspark.ml.functions import array_to_vector
+
     li = Catalog(spark, sf_dir).lineitem.select("l_quantity", "l_extendedprice")
-    model = build_ols_pipeline(["l_quantity"], "l_extendedprice").fit(li)
-    lrm = model.stages[-1]
+    g = li.groupBy("l_quantity").agg(
+        F.count(F.lit(1)).cast("double").alias("w"),
+        F.avg("l_extendedprice").alias("ybar"),
+    )
+    assembled = g.select(
+        array_to_vector(F.array(F.col("l_quantity"))).alias("features"),
+        "ybar",
+        "w",
+    )
+    lrm = LinearRegression(
+        featuresCol="features",
+        labelCol="ybar",
+        weightCol="w",
+        solver="normal",
+        regParam=0.0,
+        standardization=False,
+    ).fit(assembled)
     slope = float(lrm.coefficients[0])
     intercept = float(lrm.intercept)
-    mse = float(lrm.summary.meanSquaredError)
+    mse = li.agg(
+        F.avg(
+            F.pow(
+                F.col("l_extendedprice")
+                - (F.lit(intercept) + F.lit(slope) * F.col("l_quantity")),
+                2,
+            )
+        )
+    ).collect()[0][0]
     return spark.createDataFrame(
         [(round(slope, 4), round(intercept, 4), round(mse, 4))],
         "slope double, intercept double, mse double",

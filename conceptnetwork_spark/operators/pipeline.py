@@ -1589,6 +1589,51 @@ def d35_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 CURR_BUCKETS = 4
 
 
+def _curriculum_numbered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint subtree of d34_curriculum_order: width-bucket over
+    n_chars, then the distributed two-pass row number's pass 2 — a range
+    exchange on (bucket, doc_id) followed by a MAP-ONLY mapInPandas counter
+    (no second exchange). Split out so tests/test_plans.py can pin this
+    shape even though the declared query truncates it behind a lazy
+    localCheckpoint."""
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "n_chars")
+    s = d.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    b = d.crossJoin(F.broadcast(s)).select(
+        "doc_id",
+        F.when(F.col("mx") == F.col("mn"), F.lit(1))
+        .otherwise(
+            F.least(
+                F.lit(CURR_BUCKETS),
+                (
+                    F.lit(1)
+                    + F.expr(f"({CURR_BUCKETS} * (n_chars - mn)) div (mx - mn)")
+                ).cast("int"),
+            )
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+
+    def _number_partition(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = 0
+        for pdf in it:
+            n = len(pdf)
+            yield pdf.assign(pid=pid, lrn=range(base + 1, base + n + 1))
+            base += n
+
+    return (
+        b.repartitionByRange(8, "bucket", "doc_id")
+        .sortWithinPartitions("bucket", "doc_id")
+        .mapInPandas(
+            _number_partition,
+            schema="doc_id long, bucket int, pid int, lrn long",
+        )
+    )
+
+
 @register(
     "d34_curriculum_order",
     oracle=f"""
@@ -1638,49 +1683,19 @@ def d34_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     range exchange (Spark's scalable sort machinery) plus two KB-sized
     broadcast joins (range offsets, tier offsets). This is how you
     materialize a reproducible training order for a trillion-token corpus."""
-    d = Catalog(spark, sf_dir).documents.select("doc_id", "n_chars")
-    s = d.agg(
-        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
-    )
-    b = d.crossJoin(F.broadcast(s)).select(
-        "doc_id",
-        F.when(F.col("mx") == F.col("mn"), F.lit(1))
-        .otherwise(
-            F.least(
-                F.lit(CURR_BUCKETS),
-                (
-                    F.lit(1)
-                    + F.expr(
-                        f"({CURR_BUCKETS} * (n_chars - mn)) div (mx - mn)"
-                    )
-                ).cast("int"),
-            )
-        )
-        .cast("int")
-        .alias("bucket"),
-    )
-    # pass 1+2: distributed row number in (bucket, doc_id) order. The
-    # numbering itself is MAP-ONLY: each range partition streams through
-    # a mapInPandas counter in sorted order (running count carried across
-    # Arrow batches), so no second exchange follows the range exchange.
-    def _number_partition(it):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        base = 0
-        for pdf in it:
-            n = len(pdf)
-            yield pdf.assign(pid=pid, lrn=range(base + 1, base + n + 1))
-            base += n
-
-    local = (
-        b.repartitionByRange(8, "bucket", "doc_id")
-        .sortWithinPartitions("bucket", "doc_id")
-        .mapInPandas(
-            _number_partition,
-            schema="doc_id long, bucket int, pid int, lrn long",
-        )
-    )
+    # pass 1+2: distributed row number in (bucket, doc_id) order (see
+    # _curriculum_numbered — the numbering is MAP-ONLY on the range
+    # exchange). One LAZY localCheckpoint (shared-RDD lineage cut, same
+    # pattern as the d29 graph unrolls): the numbered relation is consumed
+    # twice (offset aggregate + offset join) and `ranked` twice more (tier
+    # aggregate + final join) — uncut, the initial plan re-derived the
+    # min/max agg, range exchange and mapInPandas numbering per consumer
+    # (42 Exchange / 8 python nodes,
+    # plans/r12/d34_curriculum_order_before.txt; paired probe 1.78 s ->
+    # 0.96 s). The cut also makes the same-range-boundaries guarantee
+    # structural: every consumer reads ONE computed RDD, not a re-executed
+    # exchange. eager=False keeps materialization inside the first action.
+    local = _curriculum_numbered(spark, sf_dir).localCheckpoint(eager=False)
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         local.groupBy("pid")

@@ -1021,15 +1021,28 @@ def test_d34_curriculum_distributed_row_number(spark):
     """Curriculum order: the wave numbering must use the two-pass pattern —
     a RANGE exchange on (bucket, doc_id) plus per-range window — never a
     single global-window row_number over the whole table (which would show
-    an Exchange SinglePartition directly under the big Window)."""
-    plan = _plan(spark, "d34_curriculum_order")
-    assert "rangepartitioning(bucket" in plan
+    an Exchange SinglePartition directly under the big Window). Since r12
+    the numbered relation sits behind a lazy localCheckpoint (shared-RDD
+    lineage cut), so the numbering shape is pinned on the pre-checkpoint
+    subtree and the declared plan is pinned to carry the cut."""
+    from conceptnetwork_spark.operators.pipeline import _curriculum_numbered
+
+    sub = _curriculum_numbered(spark, SF_ORACLE)
+    subplan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(bucket" in subplan
     # pass-2 numbering is a map-only mapInPandas directly on the range
     # exchange — no second exchange (a Window.partitionBy(pid) spelling
     # would re-hash on pid right after the range shuffle)
-    end = plan.rfind("\n", 0, plan.index("rangepartitioning(bucket"))
-    seg = plan[plan.index("MapInPandas") : end]
+    end = subplan.rfind("\n", 0, subplan.index("rangepartitioning(bucket"))
+    seg = subplan[subplan.index("MapInPandas") : end]
     assert "Exchange" not in seg
+    assert "Window [row_number()" not in subplan
+    # declared query: numbering happens exactly once behind the lineage
+    # cut (a Scan ExistingRDD with the numbered schema), never re-derived
+    # per consumer, and still no global row_number window downstream
+    plan = _plan(spark, "d34_curriculum_order")
+    assert "Scan ExistingRDD[doc_id" in plan
+    assert "MapInPandas" not in plan
     assert "Window [row_number()" not in plan
 
 

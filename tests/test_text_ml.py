@@ -53,6 +53,42 @@ def test_ols_pipeline_save_load(spark, tmp_path):
     assert p1 == p2
 
 
+def test_ols_grouped_wls_equals_raw_row_fit(spark):
+    """Pin for the d33_ols_mse optimization (r12): fitting WLS on per-x
+    sufficient statistics (count, mean-y per distinct x) must reproduce the
+    raw-row OLS solution — the weighted normal equations expand to the
+    raw-row ones, so any drift here is an implementation bug, not noise.
+    Uses duplicated x values with distinct y so the grouping is non-trivial."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.regression import LinearRegression
+
+    rows = [
+        (float(x % 7), 2.5 * (x % 7) - 4.0 + ((x * 37) % 11 - 5) * 0.3)
+        for x in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    raw = ml.build_ols_pipeline(["x"], "y").fit(df).stages[-1]
+
+    g = df.groupBy("x").agg(
+        F.count(F.lit(1)).cast("double").alias("w"), F.avg("y").alias("ybar")
+    )
+    assembled = g.select(
+        array_to_vector(F.array(F.col("x"))).alias("features"), "ybar", "w"
+    )
+    wls = LinearRegression(
+        featuresCol="features",
+        labelCol="ybar",
+        weightCol="w",
+        solver="normal",
+        regParam=0.0,
+        standardization=False,
+    ).fit(assembled)
+    assert float(wls.coefficients[0]) == pytest.approx(
+        float(raw.coefficients[0]), rel=1e-9
+    )
+    assert float(wls.intercept) == pytest.approx(float(raw.intercept), rel=1e-9)
+
+
 def test_gbt_pipeline_nonlinear_beats_linear(spark, tmp_path):
     """M2 parity: the reference network is dense(100, relu) -> dense(n) —
     nonlinear. On a quadratic relation the GBT stage must (a) be exactly
