@@ -1699,17 +1699,25 @@ def d31_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
-    cb = dg.groupBy("bigram").agg(F.sum("cnt").alias("c_bg")).withColumn(
-        "w1", F.split("bigram", " ").getItem(0)
+    # prefix denominator attached at the BIGRAM level (r12 optimization,
+    # guide §2.3 — shuffle fewer bytes): the old plan joined cp onto the
+    # doc-level dg⋈cb relation, re-shuffling every (doc, bigram) row by w1;
+    # a w1-keyed window over the vocab-sized cb table carries c_prefix onto
+    # each bigram row instead, so the only doc-level shuffles left are the
+    # bigram join key and the final doc_id aggregate. Counts are longs —
+    # integer sums are order-free, results bit-identical.
+    cb = (
+        dg.groupBy("bigram")
+        .agg(F.sum("cnt").alias("c_bg"))
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("c_prefix", F.sum("c_bg").over(Window.partitionBy("w1")))
     )
-    cp = cb.groupBy("w1").agg(F.sum("c_bg").alias("c_prefix"))
     vocab = (
         t.select(F.explode("t").alias("term"))
         .agg(F.countDistinct("term").alias("v"))
     )
     return (
-        dg.join(cb.select("bigram", "c_bg", "w1"), "bigram")
-        .join(cp, "w1")
+        dg.join(cb.select("bigram", "c_bg", "c_prefix"), "bigram")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
