@@ -169,6 +169,13 @@ def jaccard_verify(
         .distinct()
     )
     cand_docs = docs.join(ids, F.col(id_col) == F.col("sid"), "left_semi")
+    # NOTE (r12, measured): checkpointing/persisting this relation to share
+    # it across the two pair-join sides was tried and is a PESSIMIZATION
+    # (1.44 s -> 2.18 s noop at sf0.1): the rows are WIDE (full distinct
+    # shingle-string arrays), so materializing them costs more than the
+    # second LSH-candidate-bounded shingling pass it saves. Narrow
+    # relations (signatures, pair ids) are persisted by the callers; the
+    # wide shingle sets deliberately stay recomputed-per-side.
     sets = ensure_parallelism(cand_docs).select(
         F.col(id_col).alias("sid"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sset"),

@@ -199,8 +199,12 @@ def d29_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = Catalog(spark, sf_dir).documents
-    sigs = minhash_signatures(docs)
-    cands = lsh_candidate_pairs(sigs)
+    # lazy lineage cuts (the d29_minhash_near_dup persist discipline, in
+    # checkpoint form): signatures feed both LSH self-join sides, and the
+    # candidate relation is referenced three times by the verify stage —
+    # without the cuts each reference re-runs the shingle->hash pipeline
+    sigs = minhash_signatures(docs).localCheckpoint(eager=False)
+    cands = lsh_candidate_pairs(sigs).localCheckpoint(eager=False)
     pairs = jaccard_verify(docs, cands, threshold=0.9)
     clusters = cluster_documents(docs, pairs)
     return (

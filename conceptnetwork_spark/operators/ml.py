@@ -720,7 +720,11 @@ def d33_prefixspan_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= JOURNEY_LEN)
     )
-    n_users = seq.select("user_id").distinct().count()
+    # support denominator: every user with >= 1 event has a pos-1 row, so
+    # distinct users in seq == distinct users in events — count on the raw
+    # projection (partial-agg distinct, no user_id window shuffle) instead
+    # of re-running the row_number pass just for a scalar
+    n_users = ev.select("user_id").distinct().count()
     sequences = seq.groupBy("user_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "event_type"))),

@@ -748,8 +748,12 @@ def d30_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("crank") <= rerank)
         .select("qid", "qvec", "vec_id")
     )
-    # exact re-rank: hydrate candidate vectors (PQ_RERANK x |queries| rows)
-    rer = cand.join(
+    # exact re-rank: hydrate candidate vectors (PQ_RERANK x |queries| rows).
+    # The candidate side is bounded by construction (rerank cap x |queries|),
+    # so BROADCAST it: the corpus scan stays map-side instead of shuffling
+    # every vector by vec_id into a sort-merge join (2 Exchange + sorts
+    # removed; scale-correct because the bound is the hard PQ_RERANK_CAP).
+    rer = F.broadcast(cand).join(
         e.select(F.col("vec_id"), F.col("embedding").alias("cvec")), "vec_id"
     ).withColumn("sim", F.round(_cosine_batch("qvec", "cvec"), 4))
     w2 = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -835,7 +839,9 @@ def d30_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("crank") <= rerank)
         .select("qid", "qvec", "vec_id")
     )
-    rer = cand.join(
+    # bounded candidate side broadcast — same rationale as d30_pq_ann's
+    # rerank join (corpus scan stays map-side, no vec_id shuffle of vectors)
+    rer = F.broadcast(cand).join(
         e.select(F.col("vec_id"), F.col("embedding").alias("cvec")), "vec_id"
     ).withColumn("sim", F.round(_cosine_batch("qvec", "cvec"), 4))
     w2 = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
