@@ -446,16 +446,22 @@ def d25_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(out_dir)
+        # the complete-mode aggregate is event_type-sized (a handful of
+        # rows) — one output file, not one near-empty file per state
+        # partition (guide §6: size files to the data, not the task count)
+        batch_df.coalesce(1).write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        agg.writeStream.foreachBatch(write_batch)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_finished(q, 120)
+    # state stores follow key cardinality, not the CPU-sized shuffle
+    # default — same knob every other stateful query here already uses
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q, 120)
     return spark.read.parquet(out_dir).orderBy("event_type")
 
 
@@ -788,12 +794,15 @@ def d25_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     overwrite what the same job reads). The final state must equal the
     batch latest-row-per-user oracle REGARDLESS of batch boundaries —
     per-key arg-max merge is associative and commutative, which is the
-    correctness argument for any out-of-order CDC apply at scale. State
-    shuffles only (user_id, event_id, value) triples, one version per
-    batch; at 100 TB the same loop is Delta/Iceberg MERGE with the version
-    directory replaced by table snapshots."""
-    from pyspark.sql import Window
-
+    correctness argument for any out-of-order CDC apply at scale. The
+    arg-max is one hash aggregate (``max`` of a (ts, event_id, value)
+    struct — (ts, event_id) is unique per user, so the lexicographic max
+    IS the latest row) with map-side partials, not a row_number window:
+    no range exchange, no sort, and the shuffle carries one partial row
+    per (task, user) instead of every event. State shuffles only
+    (user_id, event_id, value) triples, one version per batch; at 100 TB
+    the same loop is Delta/Iceberg MERGE with the version directory
+    replaced by table snapshots."""
     stage = os.path.join(
         tempfile.gettempdir(),
         f"cn_spark_evstage_{os.path.basename(sf_dir.rstrip('/'))}",
@@ -819,29 +828,28 @@ def d25_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions: list[str] = []
 
     def argmax(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("last_event_id").desc()
-        )
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
+        # hash-aggregate arg-max: (ts, last_event_id) is unique per user
+        # (event_id is globally unique), so max over the struct picks the
+        # latest row and value rides along without ever deciding the max.
+        # Map-side partials collapse each task to one row per user before
+        # the exchange — unlike the row_number-window form this replaced,
+        # which range-shuffled and sorted every event row per batch.
+        return df.groupBy("user_id").agg(
+            F.max(F.struct("ts", "last_event_id", "value")).alias("m")
+        ).select("user_id", "m.ts", "m.last_event_id", "m.value")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        delta = argmax(
-            batch_df.where(F.col("event_type") == "purchase").select(
-                "user_id",
-                F.col("event_id").alias("last_event_id"),
-                "ts",
-                F.round("value", 4).alias("value"),
-            )
+        delta = batch_df.where(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            "ts",
+            F.round("value", 4).alias("value"),
         )
         if versions:
             prev = batch_df.sparkSession.read.parquet(versions[-1])
-            delta = argmax(prev.unionByName(delta))
+            delta = prev.unionByName(delta)
         out = os.path.join(root, f"v{batch_id}")
-        delta.write.mode("overwrite").parquet(out)
+        argmax(delta).write.mode("overwrite").parquet(out)
         versions.append(out)
 
     with scoped_state_partitions(spark):
