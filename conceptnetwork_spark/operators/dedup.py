@@ -356,13 +356,18 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     (pigeonhole: any pair within Hamming<=6 shares at least one exact chunk
     when distance is spread, and chunk-equality prunes the search space);
     verify Hamming on candidates only."""
-    # the trailing repartition is a deliberate exchange barrier: the LSH
-    # self-join references this subtree twice, and shuffle-exchange reuse
-    # means the (expensive) signature computation runs exactly once
+    # lazy lineage cut on the (doc_id, sh) pair — two longs per doc. The
+    # self-join references this subtree twice and the planner otherwise
+    # duplicates it (and splits the Arrow UDF around an isnotnull filter,
+    # evaluating the signature 4x); the checkpoint computes it exactly once
+    # inside the first action and both join sides read the same RDD. The
+    # LogicalRDD keeps the originating plan's size stats, so the join
+    # strategy stays size-driven: broadcast at fixture scale, chunk-keyed
+    # shuffle (identical subtrees, one reused exchange) at corpus scale.
     sh = (
         ensure_parallelism(docs)
         .select("doc_id", simhash64_fast(F.col("text")).alias("sh"))
-        .repartition("doc_id")
+        .localCheckpoint(eager=False)
     )
     chunks = sh.select(
         "doc_id",
