@@ -68,14 +68,17 @@ def cosine_topk(
     """Brute-force cosine top-k: broadcast the (small) query set against the
     corpus, score JVM-side, per-query top-k via window. At scale: corpus
     stays partitioned, queries broadcast — one pass, no shuffle of the
-    corpus; the window tops-k within each query partition."""
-    scored = corpus.join(
-        F.broadcast(queries), F.col(q_id) != F.col(c_id)
+    corpus; the window tops-k within each query partition. Norms are
+    hoisted below the join — once per corpus row and once per query row
+    instead of once per PAIR (array lambdas don't codegen, so each saved
+    pass is interpreted work; same doubles, so sim is bit-identical)."""
+    scored = corpus.withColumn("__cn", _norm(F.col(c_vec))).join(
+        F.broadcast(queries.withColumn("__qn", _norm(F.col(q_vec)))),
+        F.col(q_id) != F.col(c_id),
     ).withColumn(
         "sim",
         F.round(
-            _dot(F.col(q_vec), F.col(c_vec))
-            / (_norm(F.col(q_vec)) * _norm(F.col(c_vec))),
+            _dot(F.col(q_vec), F.col(c_vec)) / (F.col("__qn") * F.col("__cn")),
             4,
         )
         + F.lit(0.0),
@@ -971,14 +974,14 @@ def d30_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qvec"),
         F.col("label").alias("qlabel"),
     )
-    scored = emb.join(
-        F.broadcast(queries),
+    scored = emb.withColumn("__cn", _norm(F.col("embedding"))).join(
+        F.broadcast(queries.withColumn("__qn", _norm(F.col("qvec")))),
         (F.col("qid") != F.col("vec_id")) & (F.col("label") == F.col("qlabel")),
     ).withColumn(
         "sim",
         F.round(
             _dot(F.col("qvec"), F.col("embedding"))
-            / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
+            / (F.col("__qn") * F.col("__cn")),
             4,
         )
         + F.lit(0.0),
@@ -1035,14 +1038,15 @@ def d30_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    scored = emb.join(
-        F.broadcast(queries), F.col("qid") != F.col("vec_id")
+    scored = emb.withColumn("__cn", _norm(F.col("embedding"))).join(
+        F.broadcast(queries.withColumn("__qn", _norm(F.col("qvec")))),
+        F.col("qid") != F.col("vec_id"),
     ).select(
         "qid",
         "vec_id",
         F.round(
             _dot(F.col("qvec"), F.col("embedding"))
-            / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
+            / (F.col("__qn") * F.col("__cn")),
             4,
         ).alias("sim"),
     )
@@ -1162,11 +1166,13 @@ def d30_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 15)).select(
         F.col("vec_id").alias("qid"), F.col("cvec").alias("qvec")
     )
-    scored = e.join(F.broadcast(q), F.col("qid") != F.col("vec_id")).withColumn(
+    scored = e.withColumn("__cn", _norm(F.col("cvec"))).join(
+        F.broadcast(q.withColumn("__qn", _norm(F.col("qvec")))),
+        F.col("qid") != F.col("vec_id"),
+    ).withColumn(
         "sim",
         F.round(
-            _dot(F.col("qvec"), F.col("cvec"))
-            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+            _dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")),
             4,
         )
         + F.lit(0.0),
@@ -1297,12 +1303,13 @@ def d30_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = (
         emb.where(F.col("vec_id") != RRF_QUERY_VEC_ID)
-        .crossJoin(F.broadcast(q))
+        .withColumn("__cn", _norm(F.col("embedding")))
+        .crossJoin(F.broadcast(q.withColumn("__qn", _norm(F.col("qvec")))))
         .select(
             F.col("vec_id").alias("doc_id"),
             F.round(
                 _dot(F.col("qvec"), F.col("embedding"))
-                / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
+                / (F.col("__qn") * F.col("__cn")),
                 4,
             ).alias("sim"),
         )
@@ -1649,12 +1656,15 @@ def d30_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    scored = e.join(F.broadcast(q), F.col("qid") != F.col("vec_id")).select(
+    scored = e.withColumn("__cn", _norm(F.col("embedding"))).join(
+        F.broadcast(q.withColumn("__qn", _norm(F.col("qvec")))),
+        F.col("qid") != F.col("vec_id"),
+    ).select(
         "qid",
         "vec_id",
         F.greatest(
             _dot(F.col("qvec"), F.col("embedding"))
-            / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
+            / (F.col("__qn") * F.col("__cn")),
             F.lit(0.0),
         ).alias("rel"),
         F.aggregate(
