@@ -279,11 +279,16 @@ def d29_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribute nothing here (bounded subgraph), matching the oracle's
     LEFT-JOIN-with-COALESCE formulation."""
     t = Catalog(spark, sf_dir)
+    # same lazy lineage cut as d29_ppr_2iter below: the node set, the
+    # out-degrees and both unrolled iterations re-consume `edges`; uncut,
+    # the initial plan re-derived the orders⋈lineitem⋈distinct subtree per
+    # consumer (~64 parquet scans). Narrow (two longs), deterministic.
     edges = (
         t.orders.where(F.col("o_orderkey") < 2000)
         .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .select((F.col("o_custkey") + 1000000).alias("src"), F.col("l_suppkey").alias("dst"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -875,8 +880,18 @@ def d29_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
         )
         .distinct()
+        # lazy lineage cut (same pattern as the other unrolled graph ops):
+        # the edge list feeds the degree aggregate, the decorate join and
+        # the edge-count scalar; uncut, each consumer re-ran the bulk
+        # self-join + distinct. Narrow (two longs), deterministic.
+        .localCheckpoint(eager=False)
     )
-    d = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    d = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        # consumed three times (both decorate sides + the node count)
+        .localCheckpoint(eager=False)
+    )
     ds = d.select(F.col("src").alias("node"), F.col("deg").alias("x"))
     dd = d.select(F.col("src").alias("node"), F.col("deg").alias("y"))
     j = (
@@ -997,6 +1012,10 @@ def d29_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
         )
         .distinct()
+        # lazy lineage cut: the edge list feeds both degree aggregates and
+        # both self-join sides; uncut, each consumer re-derived the
+        # orders⋈lineitem⋈distinct subtree. Narrow (two longs).
+        .localCheckpoint(eager=False)
     )
     sdeg = edges.groupBy("supp").agg(F.count(F.lit(1)).alias("deg"))
     cdeg = edges.groupBy("cust").agg(F.count(F.lit(1)).alias("deg"))

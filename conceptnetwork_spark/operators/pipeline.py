@@ -3120,7 +3120,10 @@ def d33_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     zdf = d.select(
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
         zv.alias("zv"),
-    )
+    # lazy lineage cut on the (y, zv) pair — 16 bytes/doc: the moment agg,
+    # the sigmoid pass and both union branches all re-consumed this
+    # relation, so the regex-heavy scoring scan ran 4x. One pass now.
+    ).localCheckpoint(eager=False)
     st = zdf.agg(
         F.avg("zv").alias("mu"), F.stddev_samp("zv").alias("sd")
     )
@@ -3140,6 +3143,8 @@ def d33_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("p").alias("conf"),
             F.avg("y").alias("acc"),
         )
+        # <=10-row bucket table, consumed by both union branches
+        .localCheckpoint(eager=False)
     )
     per = g.select(
         F.col("bin").cast("string").alias("bucket"),

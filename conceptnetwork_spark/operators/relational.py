@@ -6212,6 +6212,10 @@ def d10_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.col("na") / F.sum("na").over(wall).cast("double")).alias("pa"),
         (F.col("nb") / F.sum("nb").over(wall).cast("double")).alias("pb"),
+    # NOTE (r12, measured): a lazy localCheckpoint here (the |types|-row
+    # frame feeds both union branches) probed SLOWER (0.32 s -> 0.42 s
+    # noop at sf0.1) — the extra job barrier costs more than the one
+    # cheap re-aggregation it saves. Left uncut; do not retry.
     )
     mid = (F.col("pa") + F.col("pb")) / 2
     term = 0.5 * F.col("pa") * F.log2(F.col("pa") / mid) + 0.5 * F.col(

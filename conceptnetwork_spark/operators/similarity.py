@@ -1580,6 +1580,10 @@ def d30_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("qid")
         .agg(F.count("hvec").alias("n_hit"))
+        # lazy lineage cut on the |Q|-row eval table: both union branches
+        # (per-query rows + MEAN) consume it, and uncut each branch re-ran
+        # BOTH retrieval arms over the corpus
+        .localCheckpoint(eager=False)
     )
     rows = per.select(
         F.col("qid").cast("string").alias("query"),
@@ -1700,7 +1704,8 @@ def d30_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rel") / F.log2(F.col("ideal_rank") + 1),
             ).otherwise(0.0)
         ).alias("idcg"),
-    )
+    ).localCheckpoint(eager=False)  # |Q|-row eval table, consumed by both
+    # union branches — uncut, each branch re-ran the corpus scoring pass
     rows = parts.select(
         F.col("qid").cast("string").alias("query"),
         F.round("dcg", 4).alias("dcg_at_10"),
@@ -1993,6 +1998,8 @@ def d30_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rr"
             ),
         )
+        # lazy lineage cut on the |Q|-row eval table (see d30_recall_eval)
+        .localCheckpoint(eager=False)
     )
     rows = per.select(
         F.col("qid").cast("string").alias("query"),
