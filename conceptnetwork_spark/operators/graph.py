@@ -294,6 +294,9 @@ def d29_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        # consumed by the rank init, both iteration left-joins and the
+        # node count — one union+distinct pass instead of four
+        .localCheckpoint(eager=False)
     )
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -439,6 +442,11 @@ def d29_ppr_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("is_seed").isNotNull(), 1.0 / F.col("n_seeds")
             ).otherwise(F.lit(0.0)).alias("t"),
         )
+        # second cut: the teleport vector is consumed by the rank init and
+        # BOTH unrolled iterations; uncut, each re-derived the node-set
+        # union/distinct + seed join above the edge cut (30 residual
+        # parquet scans in the audited plan). Narrow: (long, double).
+        .localCheckpoint(eager=False)
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
 

@@ -3612,6 +3612,11 @@ def d27_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("f"),
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("m"),
         )
+        # lazy lineage cut on the per-user RFM aggregate (~32 bytes/user):
+        # the reference-timestamp agg, the quantile cutpoints and the
+        # scoring pass all re-consumed it — uncut, the purchase scan +
+        # user_id shuffle ran three times
+        .localCheckpoint(eager=False)
     )
     ref = p.agg(F.max("last_ts").alias("ref_ts"))
     rfm = p.crossJoin(F.broadcast(ref)).select(
@@ -5654,14 +5659,19 @@ def d11_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(BLOOM_K)
         ]
 
+    # lazy lineage cuts: `a` feeds the bit build AND the membership join;
+    # `bits` (<= BLOOM_M ints) feeds one broadcast join per hash — uncut,
+    # each of the three position joins re-ran scan+distinct+md5+explode
     a = (
         e.where(F.col("event_type") == "purchase")
         .select(key.alias("k"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     bits = (
         a.select(F.explode(F.array(*positions(F.col("k")))).alias("pos"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     b = (
         e.where(F.col("event_type") == "click")
@@ -7507,7 +7517,14 @@ def d27_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash sketch per type (d11_kmv_sketch's estimator) — noted, not
     needed at 25 pairs."""
     ev = Catalog(spark, sf_dir).events
-    a = ev.select(F.col("event_type").alias("t"), "user_id").distinct()
+    # lazy lineage cut on the distinct (type, user) relation (two small
+    # columns): the set-size aggregate and both self-join sides consume
+    # it — uncut, the corpus scan + distinct exchange ran three times
+    a = (
+        ev.select(F.col("event_type").alias("t"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     s = a.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     x = a.select(F.col("t").alias("type_a"), "user_id")
     y = a.select(F.col("t").alias("type_b"), "user_id")

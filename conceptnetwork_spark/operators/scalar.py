@@ -860,6 +860,10 @@ def d20_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", (F.col("pos0") + 1).alias("pos"), "v")
         .groupBy("label", "pos")
         .agg(F.avg("v").alias("m"))
+        # lazy lineage cut on the |labels|x64-row centroid table: the norm
+        # aggregate and both pair-join sides consume it — uncut, the
+        # corpus posexplode + aggregate ran three times
+        .localCheckpoint(eager=False)
     )
     nrm = cent.groupBy("label").agg(
         F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nn")

@@ -609,6 +609,10 @@ def d31_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(_toks(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # lazy lineage cut on the (doc, term, cnt) aggregate: the vocab
+        # rollup, the corpus-total scalar and the final join all consume
+        # it — uncut, the tokenize+explode+count pipeline ran three times
+        .localCheckpoint(eager=False)
     )
     vocab = tf.groupBy("term").agg(F.sum("cnt").alias("term_total"))
     corpus = vocab.agg(F.sum("term_total").alias("n_total"))
