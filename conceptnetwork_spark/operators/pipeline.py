@@ -2082,7 +2082,13 @@ def d35_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    s = stats(clustered, "clustered").unionByName(stats(frag, "fragmented"))
+    # lazy lineage cut on the #files-row min/max relation: both self-join
+    # sides consume it — uncut, each side re-scanned both staged layouts
+    s = (
+        stats(clustered, "clustered")
+        .unionByName(stats(frag, "fragmented"))
+        .localCheckpoint(eager=False)
+    )
     a = s.select("layout", "file", F.col("lo").alias("a_lo"))
     b = s.select(
         F.col("layout").alias("b_layout"),
@@ -3347,6 +3353,11 @@ def d35_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 2).alias("half"),
         "o_totalprice",
         key.alias("h"),
+    # NOTE (r12, measured): a lazy localCheckpoint here (src feeds the
+    # per-half stats, both KMV arms and the full arm) probed SLOWER
+    # (0.78 s -> 0.83 s min-of-5 noop at sf0.1) — the four consumers'
+    # scans overlap on idle cores, the cut serializes them and spends a
+    # materialization of the corpus-wide projection. Left uncut.
     )
     basic_half = src.groupBy("half").agg(
         F.count(F.lit(1)).alias("n"),

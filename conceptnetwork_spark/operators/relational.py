@@ -4046,6 +4046,10 @@ def d11_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.i", "s.bucket")
         .groupBy("i", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
+        # lazy lineage cut on the d x W = 256-cell sketch: one broadcast
+        # slice per hash row consumes it — uncut, the corpus explode +
+        # aggregate ran once per row (4x)
+        .localCheckpoint(eager=False)
     )
     exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     est = exact
@@ -4359,6 +4363,10 @@ def d27_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(
             F.when(F.col("event_type") == "error", F.col("ts"))
         ).alias("err_ts"),
+    # NOTE (r12, measured): a lazy localCheckpoint here (the per-user agg
+    # feeds the count and the duration projection) probed SLOWER (0.62 s
+    # -> 0.66 s min-of-5 noop at sf0.1) — the two consumers' scans overlap
+    # on idle cores, the cut serializes them. Left uncut; do not retry.
     )
     total = u.agg(F.count(F.lit(1)).alias("n_total"))
     d = u.crossJoin(F.broadcast(span)).select(
@@ -5530,6 +5538,10 @@ def d27_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort"
         ),
         F.date_trunc("week", "first_ts").alias("cw"),
+    # NOTE (r12, measured): a lazy localCheckpoint here (cohorts feeds the
+    # size agg and the purchase join) probed flat-to-slower (0.62 s ->
+    # 0.65 s min-of-5 noop at sf0.1) — consumers overlap on idle cores.
+    # Left uncut; do not retry.
     )
     sizes = cohorts.groupBy("cohort").agg(
         F.count("*").cast("long").alias("n_users")
@@ -7812,7 +7824,10 @@ def d27_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wk",
         F.lag("wk").over(w).alias("prev_wk"),
         F.lead("wk").over(w).alias("next_wk"),
-    )
+    # lazy lineage cut on the (user, week, lag, lead) relation (4 narrow
+    # columns): the activity ledger and the churn attribution both
+    # consume it — uncut, the corpus distinct + user window ran twice
+    ).localCheckpoint(eager=False)
     act = seq.groupBy("wk").agg(
         F.sum(F.when(F.col("prev_wk").isNull(), 1).otherwise(0)).alias("n_new"),
         F.sum(

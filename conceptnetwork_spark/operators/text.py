@@ -490,6 +490,11 @@ def bm25_scores(docs: DataFrame) -> DataFrame:
     shuffle joins tf to per-doc length on doc_id. No collect — corpus
     stats stay plan-side as a broadcast cross join. Shared by d31_bm25
     and the d30_hybrid_rrf lexical leg."""
+    # NOTE (r12, measured): lazy localCheckpoints on dl and tf (each
+    # consumed twice) probed SLOWER (0.82 s -> 0.95 s min-of-5 noop at
+    # sf0.1) — the duplicated tokenize passes run CONCURRENTLY on idle
+    # cores, while the cut serializes the stage graph. Left uncut; do
+    # not retry.
     toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
     dl = toks.select("doc_id", F.size("toks").alias("dl"))
     corpus = dl.agg(

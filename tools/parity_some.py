@@ -31,10 +31,15 @@ def main() -> None:
 
     spark = get_spark(app_name="parity-some")
     spark.sparkContext.setLogLevel("ERROR")
-    qs, oracles = registry.queries(), registry.oracles()
+    qs = registry.queries()
     failures = 0
     for sf_dir in sf_dirs:
+        # staged-fixture oracles resolve their staged paths via this env
+        # var AT FETCH TIME — set it BEFORE fetching the oracle SQL for
+        # each SF (fetching once up front pins every SF to the first
+        # staging and produces phantom mismatches)
         os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+        oracles = registry.oracles()
         ddb = duckdb.connect()
         for t in TABLES:
             ddb.execute(
