@@ -2291,6 +2291,10 @@ def d31_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _toks(F.col("text"))
     base = d.select("doc_id", toks.alias("toks"))
     tok = base.select(F.explode("toks").alias("word"))
+    # NOTE (r12, measured): lazy localCheckpoints on uni and big_all
+    # (vocabulary-sized, multi-consumer) probed SLOWER (1.41 s -> 1.59 s
+    # min-of-5 noop at sf0.1) — the duplicated tokenize passes overlap on
+    # idle cores, the cuts serialize the stage graph. Left uncut.
     uni = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     pairs = base.select(
         F.explode(
@@ -2435,6 +2439,9 @@ def d31_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", F.explode("toks").alias("word")
     )
     firsts = tok.groupBy("source", "word").agg(F.min("doc_id").alias("fdoc"))
+    # both bucket tables are <= HEAPS_CKPTS rows per source and are each
+    # consumed twice (cumulative join + the totals below) — lazy cuts so
+    # the corpus-sized pipelines behind them run exactly once
     newb = (
         firsts.crossJoin(F.broadcast(mxd))
         .groupBy(
@@ -2442,14 +2449,21 @@ def d31_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(fdoc * {HEAPS_CKPTS}) div (mxd + 1)").alias("b"),
         )
         .agg(F.count(F.lit(1)).alias("nv"))
+        .localCheckpoint(eager=False)
     )
+    # token mass per bucket needs only per-doc token COUNTS — F.size on
+    # the token array, no explode: one corpus pass of array lengths
+    # instead of re-exploding every token (bit-identical: explode emits
+    # exactly size(toks) rows per doc, and the buckets partition all docs)
     tokb = (
-        tok.crossJoin(F.broadcast(mxd))
+        base.select("source", "doc_id", F.size("toks").alias("k"))
+        .crossJoin(F.broadcast(mxd))
         .groupBy(
             "source",
             F.expr(f"(doc_id * {HEAPS_CKPTS}) div (mxd + 1)").alias("b"),
         )
-        .agg(F.count(F.lit(1)).alias("nt"))
+        .agg(F.sum("k").cast("long").alias("nt"))
+        .localCheckpoint(eager=False)
     )
     w_cum = (
         Window.partitionBy("source")
@@ -2477,9 +2491,15 @@ def d31_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    tot = tok.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("total_tokens"),
-        F.countDistinct("word").cast("long").alias("vocab"),
+    # totals are the bucket sums (buckets partition all docs, a word's
+    # first doc lands in exactly one bucket): total_tokens = sum(nt),
+    # vocab = sum(nv) — integer-exact, and the third corpus tokenize
+    # pass plus its countDistinct shuffle disappear
+    tot = tokb.groupBy("source").agg(
+        F.sum("nt").cast("long").alias("total_tokens")
+    ).join(
+        newb.groupBy("source").agg(F.sum("nv").cast("long").alias("vocab")),
+        "source",
     )
     # guarded like the oracle: denom = 0 (single distinct checkpoint)
     # yields NULL instead of an ANSI DIVIDE_BY_ZERO; + 0.0 normalizes
