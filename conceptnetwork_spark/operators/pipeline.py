@@ -4030,6 +4030,10 @@ def d34_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(
             _number_partition, schema="doc_id long, tokens long, pid int, lrn long"
         )
+        # NOTE (r12, measured): the d34_curriculum_order-style lazy
+        # localCheckpoint here probed SLOWER (1.15 s -> 1.65 s min-of-5
+        # noop at sf0.1) — only TWO consumers, which overlap on idle
+        # cores, vs curriculum's four. Left uncut; do not retry.
     )
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
