@@ -335,6 +335,45 @@ def d29_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 PPR_NATION = 7  # seed set: customers of one nation
 
 
+def _ppr_edges(t):
+    """The UNCUT ppr edge derivation (orders⋈lineitem⋈distinct)."""
+    return (
+        t.orders.where(F.col("o_orderkey") < 3000)
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") + 1000000).alias("src"),
+            F.col("l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _ppr_tele(t, edges):
+    """The UNCUT personalized-teleport vector (node set ∪, seed semi-join,
+    broadcast seed count) over a given edge relation — factored out so the
+    plan-pin test can inspect the seed-broadcast shape that d29_ppr_2iter
+    hides behind its lineage cut."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = t.customer.where(F.col("c_nationkey") == PPR_NATION).select(
+        (F.col("c_custkey") + 1000000).alias("node")
+    ).join(nodes, "node")
+    ns = seeds.agg(F.count(F.lit(1)).alias("n_seeds"))
+    return (
+        nodes.join(seeds.withColumn("is_seed", F.lit(1)), "node", "left")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "node",
+            F.when(
+                F.col("is_seed").isNotNull(), 1.0 / F.col("n_seeds")
+            ).otherwise(F.lit(0.0)).alias("t"),
+        )
+    )
+
+
 @register(
     "d29_ppr_2iter",
     oracle=f"""
@@ -414,40 +453,12 @@ def d29_ppr_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages AQE stage-reuse could not dedupe. eager=False keeps the
     # materialization inside the first action (no extra serial job);
     # deterministic input, so the checkpoint is replay-safe.
-    edges = (
-        t.orders.where(F.col("o_orderkey") < 3000)
-        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(
-            (F.col("o_custkey") + 1000000).alias("src"),
-            F.col("l_suppkey").alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    seeds = t.customer.where(F.col("c_nationkey") == PPR_NATION).select(
-        (F.col("c_custkey") + 1000000).alias("node")
-    ).join(nodes, "node")
-    ns = seeds.agg(F.count(F.lit(1)).alias("n_seeds"))
-    tele = (
-        nodes.join(seeds.withColumn("is_seed", F.lit(1)), "node", "left")
-        .crossJoin(F.broadcast(ns))
-        .select(
-            "node",
-            F.when(
-                F.col("is_seed").isNotNull(), 1.0 / F.col("n_seeds")
-            ).otherwise(F.lit(0.0)).alias("t"),
-        )
-        # second cut: the teleport vector is consumed by the rank init and
-        # BOTH unrolled iterations; uncut, each re-derived the node-set
-        # union/distinct + seed join above the edge cut (30 residual
-        # parquet scans in the audited plan). Narrow: (long, double).
-        .localCheckpoint(eager=False)
-    )
+    edges = _ppr_edges(t).localCheckpoint(eager=False)
+    # second cut: the teleport vector is consumed by the rank init and
+    # BOTH unrolled iterations; uncut, each re-derived the node-set
+    # union/distinct + seed join above the edge cut (30 residual
+    # parquet scans in the audited plan). Narrow: (long, double).
+    tele = _ppr_tele(t, edges).localCheckpoint(eager=False)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
 
     ranks = tele.select("node", F.col("t").alias("pr"))

@@ -7491,6 +7491,14 @@ def d14_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # D27 extension (round 10) — audience-overlap matrix (Jaccard between
 # event-type user populations)
 # --------------------------------------------------------------------------
+def _audience_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCUT distinct (type, user) relation — factored out so the
+    plan-pin test can check the two-column pruned scan that
+    d27_audience_overlap hides behind its lineage cut."""
+    ev = Catalog(spark, sf_dir).events
+    return ev.select(F.col("event_type").alias("t"), "user_id").distinct()
+
+
 @register(
     "d27_audience_overlap",
     oracle="""
@@ -7528,15 +7536,10 @@ def d27_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix. For web-scale type vocabularies swap the exact count for a
     MinHash sketch per type (d11_kmv_sketch's estimator) — noted, not
     needed at 25 pairs."""
-    ev = Catalog(spark, sf_dir).events
     # lazy lineage cut on the distinct (type, user) relation (two small
     # columns): the set-size aggregate and both self-join sides consume
     # it — uncut, the corpus scan + distinct exchange ran three times
-    a = (
-        ev.select(F.col("event_type").alias("t"), "user_id")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    a = _audience_sets(spark, sf_dir).localCheckpoint(eager=False)
     s = a.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     x = a.select(F.col("t").alias("type_a"), "user_id")
     y = a.select(F.col("t").alias("type_b"), "user_id")

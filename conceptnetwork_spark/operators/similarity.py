@@ -1509,6 +1509,26 @@ def d30_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # D30 extension (round 7) — in-engine retrieval evaluation harness:
 # recall@k of one retriever against the exact answer, as a query
 # --------------------------------------------------------------------------
+def _recall_eval_per(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCUT per-query hit table (both retrieval arms + eval join) —
+    factored out so the plan-pin test can inspect the broadcast-query-bag
+    shape that d30_recall_eval hides behind its lineage cut."""
+    exact = d30_knn_exact(spark, sf_dir).select("qid", "vec_id")
+    ham = (
+        d30_hamming_topk(spark, sf_dir)
+        .select(F.col("qid").alias("hqid"), F.col("vec_id").alias("hvec"))
+    )
+    return (
+        exact.join(
+            ham,
+            (F.col("qid") == F.col("hqid")) & (F.col("vec_id") == F.col("hvec")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("hvec").alias("n_hit"))
+    )
+
+
 @register(
     "d30_recall_eval",
     oracle="""
@@ -1552,6 +1572,7 @@ def d30_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY query
     """,
 )
+
 def d30_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval evaluation AS A QUERY: recall@10 of the bit-sign Hamming
     retriever (d30_hamming_topk) against exact cosine (d30_knn_exact),
@@ -1567,24 +1588,10 @@ def d30_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (qid, vec_id) between two k*|Q|-row leaderboards — negligible next
     to retrieval. Swap the exact arm for labeled qrels and the same
     harness scores production retrievers."""
-    exact = d30_knn_exact(spark, sf_dir).select("qid", "vec_id")
-    ham = (
-        d30_hamming_topk(spark, sf_dir)
-        .select(F.col("qid").alias("hqid"), F.col("vec_id").alias("hvec"))
-    )
-    per = (
-        exact.join(
-            ham,
-            (F.col("qid") == F.col("hqid")) & (F.col("vec_id") == F.col("hvec")),
-            "left",
-        )
-        .groupBy("qid")
-        .agg(F.count("hvec").alias("n_hit"))
-        # lazy lineage cut on the |Q|-row eval table: both union branches
-        # (per-query rows + MEAN) consume it, and uncut each branch re-ran
-        # BOTH retrieval arms over the corpus
-        .localCheckpoint(eager=False)
-    )
+    per = _recall_eval_per(spark, sf_dir).localCheckpoint(eager=False)
+    # lazy lineage cut on the |Q|-row eval table: both union branches
+    # (per-query rows + MEAN) consume it, and uncut each branch re-ran
+    # BOTH retrieval arms over the corpus
     rows = per.select(
         F.col("qid").cast("string").alias("query"),
         F.col("n_hit").cast("long").alias("n_hits"),
@@ -1596,6 +1603,62 @@ def d30_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("n_hit") / 10.0), 4).alias("recall_at_10"),
     )
     return rows.unionAll(mean).orderBy("query")
+
+
+def _ndcg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCUT per-query DCG/IDCG table (one corpus pass scoring grade +
+    Hamming against the broadcast query bag, two rank windows, one agg) —
+    factored out so the plan-pin test can inspect the broadcast shape that
+    d30_ndcg_eval hides behind its lineage cut."""
+    e = Catalog(spark, sf_dir).embeddings
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scored = e.withColumn("__cn", _norm(F.col("embedding"))).join(
+        F.broadcast(q.withColumn("__qn", _norm(F.col("qvec")))),
+        F.col("qid") != F.col("vec_id"),
+    ).select(
+        "qid",
+        "vec_id",
+        F.greatest(
+            _dot(F.col("qvec"), F.col("embedding"))
+            / (F.col("__qn") * F.col("__cn")),
+            F.lit(0.0),
+        ).alias("rel"),
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("qvec").cast("array<double>"),
+                lambda a, b: ((a > 0) != (b > 0)).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("ham"),
+    )
+    ranked = scored.select(
+        "qid",
+        "rel",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(F.asc("ham"), F.asc("vec_id")))
+        .alias("ham_rank"),
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id")))
+        .alias("ideal_rank"),
+    )
+    return ranked.groupBy("qid").agg(
+        F.sum(
+            F.when(
+                F.col("ham_rank") <= 10,
+                F.col("rel") / F.log2(F.col("ham_rank") + 1),
+            ).otherwise(0.0)
+        ).alias("dcg"),
+        F.sum(
+            F.when(
+                F.col("ideal_rank") <= 10,
+                F.col("rel") / F.log2(F.col("ideal_rank") + 1),
+            ).otherwise(0.0)
+        ).alias("idcg"),
+    )
 
 
 @register(
@@ -1642,6 +1705,7 @@ def d30_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY query
     """,
 )
+
 def d30_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded ranking evaluation: NDCG@10 of the Hamming retriever with
     exact cosine as the (continuous, clamped-at-0) relevance grade — the
@@ -1656,56 +1720,9 @@ def d30_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance per (query, candidate) against the broadcast query bag; two
     row_number windows partitioned by qid rank it both ways; DCG/IDCG
     are a |Q|-row agg. Same single-pass shape as d30_knn_exact."""
-    e = Catalog(spark, sf_dir).embeddings
-    q = e.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    scored = e.withColumn("__cn", _norm(F.col("embedding"))).join(
-        F.broadcast(q.withColumn("__qn", _norm(F.col("qvec")))),
-        F.col("qid") != F.col("vec_id"),
-    ).select(
-        "qid",
-        "vec_id",
-        F.greatest(
-            _dot(F.col("qvec"), F.col("embedding"))
-            / (F.col("__qn") * F.col("__cn")),
-            F.lit(0.0),
-        ).alias("rel"),
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding").cast("array<double>"),
-                F.col("qvec").cast("array<double>"),
-                lambda a, b: ((a > 0) != (b > 0)).cast("int"),
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).alias("ham"),
-    )
-    ranked = scored.select(
-        "qid",
-        "rel",
-        F.row_number()
-        .over(Window.partitionBy("qid").orderBy(F.asc("ham"), F.asc("vec_id")))
-        .alias("ham_rank"),
-        F.row_number()
-        .over(Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id")))
-        .alias("ideal_rank"),
-    )
-    parts = ranked.groupBy("qid").agg(
-        F.sum(
-            F.when(
-                F.col("ham_rank") <= 10,
-                F.col("rel") / F.log2(F.col("ham_rank") + 1),
-            ).otherwise(0.0)
-        ).alias("dcg"),
-        F.sum(
-            F.when(
-                F.col("ideal_rank") <= 10,
-                F.col("rel") / F.log2(F.col("ideal_rank") + 1),
-            ).otherwise(0.0)
-        ).alias("idcg"),
-    ).localCheckpoint(eager=False)  # |Q|-row eval table, consumed by both
-    # union branches — uncut, each branch re-ran the corpus scoring pass
+    parts = _ndcg_parts(spark, sf_dir).localCheckpoint(eager=False)
+    # lazy cut on the |Q|-row eval table, consumed by both union
+    # branches — uncut, each branch re-ran the corpus scoring pass
     rows = parts.select(
         F.col("qid").cast("string").alias("query"),
         F.round("dcg", 4).alias("dcg_at_10"),
