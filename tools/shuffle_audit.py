@@ -47,11 +47,17 @@ def _stage_totals(ui_url: str, app_id: str) -> dict[str, int]:
 
 def main() -> None:
     os.environ["SPARK_GRAFT_UI"] = "1"
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     rnd = None
-    if "--round" in sys.argv:
-        rnd = int(sys.argv[sys.argv.index("--round") + 1])
+    argv = sys.argv[1:]
+    if "--round" in argv:
+        i = argv.index("--round")
+        rnd = int(argv[i + 1])
+        # drop the flag AND its value so the value is never mistaken for
+        # the sf_dir positional (`--round 12` alone used to audit the
+        # nonexistent directory "12" and fail all 404 queries)
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from conceptnetwork_spark import registry
     from conceptnetwork_spark.session import get_spark
