@@ -2323,8 +2323,15 @@ def d14_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB swap percentile for approx_percentile on the same plan shape
     (D11 tolerance contract) if per-type value lists outgrow memory."""
     e = Catalog(spark, sf_dir).events
-    med = e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+    med = (
+        e.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("med"))
+        # lazy lineage cut on the per-type median (~16 bytes/type): the MAD
+        # pass and the stats join both consume it — uncut, the exact
+        # percentile (a full per-type value-buffer sort) and the events
+        # scan ran twice (r12 interleaved A/B: 0.68 s -> 0.50 s noop,
+        # exchanges 14 -> 10)
+        .localCheckpoint(eager=False)
     )
     mad = (
         e.join(F.broadcast(med), "event_type")
