@@ -152,6 +152,16 @@ def hyperplane_buckets(
     a 96-plane dot product into them costs ~100x more than one vectorized
     matmul per batch. Multiple tables trade candidate volume for recall —
     the standard LSH amplification, never all-pairs.
+
+    The signature relation (one row per vector, ``tables`` longs) is cut
+    with a lazy localCheckpoint BEFORE the posexplode: every caller feeds
+    the bucketed relation to both sides of a join, and uncut the planner
+    re-evaluated the pandas-UDF matmul once per side and again below each
+    pushed null-filter (d30_embedding_near_dup carried 8 ArrowEvalPython
+    nodes for ONE projection; r12 interleaved A/B: 3.5 s -> 1.3 s noop).
+    The cut stores per-vector width + 16 longs — the d29_simhash_pairs
+    precedent, NOT the rejected wide-payload case (nothing is exploded
+    yet when it materializes).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -168,9 +178,12 @@ def hyperplane_buckets(
         ).sum(axis=2)  # B x tables
         return pd.Series(list(packed))
 
-    return df.select(
-        "*", F.posexplode(bucket_ids(F.col(vec_col))).alias("lsh_table", "lsh_bucket")
-    )
+    sigs = df.select(
+        "*", bucket_ids(F.col(vec_col)).alias("__lsh_sigs")
+    ).localCheckpoint(eager=False)
+    return sigs.select(
+        "*", F.posexplode("__lsh_sigs").alias("lsh_table", "lsh_bucket")
+    ).drop("__lsh_sigs")
 
 
 @register("d30_lsh_ann", oracle=None)
