@@ -249,8 +249,13 @@ def main() -> None:
     if not skip_suite:
         # no explicit -q: pyproject addopts already applies one -q, and a
         # second escalates to -qq which suppresses the "N passed" summary
-        # line this step parses
-        code, out = _run([py, "-m", "pytest", "tests/"], timeout=5400)
+        # line this step parses. The explicit -m overrides the addopts
+        # default of 'not slow' (the driver's verify window skips the
+        # slow-marked subprocess/streaming tests; the round close must not).
+        code, out = _run(
+            [py, "-m", "pytest", "tests/", "-m", "slow or not slow"],
+            timeout=5400,
+        )
         m = re.search(r"(\d+) passed", out)
         report["suite"] = {
             "exit": code,
