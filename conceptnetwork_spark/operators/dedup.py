@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from conceptnetwork_spark.catalog import Catalog, ensure_parallelism
+from conceptnetwork_spark.lineage import lineage_cut
 from conceptnetwork_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -367,7 +368,7 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     sh = (
         ensure_parallelism(docs)
         .select("doc_id", simhash64_fast(F.col("text")).alias("sh"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     chunks = sh.select(
         "doc_id",

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from conceptnetwork_spark.catalog import Catalog
+from conceptnetwork_spark.lineage import lineage_cut
 from conceptnetwork_spark.registry import register
 
 
@@ -86,10 +87,10 @@ def connected_components(
     collecting edges). Each round materializes via localCheckpoint, so
     iteration N+1's plan starts from N's result, not from the raw input.
     """
-    e = _canonical(edges).localCheckpoint()
+    e = _canonical(edges).transform(lineage_cut, eager=True)
     prev_sig = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _small_star(_large_star(e)).transform(lineage_cut, eager=True)
         # count + order-independent XOR fold (bit_xor never overflows; a
         # plain SUM of 64-bit hashes trips ANSI overflow checks)
         sig_row = e.agg(
@@ -203,8 +204,8 @@ def d29_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint form): signatures feed both LSH self-join sides, and the
     # candidate relation is referenced three times by the verify stage —
     # without the cuts each reference re-runs the shingle->hash pipeline
-    sigs = minhash_signatures(docs).localCheckpoint(eager=False)
-    cands = lsh_candidate_pairs(sigs).localCheckpoint(eager=False)
+    sigs = minhash_signatures(docs).transform(lineage_cut)
+    cands = lsh_candidate_pairs(sigs).transform(lineage_cut)
     pairs = jaccard_verify(docs, cands, threshold=0.9)
     clusters = cluster_documents(docs, pairs)
     return (
@@ -288,7 +289,7 @@ def d29_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .select((F.col("o_custkey") + 1000000).alias("src"), F.col("l_suppkey").alias("dst"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -296,7 +297,7 @@ def d29_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # consumed by the rank init, both iteration left-joins and the
         # node count — one union+distinct pass instead of four
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -453,12 +454,12 @@ def d29_ppr_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages AQE stage-reuse could not dedupe. eager=False keeps the
     # materialization inside the first action (no extra serial job);
     # deterministic input, so the checkpoint is replay-safe.
-    edges = _ppr_edges(t).localCheckpoint(eager=False)
+    edges = _ppr_edges(t).transform(lineage_cut)
     # second cut: the teleport vector is consumed by the rank init and
     # BOTH unrolled iterations; uncut, each re-derived the node-set
     # union/distinct + seed join above the edge cut (30 residual
     # parquet scans in the audited plan). Narrow: (long, double).
-    tele = _ppr_tele(t, edges).localCheckpoint(eager=False)
+    tele = _ppr_tele(t, edges).transform(lineage_cut)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
 
     ranks = tele.select("node", F.col("t").alias("pr"))
@@ -554,7 +555,7 @@ def d29_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # five consumers (three triangle legs, node count, edge count)
         # re-derived the scan+pair-join+distinct subtree each time; a lazy
         # lineage cut leaves a single shared pair-generation pass
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
@@ -659,7 +660,7 @@ def d29_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # consumed three times (label init + both vote rounds) — lazy cut
         # so the pair-generation join runs once per action
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     labels = und.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
@@ -783,7 +784,7 @@ def d29_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # agg, semi-join pruning, edge count) and feeds the next round —
         # uncut, the 3-round lineage re-derived the pair join ~40x (784
         # Exchange mentions in the formatted plan)
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     summaries = []
     for r in range(1, KCORE_ROUNDS + 1):
@@ -813,7 +814,7 @@ def d29_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "edges_kept",
             )
         )
-        edges = pruned.localCheckpoint(eager=False)
+        edges = pruned.transform(lineage_cut)
     out = summaries[0]
     for s in summaries[1:]:
         out = out.unionAll(s)
@@ -903,13 +904,13 @@ def d29_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the edge list feeds the degree aggregate, the decorate join and
         # the edge-count scalar; uncut, each consumer re-ran the bulk
         # self-join + distinct. Narrow (two longs), deterministic.
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     d = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         # consumed three times (both decorate sides + the node count)
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     ds = d.select(F.col("src").alias("node"), F.col("deg").alias("x"))
     dd = d.select(F.col("src").alias("node"), F.col("deg").alias("y"))
@@ -1034,7 +1035,7 @@ def d29_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lazy lineage cut: the edge list feeds both degree aggregates and
         # both self-join sides; uncut, each consumer re-derived the
         # orders⋈lineitem⋈distinct subtree. Narrow (two longs).
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     sdeg = edges.groupBy("supp").agg(F.count(F.lit(1)).alias("deg"))
     cdeg = edges.groupBy("cust").agg(F.count(F.lit(1)).alias("deg"))

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from conceptnetwork_spark.catalog import Catalog
+from conceptnetwork_spark.lineage import lineage_cut
 from conceptnetwork_spark.operators.sampling import _bucket_sql, hash_bucket
 from conceptnetwork_spark.operators.text import (
     PUNCT_CLASS,
@@ -1695,7 +1696,7 @@ def d34_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.96 s). The cut also makes the same-range-boundaries guarantee
     # structural: every consumer reads ONE computed RDD, not a re-executed
     # exchange. eager=False keeps materialization inside the first action.
-    local = _curriculum_numbered(spark, sf_dir).localCheckpoint(eager=False)
+    local = _curriculum_numbered(spark, sf_dir).transform(lineage_cut)
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         local.groupBy("pid")
@@ -2087,7 +2088,7 @@ def d35_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         stats(clustered, "clustered")
         .unionByName(stats(frag, "fragmented"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     a = s.select("layout", "file", F.col("lo").alias("a_lo"))
     b = s.select(
@@ -3129,7 +3130,7 @@ def d33_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy lineage cut on the (y, zv) pair — 16 bytes/doc: the moment agg,
     # the sigmoid pass and both union branches all re-consumed this
     # relation, so the regex-heavy scoring scan ran 4x. One pass now.
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     st = zdf.agg(
         F.avg("zv").alias("mu"), F.stddev_samp("zv").alias("sd")
     )
@@ -3150,7 +3151,7 @@ def d33_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("y").alias("acc"),
         )
         # <=10-row bucket table, consumed by both union branches
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     per = g.select(
         F.col("bin").cast("string").alias("bucket"),

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from conceptnetwork_spark.catalog import Catalog
+from conceptnetwork_spark.lineage import lineage_cut
 from conceptnetwork_spark.registry import register
 
 
@@ -863,7 +864,7 @@ def d20_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lazy lineage cut on the |labels|x64-row centroid table: the norm
         # aggregate and both pair-join sides consume it — uncut, the
         # corpus posexplode + aggregate ran three times
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     nrm = cent.groupBy("label").agg(
         F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nn")

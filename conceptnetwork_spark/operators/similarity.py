@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from conceptnetwork_spark.catalog import Catalog
+from conceptnetwork_spark.lineage import lineage_cut
 from conceptnetwork_spark.registry import register
 
 
@@ -154,14 +155,20 @@ def hyperplane_buckets(
     the standard LSH amplification, never all-pairs.
 
     The signature relation (one row per vector, ``tables`` longs) is cut
-    with a lazy localCheckpoint BEFORE the posexplode: every caller feeds
+    with a lazy lineage cut BEFORE the posexplode: every caller feeds
     the bucketed relation to both sides of a join, and uncut the planner
     re-evaluated the pandas-UDF matmul once per side and again below each
     pushed null-filter (d30_embedding_near_dup carried 8 ArrowEvalPython
     nodes for ONE projection; r12 interleaved A/B: 3.5 s -> 1.3 s noop).
     The cut stores per-vector width + 16 longs — the d29_simhash_pairs
     precedent, NOT the rejected wide-payload case (nothing is exploded
-    yet when it materializes).
+    yet when it materializes). Two consequences for callers (see
+    conceptnetwork_spark.lineage for the fault-tolerance trade-off):
+    the cut materializes the FULL input relation (all of ``df``'s
+    columns, embeddings included), and it is a pushdown barrier — a
+    selective caller cannot push its predicate below the cut into the
+    scan, so signatures are always computed for the whole input. Both
+    current callers consume the full corpus side, where that is optimal.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -178,12 +185,18 @@ def hyperplane_buckets(
         ).sum(axis=2)  # B x tables
         return pd.Series(list(packed))
 
+    # temp-column collision guard (ADVICE r12): df.select("*", ...) with a
+    # fixed name silently duplicates the column if the caller already has
+    # one, making the posexplode/drop below ambiguous
+    sig_col = "__lsh_sigs"
+    while sig_col in df.columns:
+        sig_col = "_" + sig_col
     sigs = df.select(
-        "*", bucket_ids(F.col(vec_col)).alias("__lsh_sigs")
-    ).localCheckpoint(eager=False)
+        "*", bucket_ids(F.col(vec_col)).alias(sig_col)
+    ).transform(lineage_cut)
     return sigs.select(
-        "*", F.posexplode("__lsh_sigs").alias("lsh_table", "lsh_bucket")
-    ).drop("__lsh_sigs")
+        "*", F.posexplode(sig_col).alias("lsh_table", "lsh_bucket")
+    ).drop(sig_col)
 
 
 @register("d30_lsh_ann", oracle=None)
@@ -1601,7 +1614,7 @@ def d30_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (qid, vec_id) between two k*|Q|-row leaderboards — negligible next
     to retrieval. Swap the exact arm for labeled qrels and the same
     harness scores production retrievers."""
-    per = _recall_eval_per(spark, sf_dir).localCheckpoint(eager=False)
+    per = _recall_eval_per(spark, sf_dir).transform(lineage_cut)
     # lazy lineage cut on the |Q|-row eval table: both union branches
     # (per-query rows + MEAN) consume it, and uncut each branch re-ran
     # BOTH retrieval arms over the corpus
@@ -1733,7 +1746,7 @@ def d30_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance per (query, candidate) against the broadcast query bag; two
     row_number windows partitioned by qid rank it both ways; DCG/IDCG
     are a |Q|-row agg. Same single-pass shape as d30_knn_exact."""
-    parts = _ndcg_parts(spark, sf_dir).localCheckpoint(eager=False)
+    parts = _ndcg_parts(spark, sf_dir).transform(lineage_cut)
     # lazy cut on the |Q|-row eval table, consumed by both union
     # branches — uncut, each branch re-ran the corpus scoring pass
     rows = parts.select(
@@ -2029,7 +2042,7 @@ def d30_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         # lazy lineage cut on the |Q|-row eval table (see d30_recall_eval)
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     rows = per.select(
         F.col("qid").cast("string").alias("query"),

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from conceptnetwork_spark.catalog import Catalog
+from conceptnetwork_spark.lineage import lineage_cut
 from conceptnetwork_spark.registry import register
 
 # BPE-ish token pattern: letter runs, digit runs, single punctuation marks.
@@ -617,7 +618,7 @@ def d31_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lazy lineage cut on the (doc, term, cnt) aggregate: the vocab
         # rollup, the corpus-total scalar and the final join all consume
         # it — uncut, the tokenize+explode+count pipeline ran three times
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     vocab = tf.groupBy("term").agg(F.sum("cnt").alias("term_total"))
     corpus = vocab.agg(F.sum("term_total").alias("n_total"))
@@ -1045,7 +1046,7 @@ def d31_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tokenize + explode + count-agg subtree ran twice (once feeding
         # the broadcast df build; r12 interleaved A/B: 0.74 s -> 0.48 s
         # noop, exchanges 12 -> 8)
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     win = Window.partitionBy("doc_id").orderBy(
@@ -2458,7 +2459,7 @@ def d31_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(fdoc * {HEAPS_CKPTS}) div (mxd + 1)").alias("b"),
         )
         .agg(F.count(F.lit(1)).alias("nv"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     # token mass per bucket needs only per-doc token COUNTS — F.size on
     # the token array, no explode: one corpus pass of array lengths
@@ -2472,7 +2473,7 @@ def d31_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(doc_id * {HEAPS_CKPTS}) div (mxd + 1)").alias("b"),
         )
         .agg(F.sum("k").cast("long").alias("nt"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     w_cum = (
         Window.partitionBy("source")
