@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from conceptnetwork_spark.catalog import Catalog
+from conceptnetwork_spark.lineage import lineage_cut
 from conceptnetwork_spark.registry import register
 
 
@@ -2331,7 +2332,7 @@ def d14_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # percentile (a full per-type value-buffer sort) and the events
         # scan ran twice (r12 interleaved A/B: 0.68 s -> 0.50 s noop,
         # exchanges 14 -> 10)
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     mad = (
         e.join(F.broadcast(med), "event_type")
@@ -3623,7 +3624,7 @@ def d27_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the reference-timestamp agg, the quantile cutpoints and the
         # scoring pass all re-consumed it — uncut, the purchase scan +
         # user_id shuffle ran three times
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     ref = p.agg(F.max("last_ts").alias("ref_ts"))
     rfm = p.crossJoin(F.broadcast(ref)).select(
@@ -4056,7 +4057,7 @@ def d11_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lazy lineage cut on the d x W = 256-cell sketch: one broadcast
         # slice per hash row consumes it — uncut, the corpus explode +
         # aggregate ran once per row (4x)
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     est = exact
@@ -5381,6 +5382,34 @@ def d10_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("seg")
 
 
+def _per_series_grouped_map(daily: DataFrame, kernel, schema: str) -> DataFrame:
+    """Run a per-series sequential kernel as a grouped map over hash
+    BUCKETS of series instead of one group per series (guide §4.2).
+
+    ``applyInPandas`` fires the Python kernel once per GROUP: keyed by
+    user_id it pays one interpreter crossing + one pandas-frame
+    construction per series (~60k calls at sf0.1 — measured to dominate
+    the d14_holt_linear / d14_kalman_1d sweep seconds). Bucketing by
+    ``pmod(xxhash64(user_id), buckets)`` hands each call a batch of whole
+    series and the kernel vectorizes across them (one numpy op per TIME
+    STEP, elementwise over live series). Bucket count scales with cluster
+    parallelism — 8 groups per core keeps every core busy while bounding
+    per-task state to rows/buckets — and the result is bucket-count
+    invariant because the kernel emits one row per series regardless of
+    how series are co-batched."""
+    spark = daily.sparkSession
+    nb = max(spark.sparkContext.defaultParallelism, 1) * 8
+    bkt = "__series_bkt"
+    bucketed = daily.withColumn(
+        bkt, F.pmod(F.xxhash64("user_id"), F.lit(nb))
+    )
+
+    def run(pdf):
+        return kernel(pdf.drop(columns=[bkt]))
+
+    return bucketed.groupBy(bkt).applyInPandas(run, schema=schema)
+
+
 # --------------------------------------------------------------------------
 # D14 extension — Holt double-exponential smoothing (level + trend), the
 # genuinely SEQUENTIAL per-series recurrence. d14_ewma stays a pure window
@@ -5439,7 +5468,19 @@ def d14_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     → perfectly parallel); per-series state is two doubles. The daily
     pre-aggregate (MIN per user-day) collapses the raw stream map-side
     before the series shuffle, so the grouped map sees days, not events —
-    the same pre-reduction a production forecaster ships."""
+    the same pre-reduction a production forecaster ships.
+
+    r13 kernel vectorization (guide §4.2 — hand whole batches to
+    vectorized native code; VERDICT r12 ask #5): grouping by user_id
+    fired one Python call + one pandas-frame construction PER SERIES
+    (~60k calls at sf0.1 dominated the 6.7 s sweep time). The grouped
+    map now runs per hash BUCKET of series (parallelism-scaled count),
+    and the kernel steps the recurrence once per TIME STEP, elementwise
+    across every live series in the bucket. The per-series arithmetic
+    is the identical scalar op sequence (l' = a*y + (1-a)*(l+b) etc.,
+    numpy float64 elementwise == the scalar loop's IEEE doubles), so
+    the trajectory — and the oracle hash — is bit-identical."""
+    import numpy as np
     import pandas as pd
 
     e = Catalog(spark, sf_dir).events
@@ -5449,26 +5490,37 @@ def d14_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("day")
-        ys = pdf["y"].tolist()
-        l, b = ys[0], 0.0
-        for y in ys[1:]:
-            l_new = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * (l + b)
-            b = HOLT_BETA * (l_new - l) + (1 - HOLT_BETA) * b
-            l = l_new
+        pdf = pdf.sort_values(["user_id", "day"])
+        u = pdf["user_id"].to_numpy()
+        ys = pdf["y"].to_numpy()
+        uids, starts, counts = np.unique(
+            u, return_index=True, return_counts=True
+        )
+        l = ys[starts].copy()  # l_1 = y_1 per series
+        b = np.zeros(len(uids))
+        for t in range(1, int(counts.max())):
+            alive = counts > t
+            y = ys[starts[alive] + t]
+            la, ba = l[alive], b[alive]
+            l_new = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * (la + ba)
+            b[alive] = HOLT_BETA * (l_new - la) + (1 - HOLT_BETA) * ba
+            l[alive] = l_new
         return pd.DataFrame(
             {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_days": [len(ys)],
-                "level": [round(l, 4)],
-                "trend": [round(b, 4)],
-                "forecast_1": [round(l + b, 4)],
+                "user_id": uids.astype("int64"),
+                "n_days": counts.astype("int64"),
+                "level": [round(float(v), 4) for v in l],
+                "trend": [round(float(v), 4) for v in b],
+                "forecast_1": [
+                    round(float(lv) + float(bv), 4) for lv, bv in zip(l, b)
+                ],
             }
         )
 
-    out = daily.groupBy("user_id").applyInPandas(
+    out = _per_series_grouped_map(
+        daily,
         holt,
-        schema="user_id LONG, n_days LONG, level DOUBLE, trend DOUBLE, "
+        "user_id LONG, n_days LONG, level DOUBLE, trend DOUBLE, "
         "forecast_1 DOUBLE",
     )
     return out.orderBy("user_id")
@@ -5685,12 +5737,12 @@ def d11_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("event_type") == "purchase")
         .select(key.alias("k"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     bits = (
         a.select(F.explode(F.array(*positions(F.col("k")))).alias("pos"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     b = (
         e.where(F.col("event_type") == "click")
@@ -6840,7 +6892,19 @@ def d10_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-style aggregate (pairs via a two-level agg), unioned into a
     6-row verdict table; no candidate requires a sort, and at corpus
     scale the documented approx_count_distinct swap gives the same
-    verdicts for any uniqueness gap the sketch error can't bridge."""
+    verdicts for any uniqueness gap the sketch error can't bridge.
+
+    NOTE (r13, measured — do not retry): fusing all 7 distinct sets into
+    ONE multi-distinct aggregate (single scan, Catalyst Expand x7, melt
+    via stack; VERDICT r12 ask #4) produced identical results but ran
+    0.72 s -> 1.14 s (interleaved same-session A/B, min-of-6 noop,
+    tools/ab_r13_d14_d10.py): at local[32] the 6 narrow per-candidate
+    scans overlap for free, while the Expand multiplies the aggregate's
+    input to 7x rows through one serial pipeline. The per-branch loop is
+    the locally-optimal shape for a bounded candidate list; at true
+    100 TB width the fused Expand form trades 6 extra full scans for a
+    7x wider partial-agg input and would win on scan-dominated storage —
+    revisit only with cluster-scale evidence."""
     o = Catalog(spark, sf_dir).orders
     total = o.count()
     branches = []
@@ -7546,7 +7610,7 @@ def d27_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy lineage cut on the distinct (type, user) relation (two small
     # columns): the set-size aggregate and both self-join sides consume
     # it — uncut, the corpus scan + distinct exchange ran three times
-    a = _audience_sets(spark, sf_dir).localCheckpoint(eager=False)
+    a = _audience_sets(spark, sf_dir).transform(lineage_cut)
     s = a.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     x = a.select(F.col("t").alias("type_a"), "user_id")
     y = a.select(F.col("t").alias("type_b"), "user_id")
@@ -7837,7 +7901,7 @@ def d27_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy lineage cut on the (user, week, lag, lead) relation (4 narrow
     # columns): the activity ledger and the churn attribution both
     # consume it — uncut, the corpus distinct + user window ran twice
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     act = seq.groupBy("wk").agg(
         F.sum(F.when(F.col("prev_wk").isNull(), 1).otherwise(0)).alias("n_new"),
         F.sum(
@@ -8102,7 +8166,17 @@ def d14_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     states, not window-expressible), so it ships as ``applyInPandas``
     per user after a map-side daily pre-aggregate: parallelism = number
     of series, per-series state is two doubles, the grouped map sees
-    days, not events."""
+    days, not events.
+
+    r13 kernel vectorization (guide §4.2; VERDICT r12 ask #5, same move
+    as d14_holt_linear): bucketed grouped map + per-time-step elementwise
+    update. The Kalman structure makes this especially clean — the
+    variance p_t and gain k_t depend ONLY on the step index, never on the
+    data, so they are precomputed once as scalar sequences (the exact
+    scalar loop the per-series kernel ran) and the only per-series state
+    stepped across the batch is x. Same scalar op sequence per series ⇒
+    bit-identical trajectory and oracle hash."""
+    import numpy as np
     import pandas as pd
 
     e = Catalog(spark, sf_dir).events
@@ -8112,29 +8186,53 @@ def d14_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def kalman(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("day")
-        ys = pdf["y"].tolist()
-        x, p = ys[0], KALMAN_P0
-        for y in ys[1:]:
+        pdf = pdf.sort_values(["user_id", "day"])
+        u = pdf["user_id"].to_numpy()
+        ys = pdf["y"].to_numpy()
+        uids, starts, counts = np.unique(
+            u, return_index=True, return_counts=True
+        )
+        maxlen = int(counts.max())
+        # p_t / k_t depend only on the step index: one scalar recurrence
+        # (identical ops to the old per-series loop) serves every series
+        p_seq = np.empty(maxlen)
+        k_seq = np.empty(maxlen)
+        p = KALMAN_P0
+        p_seq[0] = p
+        for t in range(1, maxlen):
             pq = p + KALMAN_Q
             k = pq / (pq + KALMAN_R)
-            x = x + k * (y - x)
             p = (1 - k) * pq
+            k_seq[t] = k
+            p_seq[t] = p
+        x = ys[starts].copy()  # x_1 = y_1 per series
+        for t in range(1, maxlen):
+            alive = counts > t
+            y = ys[starts[alive] + t]
+            xa = x[alive]
+            x[alive] = xa + k_seq[t] * (y - xa)
+        p_final = p_seq[counts - 1]
         return pd.DataFrame(
             {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_days": [len(ys)],
-                "estimate": [round(x, 4)],
-                "variance": [round(p, 4)],
+                "user_id": uids.astype("int64"),
+                "n_days": counts.astype("int64"),
+                "estimate": [round(float(v), 4) for v in x],
+                "variance": [round(float(v), 4) for v in p_final],
                 "next_gain": [
-                    round((p + KALMAN_Q) / (p + KALMAN_Q + KALMAN_R), 4)
+                    round(
+                        (float(v) + KALMAN_Q)
+                        / (float(v) + KALMAN_Q + KALMAN_R),
+                        4,
+                    )
+                    for v in p_final
                 ],
             }
         )
 
-    out = daily.groupBy("user_id").applyInPandas(
+    out = _per_series_grouped_map(
+        daily,
         kalman,
-        schema="user_id LONG, n_days LONG, estimate DOUBLE, "
+        "user_id LONG, n_days LONG, estimate DOUBLE, "
         "variance DOUBLE, next_gain DOUBLE",
     )
     return out.orderBy("user_id")
