@@ -332,6 +332,26 @@ def _calibrate(spark) -> float:
     return round(statistics.median(run() for _ in range(5)), 4)
 
 
+def _timed_pass(spark, qs, sf_dir: str) -> dict[str, float]:
+    """Measured pass: three timed runs per query, min reported — a single GC
+    pause or OS scheduling blip otherwise lands in one query's number and
+    dominates the total (observed 10x outliers on individual runs; round-1
+    driver bench recorded 7-75 s for queries that measure <1.6 s on an
+    idle host, so the measurement must survive a loaded host). A GC nudge
+    between queries keeps one query's garbage out of the next's timing."""
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        spark.sparkContext._jvm.System.gc()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    return timings
+
+
 def _host_normalized_flags(
     timings: dict[str, float], calibration_sec: float
 ) -> dict:
@@ -496,23 +516,51 @@ def main() -> None:
         qs[name](spark, sf_dir).count()
 
     calibration_sec = _calibrate(spark)
+    timings = _timed_pass(spark, qs, sf_dir)
 
-    # measured pass: three timed runs per query, min reported — a single GC
-    # pause or OS scheduling blip otherwise lands in one query's number and
-    # dominates the total (observed 10x outliers on individual runs; round-1
-    # driver bench recorded 7-75 s for queries that measure <1.6 s on an
-    # idle host, so the measurement must survive a loaded host). A GC nudge
-    # between queries keeps one query's garbage out of the next's timing.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        spark.sparkContext._jvm.System.gc()
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    # Calibration-retry gate (VERDICT r12 ask #2): the r12 driver run landed
+    # on a host ~5-8x slower than the committed snapshot and its numbers
+    # invalidated the whole round's perf comparison. When THIS run's
+    # calibration says the host is >25% SLOWER than the committed
+    # BENCHDETAIL baseline (contention — the only direction a retry can
+    # fix; a host FASTER than baseline is the better ground truth), retry
+    # up to 2 times. Each retry first re-runs only the CHEAP calibration
+    # probe (after a short back-off so a transient episode can pass) and
+    # re-runs the expensive timed pass only once the host has actually
+    # recovered (probe agrees with baseline, or improved >=30%) — burning
+    # a full pass measuring the same contention tells us nothing and
+    # triples the bench wall-clock inside the driver's window. Whichever
+    # (calibration, timings) attempt saw the best host state is emitted,
+    # stamped with calibration_retries.
+    calibration_retries = 0
+    hn = _host_normalized_flags(timings, calibration_sec)
+    while (
+        calibration_retries < 2
+        and hn.get("host_speed_ratio", 0) > 1.25
+        and "unreliable" in hn.get("note", "")
+    ):
+        calibration_retries += 1
+        time.sleep(15 * calibration_retries)
+        cal2 = _calibrate(spark)
+        recovered = (
+            "unreliable"
+            not in _host_normalized_flags(timings, cal2).get("note", "")
+            or cal2 < calibration_sec * 0.7
+        )
+        if recovered:
+            timings2 = _timed_pass(spark, qs, sf_dir)
+            # adopt the (calibration, timings) PAIR only together — a
+            # better probe stapled to the contended pass would misstate
+            # the host state the timings were taken in
+            if cal2 < calibration_sec:
+                calibration_sec, timings = cal2, timings2
+            hn = _host_normalized_flags(timings, calibration_sec)
+            # one re-timed pass is the budget: a full pass is ~5 min of
+            # the driver's window, and the third-best of three host
+            # states adds no attribution value (measured: 2 re-passes
+            # pushed the sf0.001 smoke past 20 min)
+            break
+        hn = _host_normalized_flags(timings, calibration_sec)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -524,9 +572,8 @@ def main() -> None:
             "sf": float(sf) if sf else None,
             "calibration_sec": calibration_sec,
             "calibration_kind": CALIBRATION_KIND,
-            "host_normalized": _host_normalized_flags(
-                timings, calibration_sec
-            ),
+            "calibration_retries": calibration_retries,
+            "host_normalized": hn,
         },
     )
     spark.stop()
