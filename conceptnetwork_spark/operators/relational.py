@@ -4542,12 +4542,17 @@ def d09_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("r")
     )
     wc = Window.orderBy(F.desc("r"), "l_partkey")
+    # `tot` shares `cum`'s window spec (same ordering, unbounded frame) so
+    # Catalyst computes both in ONE Window exec — the old orderBy(lit(1))
+    # spelling forced a second single-partition exchange + sort (guide
+    # §2.4; r13, interleaved A/B 0.957 -> 0.863 s median). DECIMAL sums
+    # are order-exact, so the grand total is bit-identical either way.
     c = rev.select(
         "l_partkey",
         "r",
         F.sum("r").over(wc).alias("cum"),
         F.sum("r").over(
-            Window.orderBy(F.lit(1)).rowsBetween(
+            wc.rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         ).alias("tot"),
