@@ -218,9 +218,12 @@ def first_seen_processor():
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            first_ts, n = (
-                self._state.get() if self._state.exists() else (None, 0)
-            )
+            # ValueState.get() returns None when unset (documented), so a
+            # separate exists() probe is a redundant state-server RPC per
+            # (key, batch) — at 100 TB the state server round-trip count
+            # is the TWS cost driver (r13, guide §4)
+            st = self._state.get()
+            first_ts, n = st if st is not None else (None, 0)
             for pdf in rows:
                 n += len(pdf)
                 batch_min = pdf["ts"].min()
@@ -470,8 +473,13 @@ def run_topk_values(
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            cur = [t[0] for t in self._top.get()] if self._top.exists() else []
-            (n,) = self._seen.get() if self._seen.exists() else (0,)
+            # neither pre-check RPC is needed: an absent ListState iterates
+            # empty (the client raises StopIteration on the first fetch)
+            # and ValueState.get() is None when unset — exists() was a
+            # redundant state-server round-trip per (key, batch) on each
+            cur = [t[0] for t in self._top.get()]
+            sn = self._seen.get()
+            (n,) = sn if sn is not None else (0,)
             for pdf in rows:
                 n += len(pdf)
                 cur.extend(float(v) for v in pdf["value"])
@@ -541,11 +549,13 @@ def run_type_counts(
         def handleInputRows(self, key, rows, timerValues):
             for pdf in rows:
                 for t, d in pdf.groupby("event_type")["event_type"].count().items():
-                    cur = (
-                        self._counts.getValue((t,))[0]
-                        if self._counts.containsKey((t,))
-                        else 0
-                    )
+                    # MapState.getValue() returns None for a missing key
+                    # (documented), so the containsKey probe was a third
+                    # redundant state-server RPC per (user, type, batch) —
+                    # the per-subkey round-trip count IS this operator's
+                    # cost at scale (r13, guide §4)
+                    cur_t = self._counts.getValue((t,))
+                    cur = cur_t[0] if cur_t is not None else 0
                     self._counts.updateValue((t,), (cur + int(d),))
             items = sorted((t[0], n[0]) for t, n in self._counts.iterator())
             yield pd.DataFrame(
