@@ -30,6 +30,11 @@ def _normalize(body: str) -> str:
     # per-run uuid'd streaming checkpoints (d25_state_reader reads state
     # back from a checkpoint created fresh each invocation)
     body = re.sub(r"stateCkptLocation=\S+?\]", "stateCkptLocation=X]", body)
+    # the lineage-cut RDD's callsite string varies with JVM reflection
+    # frame resolution ("localCheckpoint at NativeMethodAccessorImpl.java:0"
+    # vs "localCheckpoint at <unknown>:0") — same plan, different JIT state
+    body = re.sub(r"at localCheckpoint at \S+", "at localCheckpoint at X", body)
+    body = re.sub(r"at checkpoint at \S+", "at checkpoint at X", body)
     return body
 
 
